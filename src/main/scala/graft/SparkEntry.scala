@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Analytics, EventsQ, Q, Relational, SimilarityQ, TextQ}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine's verifiable query surface: every operator family from
+  * SURVEY.md §2 plus the training-data extensions (dedup, similarity,
+  * text analysis), each as a (SparkSession, sfDir) => DataFrame with —
+  * where ANSI-SQL-expressible — a DuckDB oracle over the same parquet.
+  */
 object SparkEntry {
+
+  /** The full query catalog. */
+  val catalog: Seq[Q] =
+    Relational.all ++ Analytics.all ++ EventsQ.all ++ TextQ.all ++
+      SimilarityQ.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (seeded-hash LSH / langid / fingerprints) → rows-only check +
+    * ScalaTest specs against ground truth.
+    */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
 }

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import Num._
+
+/** Event-log queries: JSON prop extraction, tumbling-window rollups, and
+  * batch sessionization (gaps-and-islands). The same semantics run as
+  * Structured Streaming in graft.streaming (watermark + window +
+  * flatMapGroupsWithState); the batch forms here are oracle-checkable.
+  *
+  * Precision note: events.ts is nanosecond-precision in the parquet.
+  * Spark truncates to microseconds on read while DuckDB keeps ns, so
+  * every oracle casts ts through epoch *seconds* (both engines truncate
+  * toward zero for positive epochs) or buckets through date_trunc.
+  */
+object EventsQ {
+
+  /** from_json prop extraction + group rollup. Ref: SURVEY.md §1.2
+    * (events.props is a JSON string).
+    */
+  val qJsonProps: Q = Q.sql(
+    "q_events_json_props",
+    """SELECT event_type, CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type ASC, k_mod ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k_mod",
+        get_json_object(col("props"), "$.k").cast(IntegerType) % 10)
+      .groupBy("event_type", "k_mod")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc, col("k_mod").asc)
+  }
+
+  /** Tumbling 1-hour window rollup (batch form of the streaming windowed
+    * agg). date_trunc keeps bucket boundaries identical across engines.
+    */
+  val qTumblingWindow: Q = Q.sql(
+    "q_events_tumbling",
+    """SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start_sec,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_sec ASC, event_type ASC""".stripMargin) { (s, d) =>
+    // window start emitted as epoch seconds (BIGINT): timestamp columns
+    // round-trip through parquet with engine-specific tz/precision
+    // annotations; integer seconds compare exactly everywhere.
+    Tables.events(s, d)
+      .withColumn("window_start_sec",
+        unix_micros(date_trunc("hour", col("ts"))) / lit(1000000L))
+      .withColumn("window_start_sec", col("window_start_sec").cast(LongType))
+      .groupBy("window_start_sec", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("window_start_sec").asc, col("event_type").asc)
+  }
+
+  /** Batch sessionization: gaps-and-islands with a 30-minute idle gap.
+    * Same session definition as the streaming flatMapGroupsWithState
+    * implementation; second-granularity epochs for cross-engine parity.
+    * One shuffle on user_id; per-user state is bounded (windows over a
+    * single user's ordered events), so this scales linearly.
+    */
+  val qSessionize: Q = Q.sql(
+    "q_events_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL
+      |      OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts_sec) AS session_start_sec, MAX(ts_sec) AS session_end_sec
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id ASC, session_id ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        floor(unix_micros(col("ts").cast(TimestampType)) / lit(1000000L))
+          .as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_sec")).as("session_start_sec"),
+        max(col("ts_sec")).as("session_end_sec"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
+  val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize)
+}

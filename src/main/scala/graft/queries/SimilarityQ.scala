@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full vector table; one pass, no shuffle on the big
+  * side, TakeOrderedAndProject-style per-query top-k via window.
+  *
+  * Scale path: random-hyperplane LSH buckets prune candidates before the
+  * exact rerank (q_ann_lsh); at 100 TB the bucketed join replaces the
+  * per-query full scan, and the bucket table can be bucketed/partitioned
+  * by bucket id for co-located joins.
+  *
+  * Oracle determinism: cosine is computed as a *sequential left fold in
+  * IEEE double* in both engines (Spark `aggregate`, DuckDB
+  * `list_reduce`), so scores are bit-identical and hash-comparable.
+  */
+object SimilarityQ {
+
+  private val nQueries = 5
+  private val topK = 10
+
+  private def oracleCosine(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+       |  / NULLIF(
+       |    sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+       |    * sqrt(list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)), 0))""".stripMargin
+
+  /** Brute-force cosine top-k for a fixed query set (vec_id < nQueries). */
+  val qAnnBruteForce: Q = Q.sql(
+    "q_ann_bruteforce",
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.embedding")} AS score
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** LSH-bucketed ANN: multi-probe hyperplane buckets generate
+    * candidates, exact cosine reranks. Rows-only gate; the spec measures
+    * recall against q_ann_bruteforce.
+    */
+  val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(lshProbeBuckets(col("bucket"))).as("bucket"))
+    val cand = emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Embedding-cosine near-dup pairs over a deterministic sample of
+    * left anchors (every 20th vector) — exact, oracle-checked.
+    */
+  val qEmbeddingNearDup: Q = Q.sql(
+    "q_embedding_neardup",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${oracleCosine("a.embedding", "b.embedding")} AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE a.vec_id % 20 = 0
+       |  AND ${oracleCosine("a.embedding", "b.embedding")} >= 0.55
+       |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val sim = cosine(col("emb_a"), col("embedding"))
+    emb.join(broadcast(anchors), col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"), sim.as("cos_sim"))
+      .filter(col("cos_sim") >= 0.55)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qEmbeddingNearDup)
+}

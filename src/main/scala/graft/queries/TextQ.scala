@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data text pipeline over `documents`: exact + near dedup,
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * Scale design (100 TB): signatures (md5 / minhash / simhash /
+  * fingerprints) are per-row scalars — no shuffle. Dedup groupBys
+  * shuffle on the signature (uniform keys, no skew). Near-dup candidate
+  * generation joins on shingle/band/bucket keys with a document-
+  * frequency cap (`maxShingleDf`) so ubiquitous shingles can't produce
+  * quadratic blowup — the standard guard in web-scale dedup pipelines.
+  */
+object TextQ {
+
+  /** DF cap for candidate generation: shingles seen in more docs than
+    * this are non-discriminative and dropped (scale guard, no-op at
+    * test SF).
+    */
+  val maxShingleDf = 1000
+
+  /** Exact dedup via content hash: groups identical texts, keeps the
+    * min doc_id (deterministic survivor), reports group size.
+    */
+  val qExactDedup: Q = Q.sql(
+    "q_doc_exact_dedup",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_doc_id ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast(BinaryType)).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id").asc)
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  val qTokenCount: Q = Q.sql(
+    "q_doc_token_count",
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio —
+    * integer components + deterministic double ratios.
+    */
+  val qQualityScore: Q = Q.sql(
+    "q_doc_quality",
+    s"""SELECT doc_id, n_chars_calc, n_tokens, n_punct, n_stop,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |WHERE n_chars_calc > 0 AND n_tokens > 0
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_calc"),
+      size(toks).cast(LongType).as("n_tokens"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+        .cast(LongType).as("n_punct"),
+      size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType).as("n_stop"))
+      .filter(col("n_chars_calc") > 0 && col("n_tokens") > 0)
+      .withColumn("stopword_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast(DoubleType) / col("n_chars_calc"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, candidates from shared
+    * shingles (with DF cap), verified exactly. Fully SQL-expressible →
+    * strong oracle for the whole near-dup family.
+    */
+  val qNgramJaccard: Q = Q.sql(
+    "q_doc_ngram_jaccard",
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) <= $maxShingleDf),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN rare r ON a.shingle = r.shingle
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("shingle")
+    val shRare = sh.join(rare, "shingle")
+    val pairs = shRare.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast(DoubleType) /
+      (col("sa.n") + col("sb.n") - col("shared"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** MinHash + LSH near-dup: per-row signatures → band buckets →
+    * candidate pairs → exact Jaccard rerank. Not ANSI-expressible
+    * (seeded hash family) → rows-only gate; the ScalaTest spec checks
+    * recall against q_doc_ngram_jaccard's exact pairs.
+    */
+  val qMinhashLsh: Q = Q.rowsOnly("q_doc_minhash_lsh") { (s, d) =>
+    val bands = 4
+    val rowsPerBand = minhashK / bands
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+      .withColumn("sig", minhashSig(col("sh")))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+      size(array_union(col("sh_a"), col("sh_b")))
+    cand.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** SimHash near-dup: 64-bit signatures, candidates via 16-bit band
+    * equality (any of 4 bands), hamming ≤ 6 verified. Rows-only gate +
+    * spec.
+    */
+  val qSimhash: Q = Q.rowsOnly("q_doc_simhash") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+    val banded = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDist(col("a.sim"), col("b.sim")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Language ID (n-gram/stopword heuristic) — rows-only + spec. */
+  val qLangId: Q = Q.rowsOnly("q_doc_langid") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Winnowed rolling-hash fingerprints — rows-only + spec. */
+  val qFingerprint: Q = Q.rowsOnly("q_doc_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), docFingerprint(col("fps")).as("fingerprint"),
+        size(col("fps")).as("n_fingerprints"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata.
+    * Byte length + sha256 are engine-portable → full oracle.
+    */
+  val qBinaryMeta: Q = Q.sql(
+    "q_doc_binary_meta",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS sha
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text").cast(BinaryType)).cast(LongType).as("byte_len"),
+      sha2(col("text").cast(BinaryType), 256).as("sha"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val all: Seq[Q] = Seq(
+    qExactDedup, qTokenCount, qQualityScore, qNgramJaccard, qMinhashLsh,
+    qSimhash, qLangId, qFingerprint, qBinaryMeta)
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated benchmark tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. Reads are plain
+  * `spark.read.parquet` so Catalyst's vectorized reader, predicate
+  * pushdown and column pruning all apply; at cluster scale the same
+  * paths would simply point at partitioned directories and nothing
+  * here changes.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view named after itself (idempotent). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and truncate to
+    * microsecond TimestampType (`div` keeps the arithmetic integral —
+    * a double round-trip would lose exactness at 2^60 nanos). DuckDB's
+    * CAST(ts AS TIMESTAMP) truncates identically, keeping oracles exact.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

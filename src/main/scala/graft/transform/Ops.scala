@@ -1,0 +1,146 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reusable relational operators mirroring the reference's transform
+  * surface (SURVEY.md §2.3–2.5). Each is a `DataFrame => DataFrame`
+  * (or Column) combinator designed for `df.transform(...)` chains, so
+  * the whole pipeline stays one lazy Catalyst plan: projections prune,
+  * filters push down to the scan, and nothing materializes early.
+  *
+  * Reference provenance cited per op (file:line in /root/reference).
+  */
+object Ops {
+
+  /** P1 — drop metadata columns by prefix (SODA `:id`, `:version`, …).
+    * Ref: datasets/food_supply_gap/transformer.py:28-30.
+    */
+  def dropByPrefix(prefix: String)(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith(prefix)).toIndexedSeq: _*)
+
+  /** P2 — bulk rename via map; missing sources are ignored (pandas
+    * `rename` semantics). Ref: datasets/zillow_zori/transformer.py:32.
+    */
+  def renameAll(renames: Map[String, String])(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(renames)
+
+  /** P3 — column-name standardization: lowercase, strip non-word chars,
+    * whitespace→underscore. Ref: datasets/base.py:73-90.
+    */
+  def normalizeName(c: String): String =
+    c.trim.toLowerCase
+      .replaceAll("\\s+", "_")
+      .replaceAll("[^0-9a-z_]", "")
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
+
+  /** P5 — ingestion metadata columns (lit dataset id + timestamp).
+    * Ref: datasets/base.py:58-71.
+    */
+  def withIngestionMetadata(datasetId: String)(df: DataFrame): DataFrame =
+    df.withColumn("dataset_id", lit(datasetId))
+      .withColumn("ingestion_timestamp", current_timestamp())
+
+  /** P6 — numeric coercion, null on parse failure (pandas
+    * `to_numeric(errors='coerce')`). Ref: food transformer.py:54-60.
+    */
+  def coerceNumeric(col: Column, to: DataType = DoubleType): Column =
+    col.try_cast(to)
+
+  /** P8 — out-of-range invalidation: values outside [lo, hi] → NULL
+    * (reference nulls bad percentages). Ref: food transformer.py:63-68.
+    */
+  def rangeInvalidate(c: Column, lo: Double, hi: Double): Column =
+    when(c >= lo && c <= hi, c)
+
+  /** P9 — sentinel invalidation (Census negative sentinels → NULL).
+    * Ref: datasets/census_acs/transformer.py:29-33.
+    */
+  def sentinelInvalidate(c: Column): Column = when(c >= 0, c)
+
+  /** P11 — derived rate with explicit divide-by-zero → NULL (pinned;
+    * pandas would produce inf). Ref: census_acs transformer.py:36-38.
+    */
+  def derivedRate(num: Column, den: Column, scale: Int = 2): Column =
+    round(num / when(den =!= 0, den) * 100, scale)
+
+  /** W1 — latest-per-group (argmax). The reference sorts desc then
+    * takes first-per-key (zillow transformer.py:26-29); the
+    * deterministic Spark form is a row_number window with explicit
+    * tie-breaks. One shuffle on the group keys; at 100 TB this is the
+    * canonical "dedup to latest snapshot" pattern and SMJ/partial-agg
+    * friendly.
+    */
+  def latestPerGroup(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2 — keyed dedup keep-"last". pandas keep='last' depends on frame
+    * row order; the deterministic engine version keeps the row that is
+    * maximal under `order`. Ref: food transformer.py:75.
+    */
+  def dedupKeepLast(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame =
+    latestPerGroup(keys, order.map(_.desc))(df)
+
+  /** Zillow wide→long unpivot: one column per month → (id, date, value)
+    * rows. Ref: zillow transformer.py:12-24. Spark `unpivot` keeps this
+    * a narrow streaming-friendly Generate, no shuffle.
+    */
+  def unpivotToLong(ids: Seq[String], valueCols: Seq[String],
+                    varName: String, valName: String)(df: DataFrame): DataFrame =
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+
+  /** O3 — top-k with total tie-break order (TakeOrderedAndProject:
+    * per-partition heap + single reduce, no full sort at scale).
+    * Ref: README.md:334-339.
+    */
+  def topK(k: Int, order: Seq[Column])(df: DataFrame): DataFrame =
+    df.orderBy(order.toIndexedSeq: _*).limit(k)
+
+  /** A4 — duplicate-key detection (returns offending keys + counts).
+    * Ref: src/ingestion/parser.py:107-113.
+    */
+  def duplicateKeys(keys: Seq[String])(df: DataFrame): DataFrame =
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** A5 — out-of-range counts per rule (single pass, map-side combine).
+    * Ref: parser.py:92-105.
+    */
+  def outOfRangeCounts(rules: Seq[(String, Double, Double)])(df: DataFrame): DataFrame = {
+    val aggs = rules.flatMap { case (c, lo, hi) =>
+      Seq(
+        sum(when(col(c) < lo, 1).otherwise(0)).as(s"${c}_below_min"),
+        sum(when(col(c) > hi, 1).otherwise(0)).as(s"${c}_above_max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** C3 — choropleth-style binning: piecewise breakpoints → bin index.
+    * A `when` chain (whole-stage-codegen'd) rather than ML Bucketizer,
+    * so it stays a pure Catalyst expression. Ref: viz/src/App.jsx:162-253.
+    */
+  def binByBreaks(c: Column, breaks: Seq[Double]): Column = {
+    // bin i  <=>  breaks(i) <= c < breaks(i+1); below first → 0; >= last → breaks.size-1
+    val indexed = breaks.zipWithIndex.drop(1)
+    indexed.foldLeft(lit(0)) { case (acc, (b, i)) =>
+      when(c >= b, i).otherwise(acc)
+    }
+  }
+
+  /** C5 — threshold classification (when-chain). Ref: Dashboard.jsx:60-64.
+    * Ascending fold so the highest threshold ends up outermost
+    * (`c >= hi ? hiLabel : (c >= lo ? loLabel : default)`).
+    */
+  def classify(c: Column, thresholds: Seq[(Double, String)], default: String): Column =
+    thresholds.sortBy(_._1).foldLeft(lit(default)) { case (acc, (t, label)) =>
+      when(c >= t, label).otherwise(acc)
+    }
+}

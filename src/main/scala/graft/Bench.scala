@@ -1,38 +1,51 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":…,"queries":{name:sec,…}}.
   *
   * local[32] with shuffle.partitions=32 (match cores, not 200) + AQE;
-  * each query is timed to first full materialization (count), after a
-  * warm-up query to exclude JVM/codegen cold start from the headline.
+  * each query is timed to a content-dependent materialization — a
+  * hash-agg over every output column — rather than count(), which would
+  * let Catalyst prune projections and skip the actual work (round-1
+  * methodology bug). A failing query keeps its time-to-failure AND is
+  * listed under "failed" so a crash can't read as a speedup.
   */
 object Bench {
+
+  /** Force full evaluation of every column: xxhash64 across the row,
+    * combined with BIT_XOR (order-independent, cannot overflow under
+    * ANSI mode). Cheap (one codegen'd hash per row), content-dependent,
+    * and immune to column pruning / sort elision of the row-count path.
+    */
+  def materialize(df: DataFrame): Long = {
+    val h = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+    val r = h.agg(expr("bit_xor(__h)")).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     // warm-up: JVM + parquet footer reads out of the timed path
     SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).count())
+      .foreach(fn => materialize(fn(spark, sfDir)))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

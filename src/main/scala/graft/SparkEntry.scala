@@ -13,10 +13,16 @@ import graft.queries.{Analytics, EventsQ, Q, Relational, SimilarityQ, TextQ}
   */
 object SparkEntry {
 
-  /** The full query catalog. */
-  val catalog: Seq[Q] =
-    Relational.all ++ Analytics.all ++ EventsQ.all ++ TextQ.all ++
+  /** The full query catalog. Names must be unique — a collision would
+    * silently shadow a query (and its oracle) in the Maps below.
+    */
+  val catalog: Seq[Q] = {
+    val qs = Relational.all ++ Analytics.all ++ EventsQ.all ++ TextQ.all ++
       SimilarityQ.all
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -28,8 +34,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (seeded-hash LSH / langid / fingerprints) → rows-only check +
-    * ScalaTest specs against ground truth.
+    * (seeded-hash LSH / langid / fingerprints) → rows-only check, with
+    * the compensating ground-truth specs in src/test/scala/graft
+    * (AnnRecallSpec, MinhashRecallSpec, SimhashSpec, LangIdSpec,
+    * FingerprintSpec).
     */
   def oracleSql: Map[String, String] =
     catalog.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import scala.util.hashing.MurmurHash3
 
@@ -29,12 +30,15 @@ object TextFunctions {
 
   /** n-word shingles as space-joined strings, built natively:
     * transform(sequence(...)) stays inside whole-stage codegen.
-    * Returns empty array when the doc has fewer than n tokens.
+    * Returns empty array when the doc has fewer than n tokens — guarded
+    * explicitly: sequence(0, size-n) steps *down* when size<n (yielding
+    * [0,-1]) and element_at would then index out of bounds.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
 
   /** English-ish stopword list used by quality scoring (public, standard). */
   val stopwords: Seq[String] = Seq(

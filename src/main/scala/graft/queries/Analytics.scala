@@ -115,10 +115,12 @@ object Analytics {
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val o = Tables.orders(s, d).withColumn("year", year(col("o_orderdate")))
-    val maxYear = o.agg(max(col("year"))).head.getInt(0)
+    // single-plan scalar max via broadcast join (no driver-side collect)
+    val maxYear = o.agg(max(col("year")).as("max_year"))
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(o, o("o_custkey") === c("c_custkey"))
-      .filter(col("year") === lit(maxYear) && col("o_totalprice").isNotNull)
+      .join(broadcast(maxYear), col("year") === col("max_year"))
+      .filter(col("o_totalprice").isNotNull)
       .groupBy(col("n_name"), col("year"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
       .select(col("n_name").as("zone_name"), col("year"), col("n_orders"),

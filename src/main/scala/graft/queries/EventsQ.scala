@@ -24,11 +24,14 @@ object EventsQ {
     */
   val qJsonProps: Q = Q.sql(
     "q_events_json_props",
-    """SELECT event_type, CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+    """SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY event_type ASC, k_mod ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC, k_mod ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    // k_mod is nullable (events lacking an integer $.k): Spark ASC is
+    // NULLS FIRST but DuckDB ASC is NULLS LAST, so the oracle pins
+    // NULLS FIRST and TRY_CASTs (DuckDB CAST would error on non-numeric).
     Tables.events(s, d)
       .withColumn("k_mod",
         get_json_object(col("props"), "$.k").cast(IntegerType) % 10)

@@ -125,9 +125,11 @@ object Relational {
       |ORDER BY c.c_custkey ASC, o.o_orderkey ASC""".stripMargin) { (s, d) =>
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate")))
-    val maxYear = o.agg(max(col("o_year"))).head.getInt(0)
+    // scalar-subquery form: the 1-row max aggregates map-side then
+    // broadcasts — one plan, no driver collect, no crash on empty input
+    val maxYear = o.agg(max(col("o_year")).as("max_year"))
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
-      .filter(col("o_year") === lit(maxYear))
+      .join(broadcast(maxYear), col("o_year") === col("max_year"))
       .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc)
   }

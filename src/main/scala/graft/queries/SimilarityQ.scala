@@ -67,17 +67,17 @@ object SimilarityQ {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
-  /** LSH-bucketed ANN: multi-probe hyperplane buckets generate
-    * candidates, exact cosine reranks. Rows-only gate; the spec measures
-    * recall against q_ann_bruteforce.
+  /** LSH-banded ANN: banded hyperplane keys generate candidates, exact
+    * cosine reranks. Rows-only gate; AnnRecallSpec measures recall
+    * against q_ann_bruteforce.
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .withColumn("bk", explode(lshBandKeys(col("embedding"))))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(lshProbeBuckets(col("bucket"))).as("bucket"))
-    val cand = emb.join(broadcast(queries), Seq("bucket"))
+        col("bk"))
+    val cand = emb.join(broadcast(queries), Seq("bk"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_emb"), col("embedding"))
@@ -92,7 +92,18 @@ object SimilarityQ {
   }
 
   /** Embedding-cosine near-dup pairs over a deterministic sample of
-    * left anchors (every 20th vector) — exact, oracle-checked.
+    * left anchors (every 20th vector).
+    *
+    * Scale path: LSH band keys generate candidate pairs via a plain
+    * equi-join (keys only — embeddings are re-joined once for the exact
+    * rerank), replacing the earlier broadcast nested-loop all-pairs scan
+    * that was O(N²) at 100 TB. Approximate-by-construction: a true pair
+    * colliding in no band is missed; EmbeddingNearDupSpec measures
+    * recall against the exact all-pairs form on planted near-dups. The
+    * oracle below stays the *exact* all-pairs semantics — at the tested
+    * SFs the testdata's max pairwise cosine (≈0.48) is below the 0.55
+    * threshold, so exact and LSH results coincide (both empty) and the
+    * gate checks the plumbing end-to-end.
     */
   val qEmbeddingNearDup: Q = Q.sql(
     "q_embedding_neardup",
@@ -102,13 +113,43 @@ object SimilarityQ {
        |WHERE a.vec_id % 20 = 0
        |  AND ${oracleCosine("a.embedding", "b.embedding")} >= 0.55
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    embeddingNearDupLsh(Tables.embeddings(s, d), 0.55)
+  }
+
+  /** LSH-candidate + exact-rerank near-dup over any (vec_id, embedding)
+    * frame; factored out so specs can run it on planted fixtures.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    val keyed = emb.select(col("vec_id"),
+      explode(lshBandKeys(col("embedding"))).as("bk"))
+    val anchors = keyed.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("vec_a"), col("bk"))
+    val pairs = keyed.join(anchors, Seq("bk"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  /** Exact all-pairs near-dup (the test oracle for the LSH path; O(N²),
+    * small-SF/spec use only).
+    */
+  def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
     val anchors = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val sim = cosine(col("emb_a"), col("embedding"))
     emb.join(broadcast(anchors), col("vec_a") < col("vec_id"))
-      .select(col("vec_a"), col("vec_id").as("vec_b"), sim.as("cos_sim"))
-      .filter(col("cos_sim") >= 0.55)
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        cosine(col("emb_a"), col("embedding")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 

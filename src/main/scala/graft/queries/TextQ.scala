@@ -119,11 +119,15 @@ object TextQ {
        |JOIN sizes sb ON p.doc_b = sb.doc_id
        |WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    // cached: feeds sizes, the DF filter, and both sides of the pair
+    // join — without it the tokenize+explode+distinct runs three times
+    // (at 100 TB you would persist or checkpoint this table the same way)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
       .distinct()
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf).select("shingle")
@@ -145,32 +149,43 @@ object TextQ {
 
   /** MinHash + LSH near-dup: per-row signatures → band buckets →
     * candidate pairs → exact Jaccard rerank. Not ANSI-expressible
-    * (seeded hash family) → rows-only gate; the ScalaTest spec checks
+    * (seeded hash family) → rows-only gate; MinhashRecallSpec checks
     * recall against q_doc_ngram_jaccard's exact pairs.
+    *
+    * Scale shape: the band self-join carries (doc_id, band, bh) ONLY —
+    * shingle payloads would otherwise ride through every candidate pair
+    * ×bands before dedup (the round-1 scale-killer). Pairs are deduped
+    * first, then the doc_id→shingles table is joined back exactly twice
+    * for the rerank.
     */
   val qMinhashLsh: Q = Q.rowsOnly("q_doc_minhash_lsh") { (s, d) =>
     val bands = 4
     val rowsPerBand = minhashK / bands
+    // cached: feeds the signature pass and both payload re-joins
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+      .cache()
+    val banded = docs
       .withColumn("sig", minhashSig(col("sh")))
-    val banded = docs.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bh"))
-    val cand = banded.as("a")
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
       size(array_union(col("sh_a"), col("sh_b")))
-    cand.select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }

@@ -34,13 +34,16 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
   /** events.ts is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and truncate to
-    * microsecond TimestampType (`div` keeps the arithmetic integral —
+    * reader rejects; read nanos as long (legacy conf, set at session
+    * build by every entry point — see [[graft.Sessions]]) and truncate
+    * to microsecond TimestampType (`div` keeps the arithmetic integral —
     * a double round-trip would lose exactness at 2^60 nanos). DuckDB's
     * CAST(ts AS TIMESTAMP) truncates identically, keeping oracles exact.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events reads need spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(graft.Sessions.builder sets it)")
     load(spark, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Unit coverage for the native text primitives, including the
+  * short-document guard on shingles (sequence(0, size-n) steps down
+  * when size<n — previously only safe behind callers' prefilters).
+  */
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("shingles emits n-grams for size >= n") {
+    val out = Seq("one two three four").toDF("t")
+      .select(shingles(tokens(col("t")), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(out == Seq("one two three", "two three four"))
+  }
+
+  test("shingles returns an EMPTY array for docs shorter than n (guard)") {
+    val out = Seq("one two", "one", "").toDF("t")
+      .select(shingles(tokens(col("t")), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out.forall(_.isEmpty), s"expected empty shingle arrays, got ${out.toSeq}")
+  }
+
+  test("tokens lowercases, trims, and splits on whitespace runs") {
+    val out = Seq("  Hello\tWORLD  again ").toDF("t")
+      .select(tokens(col("t")).as("k")).head.getSeq[String](0)
+    assert(out == Seq("hello", "world", "again"))
+  }
+
+  test("bpeTokenCount counts word pieces plus isolated punctuation") {
+    val out = Seq("Hi, there! ok").toDF("t")
+      .select(bpeTokenCount(col("t")).as("n")).head.getInt(0)
+    // Hi , there ! ok
+    assert(out == 5)
+  }
+
+  test("minhash signatures: identical shingle sets agree, length is k") {
+    val df = Seq("a b c d e f", "a b c d e f", "totally different words here now")
+      .toDF("t")
+      .select(minhashSig(shingles(tokens(col("t")), 3)).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == minhashK))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash similarity estimates true jaccard within tolerance") {
+    // two 60%-overlapping shingle sets: estimated J = fraction of
+    // matching signature slots ≈ true J within sampling error of k=16
+    val words = (1 to 30).map(i => s"w$i")
+    val a = words.take(25).mkString(" ")
+    val b = words.drop(5).mkString(" ")
+    val sigs = Seq(a, b).toDF("t")
+      .select(minhashSig(shingles(tokens(col("t")), 3)).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }.toDouble / minhashK
+    // true jaccard of the 3-shingle sets: |∩|=18, |∪|=28 → ≈ 0.643
+    assert(est > 0.2 && est < 1.0, s"estimate $est implausible for J≈0.64")
+  }
+}

@@ -1,0 +1,231 @@
+package graft.geo
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Geometry support without a geo library (offline constraint, SURVEY
+  * §7.4): geometry travels as WKT in a plain StringType column; these
+  * pure-Scala codecs cover exactly the shapes the reference handles —
+  * Point, Polygon, MultiPolygon in EPSG:4326.
+  *
+  * Reference semantics reproduced:
+  *   - GeoJSON→WKT ingestion codec (datasets/ntas_2020/transformer.py:94-121,
+  *     shapely `shape(geojson).wkt`);
+  *   - WKT→GeoJSON output codec, the ST_AsGeoJSON(geom) parity surface
+  *     (src/api/routes.py:29,70,116);
+  *   - Polygon→MultiPolygon promotion
+  *     (datasets/census_zctas_2020/transformer.py:10-16);
+  *   - envelope/fitBounds (viz/src/App.jsx:489-507).
+  *
+  * Scale design: every op here is a per-row scalar UDF over one
+  * geometry string — no shuffle, embarrassingly parallel. (A custom
+  * codegen Expression would shave the UDF call overhead; geometry
+  * parsing dominates either way.)
+  *
+  * Number formatting: integral coordinates print without a decimal
+  * point ("7", not "7.0"), other values via Double.toString. Both
+  * codecs share `fmt`, so round-trips are byte-stable and oracle SQL
+  * can reproduce outputs with plain string building.
+  */
+object Geo {
+
+  type Pt = (Double, Double)
+  type Ring = IndexedSeq[Pt]
+
+  sealed trait Geom
+  final case class GPoint(x: Double, y: Double) extends Geom
+  final case class GPolygon(rings: IndexedSeq[Ring]) extends Geom
+  final case class GMultiPolygon(polys: IndexedSeq[IndexedSeq[Ring]]) extends Geom
+
+  def fmt(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  // -------------------------------------------------------------------
+  // WKT
+  // -------------------------------------------------------------------
+
+  def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+    case GPolygon(rings) => s"POLYGON ${ringsWkt(rings)}"
+    case GMultiPolygon(polys) =>
+      polys.map(ringsWkt).mkString("MULTIPOLYGON (", ", ", ")")
+  }
+
+  private def ringsWkt(rings: IndexedSeq[Ring]): String =
+    rings.map(r => r.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }
+      .mkString("(", ", ", ")")).mkString("(", ", ", ")")
+
+  /** Minimal recursive-descent WKT reader for the supported shapes.
+    * Returns None on malformed input (callers surface SQL NULL).
+    */
+  def parseWkt(s: String): Option[Geom] = {
+    if (s == null) return None
+    val p = new WktParser(s)
+    try {
+      val g = p.keyword() match {
+        case "POINT" =>
+          p.expect('('); val x = p.number(); val y = p.number(); p.expect(')')
+          GPoint(x, y)
+        case "POLYGON" => GPolygon(p.rings())
+        case "MULTIPOLYGON" =>
+          p.expect('(')
+          val polys = IndexedSeq.newBuilder[IndexedSeq[Ring]]
+          polys += p.rings()
+          while (p.tryComma()) polys += p.rings()
+          p.expect(')')
+          GMultiPolygon(polys.result())
+        case _ => return None
+      }
+      p.ws()
+      if (p.done) Some(g) else None
+    } catch { case _: Exception => None }
+  }
+
+  private final class WktParser(s: String) {
+    private var i = 0
+    def done: Boolean = i >= s.length
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c) throw new IllegalArgumentException(s"expected $c at $i")
+      i += 1
+    }
+    def tryComma(): Boolean = {
+      ws()
+      if (i < s.length && s.charAt(i) == ',') { i += 1; true } else false
+    }
+    def keyword(): String = {
+      ws(); val st = i
+      while (i < s.length && s.charAt(i).isLetter) i += 1
+      s.substring(st, i).toUpperCase
+    }
+    def number(): Double = {
+      ws(); val st = i
+      while (i < s.length && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(st, i).toDouble
+    }
+    def ring(): Ring = {
+      expect('(')
+      val pts = IndexedSeq.newBuilder[Pt]
+      pts += ((number(), number()))
+      while (tryComma()) pts += ((number(), number()))
+      expect(')')
+      pts.result()
+    }
+    def rings(): IndexedSeq[Ring] = {
+      expect('(')
+      val rs = IndexedSeq.newBuilder[Ring]
+      rs += ring()
+      while (tryComma()) rs += ring()
+      expect(')')
+      rs.result()
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // GeoJSON (compact: no spaces, fixed key order — byte-stable output)
+  // -------------------------------------------------------------------
+
+  def toGeoJson(g: Geom): String = g match {
+    case GPoint(x, y) =>
+      s"""{"type":"Point","coordinates":[${fmt(x)},${fmt(y)}]}"""
+    case GPolygon(rings) =>
+      s"""{"type":"Polygon","coordinates":${ringsJson(rings)}}"""
+    case GMultiPolygon(polys) =>
+      s"""{"type":"MultiPolygon","coordinates":${polys.map(ringsJson).mkString("[", ",", "]")}}"""
+  }
+
+  private def ringsJson(rings: IndexedSeq[Ring]): String =
+    rings.map(r => r.map { case (x, y) => s"[${fmt(x)},${fmt(y)}]" }
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private val mapper = new ObjectMapper()
+
+  def parseGeoJson(s: String): Option[Geom] = {
+    if (s == null) return None
+    try {
+      val node = mapper.readTree(s)
+      val coords = node.get("coordinates")
+      node.get("type").asText() match {
+        case "Point" => Some(GPoint(coords.get(0).asDouble(), coords.get(1).asDouble()))
+        case "Polygon" => Some(GPolygon(jsonRings(coords)))
+        case "MultiPolygon" =>
+          val polys = (0 until coords.size()).map(i => jsonRings(coords.get(i)))
+          Some(GMultiPolygon(polys.toIndexedSeq))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def jsonRings(n: JsonNode): IndexedSeq[Ring] =
+    (0 until n.size()).map { r =>
+      val ring = n.get(r)
+      (0 until ring.size()).map { p =>
+        (ring.get(p).get(0).asDouble(), ring.get(p).get(1).asDouble())
+      }: Ring
+    }.toIndexedSeq
+
+  // -------------------------------------------------------------------
+  // Ops
+  // -------------------------------------------------------------------
+
+  /** Polygon→MultiPolygon promotion (zctas transformer.py:10-16); other
+    * geometries pass through unchanged.
+    */
+  def promote(g: Geom): Geom = g match {
+    case GPolygon(rings) => GMultiPolygon(IndexedSeq(rings))
+    case other => other
+  }
+
+  /** Bounding box over every coordinate (App.jsx:489-507 fitBounds). */
+  def envelope(g: Geom): (Double, Double, Double, Double) = {
+    val pts: Iterator[Pt] = g match {
+      case GPoint(x, y) => Iterator((x, y))
+      case GPolygon(rings) => rings.iterator.flatten
+      case GMultiPolygon(polys) => polys.iterator.flatten.flatten
+    }
+    var minx, miny = Double.PositiveInfinity
+    var maxx, maxy = Double.NegativeInfinity
+    pts.foreach { case (x, y) =>
+      if (x < minx) minx = x
+      if (x > maxx) maxx = x
+      if (y < miny) miny = y
+      if (y > maxy) maxy = y
+    }
+    (minx, miny, maxx, maxy)
+  }
+
+  // -------------------------------------------------------------------
+  // Column functions (SQL surface)
+  // -------------------------------------------------------------------
+
+  /** GeoJSON geometry string → WKT (ingestion direction). */
+  val geojsonToWkt: UserDefinedFunction = udf { s: String =>
+    parseGeoJson(s).map(toWkt).orNull
+  }
+
+  /** WKT → GeoJSON geometry string (ST_AsGeoJSON parity). */
+  val stAsGeoJson: UserDefinedFunction = udf { s: String =>
+    parseWkt(s).map(toGeoJson).orNull
+  }
+
+  /** WKT POLYGON → WKT MULTIPOLYGON (single-element); pass-through otherwise. */
+  val promoteToMultiPolygon: UserDefinedFunction = udf { s: String =>
+    parseWkt(s).map(g => toWkt(promote(g))).orNull
+  }
+
+  /** WKT → (minx, miny, maxx, maxy). */
+  val envelopeOf: UserDefinedFunction = udf { s: String =>
+    parseWkt(s).map { g =>
+      val (a, b, c, d) = envelope(g)
+      EnvelopeBox(a, b, c, d)
+    }.orNull
+  }
+}
+
+/** Envelope result shape (named case class so the UDF's struct columns
+  * are stable: minx/miny/maxx/maxy).
+  */
+final case class EnvelopeBox(minx: Double, miny: Double, maxx: Double, maxy: Double)

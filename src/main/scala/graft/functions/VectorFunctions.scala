@@ -43,30 +43,41 @@ object VectorFunctions {
   val lshBands = 16
   val lshRowsPerBand = 4
   val embeddingDim = 64
+  private val maxPlanes = 64
 
   private lazy val planes: Array[Array[Double]] = {
     val rng = new scala.util.Random(7)
-    Array.fill(lshBands * lshRowsPerBand, embeddingDim)(rng.nextGaussian())
+    Array.fill(maxPlanes, embeddingDim)(rng.nextGaussian())
   }
 
   /** Band keys: one Int per band = (band index << r) | sign bits of that
     * band's hyperplane projections. Band index is baked into the key so a
     * single `explode` + equi-join covers all bands at once.
+    *
+    * Tuning contract (bands × r ≤ 64 planes): short bands (r=4) for
+    * ANN — true nearest neighbors sit at modest cosine and need high
+    * per-band collision probability; long bands (r=8) for near-dup —
+    * true duplicates are high-cosine, so longer bands prune candidates
+    * ~16× harder with negligible recall loss ((1-θ/π)^r per band,
+    * OR'd over bands).
     */
-  val lshBandKeys: UserDefinedFunction = udf { v: Seq[Float] =>
-    val n = math.min(v.length, embeddingDim)
-    (0 until lshBands).map { band =>
-      var bits = 0
-      var r = 0
-      while (r < lshRowsPerBand) {
-        val plane = planes(band * lshRowsPerBand + r)
-        var s = 0.0
-        var i = 0
-        while (i < n) { s += v(i) * plane(i); i += 1 }
-        if (s >= 0) bits |= (1 << r)
-        r += 1
+  def lshBandKeys(bands: Int = lshBands, rowsPerBand: Int = lshRowsPerBand): UserDefinedFunction = {
+    require(bands * rowsPerBand <= maxPlanes, s"need ${bands * rowsPerBand} planes > $maxPlanes")
+    udf { v: Seq[Float] =>
+      val n = math.min(v.length, embeddingDim)
+      (0 until bands).map { band =>
+        var bits = 0
+        var r = 0
+        while (r < rowsPerBand) {
+          val plane = planes(band * rowsPerBand + r)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += v(i) * plane(i); i += 1 }
+          if (s >= 0) bits |= (1 << r)
+          r += 1
+        }
+        (band << rowsPerBand) | bits
       }
-      (band << lshRowsPerBand) | bits
     }
   }
 }

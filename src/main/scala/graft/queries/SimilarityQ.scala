@@ -73,7 +73,7 @@ object SimilarityQ {
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-      .withColumn("bk", explode(lshBandKeys(col("embedding"))))
+      .withColumn("bk", explode(lshBandKeys()(col("embedding"))))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bk"))
@@ -120,8 +120,10 @@ object SimilarityQ {
     * frame; factored out so specs can run it on planted fixtures.
     */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    // near-dup banding: 8 bands × 8 planes — high-cosine pairs still
+    // collide w.h.p. while random pairs land in 1-of-256 buckets/band
     val keyed = emb.select(col("vec_id"),
-      explode(lshBandKeys(col("embedding"))).as("bk"))
+      explode(lshBandKeys(bands = 8, rowsPerBand = 8)(col("embedding"))).as("bk"))
     val anchors = keyed.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("bk"))
     val pairs = keyed.join(anchors, Seq("bk"))

@@ -150,7 +150,83 @@ object Analytics {
       .orderBy(col("n_name").asc)
   }
 
+  /** C2 — user-vs-neighborhood comparison (ComparisonTool.jsx:118-128):
+    * a parameterized scalar query grading fixed user inputs against
+    * every zone's aggregates — income ratio, spend diff, both burden
+    * ratios. Decimal-exact sums; IEEE division of identical operands.
+    */
+  val qComparison: Q = {
+    val userIncome = 75000
+    val userSpend = 33600
+    Q.sql(
+      "q_comparison",
+      s"""SELECT n.n_name AS zone,
+         |  round($userIncome / (${Num.sqlDsum("c.c_acctbal")} / COUNT(*)) * 100, 2) AS income_ratio_pct,
+         |  round($userSpend - (${Num.sqlDsum("o.o_totalprice")} / COUNT(*)), 2) AS spend_diff,
+         |  round(CAST($userSpend AS DOUBLE) / $userIncome * 100, 2) AS user_burden_pct,
+         |  round((${Num.sqlDsum("o.o_totalprice")} / COUNT(*))
+         |    / (${Num.sqlDsum("c.c_acctbal")} / COUNT(*)) * 100, 2) AS zone_burden_pct
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |GROUP BY n.n_name
+         |HAVING ${Num.sqlDsum("c.c_acctbal")} <> 0
+         |ORDER BY zone ASC""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val o = Tables.orders(s, d)
+      val avgBal = dsum(col("c_acctbal")) / count(lit(1))
+      val avgSpend = dsum(col("o_totalprice")) / count(lit(1))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(lit(userIncome) / avgBal * 100, 2).as("income_ratio_pct"),
+          round(lit(userSpend) - avgSpend, 2).as("spend_diff"),
+          round(lit(userSpend).cast(DoubleType) / userIncome * 100, 2)
+            .as("user_burden_pct"),
+          round(avgSpend / avgBal * 100, 2).as("zone_burden_pct"),
+          dsum(col("c_acctbal")).as("__bal"))
+        .filter(col("__bal") =!= 0)
+        .select(col("n_name").as("zone"), col("income_ratio_pct"),
+          col("spend_diff"), col("user_burden_pct"), col("zone_burden_pct"))
+        .orderBy(col("zone").asc)
+    }
+  }
+
+  /** A6 — summary statistics (describe() analog, ingest_data.py:108-116)
+    * over lineitem measures: explicit count/min/max/decimal-exact mean
+    * per column rather than .describe() (whose stddev strings aren't
+    * engine-portable), emitted one row per column.
+    */
+  val qSummaryStats: Q = Q.sql(
+    "q_summary_stats",
+    s"""SELECT 'l_quantity' AS column_name, COUNT(*) AS n,
+       |  CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+       |  CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+       |  ${Num.sqlDavg("l_quantity")} AS mean_v
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'l_extendedprice' AS column_name, COUNT(*) AS n,
+       |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_v,
+       |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_v,
+       |  ${Num.sqlDavg("l_extendedprice")} AS mean_v
+       |FROM lineitem
+       |ORDER BY column_name ASC""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def statsOf(c: String) =
+      li.agg(
+        count(lit(1)).as("n"),
+        min(col(c)).cast(DoubleType).as("min_v"),
+        max(col(c)).cast(DoubleType).as("max_v"),
+        davg(col(c)).as("mean_v"))
+        .select(lit(c).as("column_name"), col("n"), col("min_v"), col("max_v"),
+          col("mean_v"))
+    statsOf("l_quantity").unionByName(statsOf("l_extendedprice"))
+      .orderBy(col("column_name").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qBurdenRatio, qBinBreaks, qClassify, qFirstFeature, qSnapshotJoin,
-    qFeatureJson)
+    qFeatureJson, qComparison, qSummaryStats)
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-log analytics — the same
+  * semantics as the batch queries in [[graft.queries.EventsQ]]
+  * (StreamingEventsSpec proves batch/stream parity on one fixture).
+  *
+  * Scale design: both operators keyed-shuffle once (window+type /
+  * user_id) and keep bounded per-key state; the watermark bounds state
+  * retention, so the plans run indefinitely on an unbounded stream.
+  * Feed them `spark.readStream` (file/kafka source) in production;
+  * specs drive them with MemoryStream.
+  */
+object StreamingEvents {
+
+  /** One event row (events table schema, ts in epoch seconds). */
+  final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                      ts_sec: Long, value: Double)
+
+  /** One emitted session — mirrors q_events_sessionize's output. */
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+                           session_start_sec: Long, session_end_sec: Long)
+
+  /** Per-user open-session state: ordinal of the next session, plus
+    * the open session's bounds/count.
+    */
+  final case class UserSessions(nextOrdinal: Long, startSec: Long,
+                                endSec: Long, n: Long)
+
+  /** Streaming tumbling 1-hour rollup (batch form: q_events_tumbling).
+    * Watermarked so state for closed windows is dropped; append mode
+    * emits each window exactly once when the watermark passes its end.
+    */
+  def tumblingCounts(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / lit(1000000L)).cast("long")
+          .as("window_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming sessionization with a 30-minute idle gap — the same
+    * session definition as the batch gaps-and-islands query
+    * (q_events_sessionize), implemented as per-user state:
+    *
+    *   - events merge into the open session while gaps stay ≤ `gapSec`;
+    *   - a larger gap closes the session (emitted immediately) and
+    *     opens the next, advancing the per-user ordinal;
+    *   - the event-time timeout (watermark > open session end + gap)
+    *     flushes the final open session and clears state.
+    *
+    * State per user is O(1) — bounds and counters, never buffered
+    * events — so skewed users cost nothing extra.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def flush(key: Long, rows: Iterator[Ev],
+              state: GroupState[UserSessions]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(key, s.nextOrdinal, s.n, s.startSec, s.endSec))
+      } else {
+        val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_sec, e.event_id))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case None =>
+              cur = Some(UserSessions(1L, e.ts_sec, e.ts_sec, 1L))
+            case Some(s) if e.ts_sec - s.endSec <= gapSec =>
+              cur = Some(s.copy(endSec = e.ts_sec, n = s.n + 1))
+            case Some(s) =>
+              closed ::= Session(key, s.nextOrdinal, s.n, s.startSec, s.endSec)
+              cur = Some(UserSessions(s.nextOrdinal + 1, e.ts_sec, e.ts_sec, 1L))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // flush the open session once the watermark passes its close
+          state.setTimeoutTimestamp((s.endSec + gapSec + 1) * 1000L)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "30 minutes")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
+  }
+}

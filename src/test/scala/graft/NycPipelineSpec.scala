@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Registry
+import graft.jobs.{ExportJob, IngestJob}
+import graft.transform.Transformers
+
+/** The reference pipeline end-to-end on NYC-shaped fixtures: five raw
+  * sources → IngestJob (transform → validate → upsert → metadata) →
+  * ExportJob (the three §2.6 queries → static FeatureCollection files)
+  * — landing on the reference's real output cardinalities: 197
+  * food-gap NTAs, 177 poverty ZIPs, 155 rent ZIPs (BASELINE.md;
+  * viz/public/data measurements).
+  */
+class NycPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val nNtas = 197
+  private val nZips = 178
+  private val zips = (0 until nZips).map(i => f"1$i%04d")
+
+  private def squareGeoJson(i: Int) =
+    s"""{"type":"MultiPolygon","coordinates":[[[[$i,0],[${i + 1},0],[${i + 1},1],[$i,1],[$i,0]]]]}"""
+  private def squareWkt(i: Int) =
+    s"POLYGON (($i 0, ${i + 1} 0, ${i + 1} 1, $i 1, $i 0))"
+
+  private lazy val warehouse = {
+    val dir = Files.createTempDirectory("graft-warehouse").toString
+
+    // --- ntas_2020 (SODA raw shape) -> 197 geometry rows
+    val ntasRaw = (0 until nNtas).map { i =>
+      (f"NTA$i%03d", s"Neighborhood $i", "Brooklyn", s"$i", squareGeoJson(i))
+    }.toDF("NTA2020", "NTAName", "BoroName", "BoroCode", "the_geom")
+    IngestJob.run(spark, Registry.ntas2020, ntasRaw, Transformers.ntas2020, dir)
+
+    // --- food_supply_gap (SODA raw shape): 2022 + 2023 vintages, all NTAs
+    val foodRaw = (0 until nNtas).flatMap { i =>
+      Seq(2022, 2023).map(y =>
+        (s"row-$y-$i", y.toString, f"NTA$i%03d", s"${1000 + i}", s"${i % 40}",
+          s"${i % 30}", s"${i % 10}", s"${i + 1}", (y.toLong * 1000) + i))
+    }.toDF(":id", "Year", "NTA", "supply_gap_lbs", "Food Insecure Percentage",
+      "unemployment_rate", "Vulnerable Population", "Rank", "Row Order")
+    IngestJob.run(spark, Registry.foodSupplyGap, foodRaw,
+      Transformers.foodSupplyGap(Seq(col("row_order"))), dir)
+
+    // --- census_zctas_2020 (shapefile raw shape): 178 ZIP polygons
+    val zctasRaw = zips.zipWithIndex
+      .map { case (z, i) => (z, squareWkt(i)) }
+      .toDF("ZCTA5CE20", "geometry")
+    IngestJob.run(spark, Registry.censusZctas2020, zctasRaw,
+      Transformers.censusZctas2020(zips), dir)
+
+    // --- census_acs (census raw shape): one ZIP carries the sentinel
+    //     income -> NULL -> excluded by the poverty query -> 177
+    val acsRaw = zips.zipWithIndex.map { case (z, i) =>
+      val income = if (i == 42) "-666666666" else s"${50000 + i * 10}"
+      (z, income, s"${5 + i % 50}", s"${100 + i}")
+    }.toDF("zip code tabulation area", "B19013_001E", "B17020_002E", "B17020_001E")
+    IngestJob.run(spark, Registry.censusAcs, acsRaw, Transformers.censusAcs(), dir)
+
+    // --- zillow_zori (wide CSV raw shape): 23 ZIPs have no rent at all
+    //     -> dropped by dropna -> 155
+    val zillowRaw = zips.zipWithIndex.map { case (z, i) =>
+      val hasRent = i % 8 != 3 && i != 0 // 23 of 178 have no rent data
+      (1000L + i, z, 7L,
+        if (hasRent) Some(2000.0 + i) else None,
+        if (hasRent && i % 2 == 0) Some(2100.0 + i) else None)
+    }.toDF("RegionID", "RegionName", "SizeRank", "2024-01-31", "2024-02-29")
+    IngestJob.run(spark, Registry.zillowZori, zillowRaw,
+      Transformers.zillowZori(zips), dir)
+
+    dir
+  }
+
+  test("IngestJob lands validated tables + metadata for all five datasets") {
+    val tables = Seq("ntas_2020", "food_supply_gaps", "census_zctas_2020",
+      "census_acs_income_poverty", "zillow_zori")
+    tables.foreach { t =>
+      assert(Files.exists(Paths.get(s"$warehouse/$t")), s"missing table $t")
+    }
+    assert(spark.read.parquet(s"$warehouse/ntas_2020").count() == nNtas)
+    assert(spark.read.parquet(s"$warehouse/census_zctas_2020").count() == nZips)
+    assert(spark.read.parquet(s"$warehouse/zillow_zori").count() == 155)
+    val meta = spark.read.parquet(s"$warehouse/dataset_metadata")
+    assert(meta.count() == 5)
+    assert(meta.filter(col("status") === "success").count() == 5)
+  }
+
+  test("ExportJob writes the three FeatureCollections at reference cardinalities") {
+    val outDir = Files.createTempDirectory("graft-export").toString
+    val counts = ExportJob.run(spark, warehouse, outDir)
+    assert(counts == Map(
+      "food_gaps.json" -> 197L,
+      "poverty_by_zip.json" -> 177L,
+      "rent_by_zip.json" -> 155L))
+
+    // files are valid FeatureCollections with real geometry + properties
+    val food = spark.read.json(s"$outDir/food_gaps.json")
+    assert(food.selectExpr("size(features)").head.getInt(0) == 197)
+    assert(food.selectExpr("features[0].geometry.type").head.getString(0) == "MultiPolygon")
+    val props = food.selectExpr("features[0].properties AS p")
+      .select(col("p.*")).columns.toSet
+    assert(Set("nta_code", "nta_name", "boro_name", "year", "supply_gap_lbs",
+      "food_insecure_pct", "vulnerable_pop_score", "unemployment_rate")
+      .subsetOf(props))
+
+    val rent = spark.read.json(s"$outDir/rent_by_zip.json")
+    assert(rent.selectExpr("size(features)").head.getInt(0) == 155)
+    // zctas promotion: every rent feature's geometry is a MultiPolygon
+    assert(rent.selectExpr("explode(features.geometry.type) AS t")
+      .filter(col("t") =!= "MultiPolygon").count() == 0)
+  }
+
+  test("re-running ingest is idempotent (upsert on unique keys)") {
+    val before = spark.read.parquet(s"$warehouse/census_acs_income_poverty").count()
+    val acsAgain = zips.zipWithIndex.map { case (z, i) =>
+      (z, s"${60000 + i}", s"${5 + i % 50}", s"${100 + i}")
+    }.toDF("zip code tabulation area", "B19013_001E", "B17020_002E", "B17020_001E")
+    IngestJob.run(spark, Registry.censusAcs, acsAgain, Transformers.censusAcs(), warehouse)
+    val after = spark.read.parquet(s"$warehouse/census_acs_income_poverty")
+    assert(after.count() == before, "same keys must not duplicate rows")
+    // and the new batch's values won
+    val z0 = after.filter(col("zip_code") === zips.head).head
+    assert(z0.getAs[Double]("median_household_income") == 60000.0)
+  }
+}

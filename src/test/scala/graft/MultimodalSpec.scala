@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.MultimodalFunctions
+import graft.functions.MultimodalFunctions.MediaMeta
+
+/** Multimodal plumbing: binary columns stay binary through the batched
+  * decode path, batch boundaries never break row alignment, and the
+  * resize/frame-sample stubs keep their schema contracts.
+  */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val media = (0 until 100)
+    .map(i => (i.toLong, Array.fill[Byte](10 + i)(i.toByte)))
+    .toDF("id", "payload")
+
+  test("payload column is genuine BinaryType and survives the batch decode") {
+    assert(media.schema("payload").dataType == BinaryType)
+    val out = MultimodalFunctions.mapBinaryBatches(media, "payload", batchSize = 7)(
+      _.map(MultimodalFunctions.decodeMetaStub))
+    assert(out.schema("payload").dataType == BinaryType)
+    assert(out.count() == 100)
+  }
+
+  test("batched decode preserves row alignment across uneven batch boundaries") {
+    // batchSize 7 over 100 rows -> 15 batches, last partial; every row's
+    // meta must still be derived from ITS OWN payload
+    val out = MultimodalFunctions.mapBinaryBatches(media, "payload", batchSize = 7)(
+      _.map(MultimodalFunctions.decodeMetaStub))
+      .select(col("id"), length(col("payload")).as("len"), col("width"))
+      .collect()
+    out.foreach { r =>
+      val expected = 16 * (1 + r.getAs[Int]("len") % 64)
+      assert(r.getAs[Int]("width") == expected, s"row ${r.getLong(0)} misaligned")
+    }
+  }
+
+  test("decode batches are bounded by batchSize (the mapInPandas contract)") {
+    // smuggle each batch's size out through the metadata (closures run
+    // on executors — a driver-side buffer would see nothing)
+    val out = MultimodalFunctions.mapBinaryBatches(
+      media.repartition(2), "payload", batchSize = 16) { batch =>
+      batch.map(_ => MediaMeta(format = s"batch", width = batch.size, height = 0, n_frames = 0))
+    }.select("width").collect().map(_.getInt(0))
+    assert(out.length == 100)
+    assert(out.forall(s => s >= 1 && s <= 16), s"batch sizes seen: ${out.distinct.sorted.toSeq}")
+    assert(out.max == 16, "full batches should reach the bound")
+  }
+
+  test("misbehaving decoder (wrong cardinality) fails loudly, not silently") {
+    val bad = intercept[org.apache.spark.SparkException] {
+      MultimodalFunctions.mapBinaryBatches(media, "payload")(
+        batch => batch.drop(1).map(MultimodalFunctions.decodeMetaStub)).count()
+    }
+    assert(bad.getMessage != null)
+  }
+
+  test("resize stub: deterministic, binary-in/binary-out, dimension-dependent size") {
+    val p = Array[Byte](1, 2, 3)
+    val r1 = MultimodalFunctions.resizeStub(p, 64, 64)
+    val r2 = MultimodalFunctions.resizeStub(p, 64, 64)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.length == 64)
+    assert(MultimodalFunctions.resizeStub(p, 128, 64).length == 128)
+    assert(r1.toSeq.take(3) == Seq[Byte](1, 2, 3))
+  }
+
+  test("frame sampling yields n chunks covering the payload") {
+    val p = (0 until 90).map(_.toByte).toArray
+    val frames = MultimodalFunctions.frameSampleStub(p, 9)
+    assert(frames.size == 9)
+    assert(frames.forall(_.length == 10))
+    assert(frames.flatten.toSeq == p.toSeq)
+    assert(MultimodalFunctions.frameSampleStub(Array.empty[Byte], 4).isEmpty)
+  }
+
+  test("decodeMetaStub is total: null and empty payloads get sane metadata") {
+    assert(MultimodalFunctions.decodeMetaStub(null) == MediaMeta("png", 16, 9, 1))
+    assert(MultimodalFunctions.decodeMetaStub(Array.empty) == MediaMeta("png", 16, 9, 1))
+  }
+}

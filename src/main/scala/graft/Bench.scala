@@ -44,8 +44,25 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // round-over-round regression tracking: compare against the
+    // checked-in per-query baseline (bench_baseline.json) and flag
+    // queries that slowed >2x beyond a 0.5s noise floor
+    val regressions = {
+      val p = java.nio.file.Paths.get("bench_baseline.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty[String]
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p))
+        val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+        val baseline = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.collect {
+          case (k, v, true) if baseline.get(k).exists(b => v > 2 * b && v - b > 0.5) => k
+        }
+      }
+    }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

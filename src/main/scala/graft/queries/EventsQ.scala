@@ -110,5 +110,26 @@ object EventsQ {
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize)
+  /** Skew-safe salted aggregation over the 5-value event_type key —
+    * identical result to a plain groupBy (decimal sums associate), but
+    * the first shuffle spreads over keys×32 reducers instead of 5.
+    * The scale case: a hot-key rollup at 100 TB.
+    */
+  val qSaltedAgg: Q = Q.sql(
+    "q_events_salted_agg",
+    """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+    import graft.transform.Ops
+    Tables.events(s, d)
+      .transform(Ops.saltedSumCount(Seq("event_type"), col("event_id"), 32,
+        dec(col("value")), "sum_dec", "n"))
+      .select(col("event_type"), col("sum_dec").cast(DoubleType).as("sum_value"),
+        col("n"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg)
 }

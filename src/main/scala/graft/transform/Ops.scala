@@ -143,4 +143,22 @@ object Ops {
     thresholds.sortBy(_._1).foldLeft(lit(default)) { case (acc, (t, label)) =>
       when(c >= t, label).otherwise(acc)
     }
+
+  /** Skew-safe two-phase aggregation: when the group keys are few/hot
+    * (at 100 TB a 5-value `event_type` key funnels everything through
+    * 5 reducers), salt the first shuffle with `pmod(hash(saltSource),
+    * buckets)` so partials spread over `keys × buckets` reducers, then
+    * merge the partials in a second (tiny) shuffle. Exact for
+    * re-aggregable metrics — sum/count are associative (decimal sums
+    * stay bit-exact). AQE's skew handling covers *join* skew; this is
+    * the aggregation-side counterpart.
+    */
+  def saltedSumCount(keys: Seq[String], saltSource: Column, buckets: Int,
+                     valueCol: Column, sumName: String, countName: String)(
+                      df: DataFrame): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col).toIndexedSeq: _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcount"))
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(sum(col("__psum")).as(sumName), sum(col("__pcount")).as(countName))
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan audits: the 100 TB design claims pinned as tests, so a
+  * regression that silently flips a broadcast to a sort-merge join, or
+  * drops a parquet pushdown, or breaks partial aggregation FAILS CI
+  * rather than surfacing as a cluster bill. (`.explain` iterated until
+  * the plan is the one we want — then frozen here.)
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString
+
+  test("top-k lowers to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("dim joins broadcast the small side (nation/region, max-year scalars)") {
+    val rollup = plan("q_join_agg_rollup")
+    assert(rollup.contains("BroadcastHashJoin"), rollup.linesIterator.take(5).mkString("\n"))
+    assert(!rollup.contains("SortMergeJoin"),
+      "dim joins must not degrade to SMJ at this scale")
+    // the max-year snapshot is a broadcast of a 1-row aggregate, not a collect
+    assert(plan("q_left_join_snapshot").contains("BroadcastHashJoin"))
+  }
+
+  test("point lookup pushes its predicate into the parquet scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), p)
+  }
+
+  test("column pruning reaches the scan: q1 reads only the 7 needed lineitem columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than projected: $readSchema")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val p = plan("q1_pricing_summary")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("whole-stage codegen covers the relational hot path") {
+    // AQE finalizes the plan lazily — execute first, then audit the
+    // final adaptive plan for codegen spans
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen'd operators carry the `*(stageId)` prefix in plan text
+    assert(finalPlan("q1_pricing_summary").contains("*(1) HashAggregate"))
+    assert(finalPlan("q_derived_rate").contains("*("))
+  }
+
+  test("semi/anti joins stay semi/anti (no exists-materialization)") {
+    assert(plan("q_semi_join").toLowerCase.contains("leftsemi"))
+    assert(plan("q_anti_join").toLowerCase.contains("leftanti"))
+  }
+
+  test("minhash band join carries keys only (no shingle payload through the shuffle)") {
+    // the pair-dedup Aggregate (dropDuplicates) must group on exactly
+    // (doc_a, doc_b) — if a shingle array rode through the band
+    // self-join it would appear here (the round-1 scale-killer)
+    val o = optimized("q_doc_minhash_lsh")
+    val dedupLine = o.linesIterator.find(l =>
+      l.contains("Aggregate") && l.contains("doc_a") && l.contains("doc_b"))
+    assert(dedupLine.isDefined, o.linesIterator.take(8).mkString("\n"))
+    assert(!dedupLine.get.contains("sh_"),
+      s"shingle payload leaked into the candidate join: ${dedupLine.get}")
+  }
+
+  test("exchange reuse deduplicates the shingle-table subtree in ngram jaccard") {
+    val p = plan("q_doc_ngram_jaccard")
+    assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),
+      "shingle table should be cached or its exchange reused")
+  }
+}

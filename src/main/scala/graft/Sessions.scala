@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.expressions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -31,6 +31,15 @@ object VectorFunctions {
     dot(a, b) / when(denom =!= 0.0, denom)
   }
 
+  /** The codegen'd native form (graft.expressions.CosineSimilarity) —
+    * bit-identical to [[cosine]] (same sequential-sum order), ~no
+    * per-element allocation. Callers must ensure the function is
+    * registered ([[graft.expressions.CosineSimilarity.ensureRegistered]];
+    * Sessions.builder sessions always have it).
+    */
+  def fastCosine(a: Column, b: Column): Column =
+    call_function("fast_cosine", a, b)
+
   // ---------------------------------------------------------------------
   // Random-hyperplane LSH (SimHash for vectors; Charikar 2002) with
   // banded OR-amplification: `lshBands` independent band keys, each the

@@ -53,12 +53,13 @@ object SimilarityQ {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= $topK
        |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("score"))
+        fastCosine(col("q_emb"), col("embedding")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -72,6 +73,7 @@ object SimilarityQ {
     * against q_ann_bruteforce.
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
       .withColumn("bk", explode(lshBandKeys()(col("embedding"))))
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -82,7 +84,7 @@ object SimilarityQ {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_emb"), col("embedding"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .withColumn("score", fastCosine(col("q_emb"), col("embedding")))
     cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
@@ -120,6 +122,7 @@ object SimilarityQ {
     * frame; factored out so specs can run it on planted fixtures.
     */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     // near-dup banding: 8 bands × 8 planes — high-cosine pairs still
     // collide w.h.p. while random pairs land in 1-of-256 buckets/band
     val keyed = emb.select(col("vec_id"),
@@ -137,7 +140,7 @@ object SimilarityQ {
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
         Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        fastCosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
@@ -146,11 +149,12 @@ object SimilarityQ {
     * small-SF/spec use only).
     */
   def embeddingNearDupExact(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     val anchors = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     emb.join(broadcast(anchors), col("vec_a") < col("vec_id"))
       .select(col("vec_a"), col("vec_id").as("vec_b"),
-        cosine(col("emb_a"), col("embedding")).as("cos_sim"))
+        fastCosine(col("emb_a"), col("embedding")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }

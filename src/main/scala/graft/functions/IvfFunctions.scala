@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-
+  * quantizer counterpart to the hyperplane-LSH path (SURVEY §7.6 names
+  * both as the scale options):
+  *
+  *   1. train a k-means coarse quantizer over the embedding corpus
+  *      (Spark ML KMeans — distributed, seeded);
+  *   2. assign every vector to its nearest centroid — the "inverted
+  *      list" id, a plain integer key;
+  *   3. queries probe their `nProbe` nearest centroids, equi-join on
+  *      the list id for candidates, and exact-rerank with the codegen
+  *      fast_cosine.
+  *
+  * Scale shape: the index is (vector, int) — at 100 TB the lists can
+  * be bucketed/partitioned by `cid` so probes touch only matching
+  * partitions (partition pruning); candidate volume is
+  * |corpus| × nProbe / k on balanced lists. Training cost is the usual
+  * k-means sample pass; centroids (k × dim doubles) ride in closures.
+  */
+object IvfFunctions {
+
+  /** Train the coarse quantizer; returns k centroid vectors. */
+  def trainCentroids(emb: DataFrame, embeddingCol: String, k: Int,
+                     seed: Long = 42, maxIter: Int = 10): Array[Array[Double]] = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = emb.select(toVec(col(embeddingCol)).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  private def l2sq(v: Seq[Float], c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid (inverted list) id. */
+  def assignUdf(centroids: Array[Array[Double]]): UserDefinedFunction =
+    udf { v: Seq[Float] =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = l2sq(v, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** The `nProbe` nearest centroid ids for a query vector. */
+  def probeUdf(centroids: Array[Array[Double]], nProbe: Int): UserDefinedFunction =
+    udf { v: Seq[Float] =>
+      centroids.indices
+        .map(c => (l2sq(v, centroids(c)), c))
+        .sorted.take(nProbe).map(_._2)
+    }
+
+  /** End-to-end IVF top-k: index `emb`, answer `queries` (vec_id,
+    * embedding) with exact-cosine rerank over the probed lists.
+    */
+  def annTopK(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+              topK: Int, seed: Long = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    val centroids = trainCentroids(emb, "embedding", k, seed)
+    val lists = emb.withColumn("cid", assignUdf(centroids)(col("embedding")))
+    val probed = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(probeUdf(centroids, nProbe)(col("embedding"))).as("cid"))
+    lists.join(broadcast(probed), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFunctions.fastCosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}

@@ -159,5 +159,17 @@ object SimilarityQ {
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
-  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qEmbeddingNearDup)
+  /** IVF-indexed ANN (k-means coarse quantizer + probed inverted
+    * lists + exact rerank) — the second scale path beside the LSH
+    * banding. Rows-only gate; IvfAnnSpec measures recall against
+    * q_ann_bruteforce.
+    */
+  val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.functions.IvfFunctions.annTopK(
+      emb, emb.filter(col("vec_id") < nQueries),
+      k = 16, nProbe = 6, topK = topK)
+  }
+
+  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup)
 }

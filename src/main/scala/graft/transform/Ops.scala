@@ -161,4 +161,63 @@ object Ops {
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcount"))
       .groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(sum(col("__psum")).as(sumName), sum(col("__pcount")).as(countName))
+
+  /** As-of join (left row ⟵ latest right row with the same key and
+    * rightTs ≤ leftTs) — composed scalably from existing operators:
+    * tag both sides, UNION, one shuffle on (key), and a keyed window
+    * whose `last(ignoreNulls)` carries each right payload forward to
+    * the left rows that follow it in time. No range/theta join, no
+    * nested loop: wall-clock is one sort-merge per key group, the same
+    * plan a native as-of operator would want at 100 TB.
+    *
+    * Right timestamps must be unique per key (pre-dedup with W1 if
+    * not); ties between a left and right row at the SAME timestamp
+    * match (≤, the standard as-of convention).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               payload: Seq[String]): DataFrame = {
+    // left rows carry null payload slots; right rows carry only
+    // (key, ts, payload) — unionByName backfills the rest with nulls
+    val lTagged = payload.foldLeft(
+      left.withColumn("__ts", col(leftTs))
+        .withColumn("__side", lit(1))) { (df, p) => // left AFTER right at equal ts → ≤ matches
+      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
+    }
+    val rTagged = right
+      .select((key +: rightTs +: payload).distinct.map(col).toIndexedSeq: _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .drop(rightTs)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Binned range join: match left rows to right intervals
+    * ([lo, hi], inclusive) without a nested-loop/theta join. Both sides
+    * key by coarse bins of width `binWidth` (intervals explode into
+    * every bin they overlap), a plain equi-join on the bin meets
+    * candidates, and the exact BETWEEN filter reranks. At 100 TB this
+    * turns an O(|L|·|R|) broadcast nested loop into a shuffle join
+    * whose cost tracks the true match density — the standard spatial/
+    * interval binning trick.
+    */
+  def rangeJoinBinned(left: DataFrame, valueCol: String,
+                      right: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    val lBinned = left.withColumn("__bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    val rBinned = right.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    lBinned.join(rBinned, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.IvfFunctions
+import graft.sources.Tables
+
+/** Ground truth for the no-oracle q_ann_ivf: recall of the IVF probed
+  * path against the exact brute-force top-k, plus quantizer sanity.
+  */
+class IvfAnnSpec extends SparkSpecBase {
+
+  private def neighborSets(rows: Array[Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(1)).toSet
+    }
+
+  test("q_ann_ivf recall@10 vs q_ann_bruteforce") {
+    val exact = neighborSets(
+      SparkEntry.queries("q_ann_bruteforce")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect())
+    val ivf = neighborSets(
+      SparkEntry.queries("q_ann_ivf")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect())
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // probing 6 of 16 lists on near-uniform vectors: measured ~0.7+;
+    // 0.5 leaves noise margin (kmeans is seeded → deterministic here)
+    assert(mean >= 0.5, s"mean recall@10 $mean < 0.5 (per-query: $recalls)")
+  }
+
+  test("every vector lands in exactly one inverted list; probes are distinct and bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16)
+    assert(centroids.length == 16)
+    assert(centroids.forall(_.length == 64))
+    val assigned = emb.withColumn("cid",
+      IvfFunctions.assignUdf(centroids)(col("embedding")))
+    assert(assigned.count() == emb.count())
+    val cids = assigned.select("cid").distinct().collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < 16))
+    val probes = emb.limit(20).select(
+      IvfFunctions.probeUdf(centroids, 6)(col("embedding")).as("p")).collect()
+    probes.foreach { r =>
+      val p = r.getSeq[Int](0)
+      assert(p.length == 6 && p.distinct.length == 6)
+    }
+  }
+
+  test("probed list always contains the vector's own assignment (nearest centroid first)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16)
+    val df = emb.select(
+      IvfFunctions.assignUdf(centroids)(col("embedding")).as("cid"),
+      IvfFunctions.probeUdf(centroids, 4)(col("embedding")).as("probes"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getSeq[Int](1).head == r.getInt(0)))
+  }
+}

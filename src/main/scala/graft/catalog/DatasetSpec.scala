@@ -33,7 +33,8 @@ final case class DatasetSpec(
     columns: Seq[ColumnSpec],
     validation: ValidationRules = ValidationRules(),
     indexes: Seq[(String, Seq[String])] = Nil,
-    uniqueConstraints: Seq[Seq[String]] = Nil) {
+    uniqueConstraints: Seq[Seq[String]] = Nil,
+    partitionColumns: Seq[String] = Nil) {
   def column(name: String): Option[ColumnSpec] = columns.find(_.name == name)
   def requiredColumns: Seq[String] = columns.filter(_.required).map(_.name)
 }

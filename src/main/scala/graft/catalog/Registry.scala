@@ -33,7 +33,10 @@ object Registry {
       ("idx_dataset_year", Seq("dataset_id", "year")),
       ("idx_nta_code", Seq("nta_code")),
       ("idx_rank", Seq("rank"))),
-    uniqueConstraints = Seq(Seq("dataset_id", "year", "nta_code")))
+    uniqueConstraints = Seq(Seq("dataset_id", "year", "nta_code")),
+    // fact-style table: partition by vintage year so snapshot queries
+    // prune to one partition at scale (Catalyst PartitionFilters)
+    partitionColumns = Seq("year"))
 
   /** census_acs/config.yaml:17-47. */
   val censusAcs: DatasetSpec = DatasetSpec(
@@ -53,7 +56,8 @@ object Registry {
         default = Some("CURRENT_TIMESTAMP"))),
     validation = ValidationRules(allowDuplicates = false,
       uniqueKeys = Seq("zip_code", "year")),
-    indexes = Seq(("idx_census_acs_zip_year", Seq("zip_code", "year"))))
+    indexes = Seq(("idx_census_acs_zip_year", Seq("zip_code", "year"))),
+    partitionColumns = Seq("year"))
 
   /** census_acs variables map (config.yaml:23-26) + vintage year. */
   val censusAcsVariables: Map[String, String] = Map(

@@ -46,9 +46,13 @@ object IngestJob {
     if (!dryRun) {
       val keys = spec.validation.uniqueKeys
       if (keys.nonEmpty && keys.forall(transformed.columns.contains))
-        UpsertSink.upsertParquet(spark, tableDir, transformed, keys)
-      else
-        transformed.write.mode("append").parquet(tableDir)
+        UpsertSink.upsertParquet(spark, tableDir, transformed, keys,
+          partitionBy = spec.partitionColumns)
+      else {
+        val w = transformed.write.mode("append")
+        (if (spec.partitionColumns.nonEmpty)
+          w.partitionBy(spec.partitionColumns: _*) else w).parquet(tableDir)
+      }
       MetadataTable.update(spark, s"$warehouseDir/dataset_metadata",
         spec.datasetId, spec.tableName, report.rowCount)
     }

@@ -42,7 +42,8 @@ object UpsertSink {
       spark: SparkSession,
       dir: String,
       incoming: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String],
+      partitionBy: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "upsert needs unique key columns")
     val target = Paths.get(dir)
     val merged =
@@ -61,7 +62,7 @@ object UpsertSink {
         incoming.transform(Ops.latestPerGroup(keys,
           if (tieBreak.isEmpty) Seq(lit(1).asc) else tieBreak))
       }
-    writeAtomic(merged, target)
+    writeAtomic(merged, target, partitionBy)
   }
 
   /** Write-new-then-swap (§7.5.4): materialize to a sibling temp dir,
@@ -69,13 +70,16 @@ object UpsertSink {
     * table. (Two renames — not a transaction, but the window is a
     * metadata op, not a data write.)
     */
-  private def writeAtomic(df: DataFrame, target: Path): Unit = {
+  private def writeAtomic(df: DataFrame, target: Path,
+                          partitionBy: Seq[String] = Nil): Unit = {
     val tmp = target.resolveSibling(s"${target.getFileName}.tmp-${UUID.randomUUID()}")
     // materialize fully before touching the target (the source may read
     // the target itself)
     df.cache().count()
     try {
-      df.write.mode("overwrite").parquet(tmp.toString)
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(tmp.toString)
       val old = target.resolveSibling(s"${target.getFileName}.old-${UUID.randomUUID()}")
       val existed = Files.exists(target)
       if (existed) Files.move(target, old)

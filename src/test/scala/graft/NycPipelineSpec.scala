@@ -114,6 +114,20 @@ class NycPipelineSpec extends SparkSpecBase {
       .filter(col("t") =!= "MultiPolygon").count() == 0)
   }
 
+  test("fact tables land partitioned by year and snapshot reads prune partitions") {
+    val foodDir = s"$warehouse/food_supply_gaps"
+    // physical layout: one directory per vintage year
+    val partDirs = Files.list(Paths.get(foodDir)).iterator()
+    val years = scala.jdk.CollectionConverters.IteratorHasAsScala(partDirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("year=")).toSet
+    assert(years == Set("year=2022", "year=2023"))
+    // and Catalyst prunes to one partition for the snapshot filter
+    val snap = spark.read.parquet(foodDir).filter(col("year") === 2023)
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("year"), plan)
+    assert(snap.count() == nNtas)
+  }
+
   test("re-running ingest is idempotent (upsert on unique keys)") {
     val before = spark.read.parquet(s"$warehouse/census_acs_income_poverty").count()
     val acsAgain = zips.zipWithIndex.map { case (z, i) =>

@@ -110,6 +110,46 @@ class OpsSpec extends SparkSpecBase {
     }, minTests = 15)
   }
 
+  test("unpivot round-trip holds for arbitrary wide matrices (property)") {
+    checkProp(Prop.forAll { rows: List[(Long, Double, Double)] =>
+      val distinct = rows.distinctBy(_._1)
+      distinct.isEmpty || {
+        val wide = distinct.toDF("id", "m1", "m2")
+        val long = wide.transform(
+          Ops.unpivotToLong(Seq("id"), Seq("m1", "m2"), "metric", "v"))
+        val back = long.groupBy("id").pivot("metric", Seq("m1", "m2")).agg(first("v"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+        long.count() == distinct.size * 2 && back == distinct.toSet
+      }
+    }, minTests = 10)
+  }
+
+  test("latestPerGroup value never exceeds the group max (property)") {
+    checkProp(Prop.forAll { rows: List[(Int, Int)] =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val latest = df.transform(Ops.latestPerGroup(Seq("k"), Seq(col("v").desc)))
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        val maxes = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        latest == maxes
+      }
+    }, minTests = 15)
+  }
+
+  test("outOfRangeCounts partitions every non-null row (property: below+in+above = n)") {
+    checkProp(Prop.forAll { vals: List[Double] =>
+      val clean = vals.filterNot(v => v.isNaN)
+      clean.isEmpty || {
+        val df = clean.toDF("x")
+        val row = df.transform(Ops.outOfRangeCounts(Seq(("x", -1.0, 1.0)))).head
+        val below = row.getLong(0)
+        val above = row.getLong(1)
+        val inRange = clean.count(v => v >= -1.0 && v <= 1.0)
+        below + above + inRange == clean.size
+      }
+    }, minTests = 15)
+  }
+
   test("unpivot round-trips the wide matrix (melt then pivot)") {
     val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "m1", "m2")
     val long = wide.transform(Ops.unpivotToLong(Seq("id"), Seq("m1", "m2"), "metric", "v"))

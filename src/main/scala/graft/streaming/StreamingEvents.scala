@@ -20,6 +20,24 @@ object StreamingEvents {
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
                       ts_sec: Long, value: Double)
 
+  /** Production entry: stream the events table from a parquet path via
+    * the file source (`spark.readStream`) — new files under the path
+    * become micro-batches. Matches [[graft.sources.Tables.events]]'s
+    * read contract: nanosecond timestamps land as longs (the session's
+    * nanosAsLong conf) and truncate to microsecond TimestampType.
+    */
+  def readEventsStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** One emitted session — mirrors q_events_sessionize's output. */
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
                            session_start_sec: Long, session_end_sec: Long)

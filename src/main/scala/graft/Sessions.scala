@@ -24,6 +24,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // saveAsTable targets (bucketed tables) land under tmp, not CWD
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {

@@ -226,7 +226,35 @@ object Analytics {
       .orderBy(col("column_name").asc)
   }
 
+  /** Typed bounded top-k per group via the TopKAggregator
+    * (Aggregator[IN,BUF,OUT] → ObjectHashAggregate with O(k) state per
+    * group and partial merge — collect_list-free; see the aggregator's
+    * scale doc). Top-3 orders per market segment.
+    */
+  val qTopkPerGroup: Q = Q.sql(
+    "q_topk_per_group",
+    """SELECT c_mktsegment, CAST(rn - 1 AS INT) AS pos, o_totalprice, o_orderkey
+      |FROM (
+      |  SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment ASC, pos ASC""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(graft.functions.TopKAggregator(3),
+      ExpressionEncoder[(Double, Long)]())
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("topk"))
+      .select(col("c_mktsegment"), posexplode(col("topk")))
+      .select(col("c_mktsegment"), col("pos").cast(IntegerType).as("pos"),
+        col("col._1").as("o_totalprice"), col("col._2").as("o_orderkey"))
+      .orderBy(col("c_mktsegment").asc, col("pos").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qBurdenRatio, qBinBreaks, qClassify, qFirstFeature, qSnapshotJoin,
-    qFeatureJson, qComparison, qSummaryStats)
+    qFeatureJson, qComparison, qSummaryStats, qTopkPerGroup)
 }

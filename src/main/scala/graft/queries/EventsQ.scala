@@ -131,5 +131,22 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
-  val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg)
+  /** Sketch aggregations — the mergeable approximations that replace
+    * exact distinct/percentile at 100 TB: HLL++ distinct users and
+    * approximate percentiles per event type. Sketch values are
+    * engine-specific (no DuckDB hash parity) → rows-only gate;
+    * SketchSpec bounds the error against the exact answers.
+    */
+  val qSketchStats: Q = Q.rowsOnly("q_events_sketch_stats") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
+    qSketchStats)
 }

@@ -147,6 +147,39 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** Sliding 1-hour window with 15-minute slide (the batch form of the
+    * streaming hopping window): every event lands in exactly 4
+    * overlapping windows. Spark's `window()` generator handles it
+    * natively; the oracle reproduces the window set with 4 shifted
+    * 15-minute truncations (window starts are epoch-aligned multiples
+    * of the slide, s = floor(t/900)*900 - k*900 for k in 0..3).
+    */
+  val qSlidingWindow: Q = Q.sql(
+    "q_events_sliding",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |expanded AS (
+      |  SELECT event_type, v,
+      |    (t // 900) * 900 - k * 900 AS window_start_sec
+      |  FROM e, unnest([0, 1, 2, 3]) AS u(k))
+      |SELECT window_start_sec, event_type, COUNT(*) AS n,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM expanded
+      |GROUP BY 1, 2
+      |ORDER BY window_start_sec ASC, event_type ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / lit(1000000L)).cast(LongType)
+          .as("window_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_sec").asc, col("event_type").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
-    qSketchStats)
+    qSketchStats, qSlidingWindow)
 }

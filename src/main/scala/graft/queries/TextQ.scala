@@ -246,7 +246,27 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Tokenizer as a Generator (SURVEY §2.9): posexplode flattens each
+    * document into an ordered (doc_id, pos, token) table — the
+    * materialized form every downstream n-gram/BPE pass starts from.
+    * Narrow op (Generate), no shuffle.
+    */
+  val qTokensExploded: Q = Q.sql(
+    "q_doc_tokens_exploded",
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
+      |FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+      |ORDER BY doc_id ASC, pos ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+      .orderBy(col("doc_id").asc, col("pos").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qNgramJaccard, qMinhashLsh,
-    qSimhash, qLangId, qFingerprint, qBinaryMeta)
+    qSimhash, qLangId, qFingerprint, qBinaryMeta, qTokensExploded)
 }

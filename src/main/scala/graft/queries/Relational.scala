@@ -441,10 +441,86 @@ object Relational {
     counts.reduce(_ unionByName _).orderBy(col("table_name").asc)
   }
 
+  /** TPC-H Q5-shaped six-table join: region⋈nation⋈customer⋈orders⋈
+    * lineitem⋈supplier with a local-supplier predicate and revenue
+    * rollup — the join-graph stress case. Catalyst broadcasts the three
+    * small dims and reorders the fact joins; the plan is the point as
+    * much as the result.
+    */
+  val q5LocalSupplierVolume: Q = Q.sql(
+    "q5_local_supplier_volume",
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  AND s.s_nationkey = c.c_nationkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name IN ('ASIA', 'EUROPE')
+      |GROUP BY n.n_name
+      |ORDER BY n_name ASC""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, sup("s_suppkey") === l("l_suppkey") &&
+        sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), n("n_nationkey") === c("c_nationkey"))
+      .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name").asc)
+  }
+
+  /** Correlated-aggregate filter: customers whose spend exceeds 2× their
+    * nation's average spend — the correlated scalar subquery shape,
+    * decorrelated by hand into aggregate + broadcast join (exactly what
+    * Catalyst's decorrelation would produce).
+    */
+  val qCorrelatedAgg: Q = Q.sql(
+    "q_correlated_agg",
+    """WITH spend AS (
+      |  SELECT c.c_custkey, c.c_nationkey,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_nationkey),
+      |nation_avg AS (
+      |  SELECT c_nationkey, CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(*) AS avg_total
+      |  FROM spend GROUP BY c_nationkey)
+      |SELECT s.c_custkey, s.total
+      |FROM spend s JOIN nation_avg a ON s.c_nationkey = a.c_nationkey
+      |WHERE s.total > 2 * a.avg_total
+      |ORDER BY c_custkey ASC""".stripMargin) { (s, d) =>
+    val spend = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(dsum(col("o_totalprice")).as("total"))
+    val nationAvg = spend.groupBy("c_nationkey")
+      .agg((sum(col("total").cast(DecimalType(18, 2))).cast(DoubleType)
+        / count(lit(1))).as("avg_total"))
+    spend.join(broadcast(nationAvg), Seq("c_nationkey"))
+      .filter(col("total") > lit(2) * col("avg_total"))
+      .select("c_custkey", "total")
+      .orderBy(col("c_custkey").asc)
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, qTopkOrders, qLatestPerGroup, qDedupKeepLast,
     qLeftJoinSnapshot, qJoinAggRollup, qScalarSubqueryMax, qUnionChunks,
     qSemiJoin, qAntiJoin, qTryCast, qRangeInvalidate, qSentinelInvalidate,
     qDerivedRate, qIsinFilter, qNotNullFilter, qPointLookup, qDuplicateKeys,
-    qOutOfRangeCounts, qMultiKeySort, qUnpivot, qRunningWindow, qRecordCount)
+    qOutOfRangeCounts, qMultiKeySort, qUnpivot, qRunningWindow, qRecordCount,
+    q5LocalSupplierVolume, qCorrelatedAgg)
 }

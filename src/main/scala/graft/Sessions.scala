@@ -32,6 +32,7 @@ object Sessions {
   def local(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.geo.Geo
+
+/** SQL-surface registration: every engine scalar usable from
+  * `spark.sql` under a stable name, so the SQL and DataFrame surfaces
+  * expose the same capabilities (a user of the reference's SQL-first
+  * workflow can stay in SQL). Idempotent; [[graft.Sessions.local]]
+  * calls it at session build, and fast_cosine additionally registers
+  * as a native expression via SparkSessionExtensions.
+  */
+object GraftFunctions {
+
+  def registerAll(spark: SparkSession): Unit = {
+    graft.expressions.CosineSimilarity.ensureRegistered(spark)
+    val r = spark.udf
+    // geometry codecs (§2.7)
+    r.register("st_asgeojson", Geo.stAsGeoJson)
+    r.register("geojson_to_wkt", Geo.geojsonToWkt)
+    r.register("st_multi", Geo.promoteToMultiPolygon)
+    r.register("st_envelope_box", Geo.envelopeOf)
+    // text / dedup primitives
+    r.register("minhash_sig", TextFunctions.minhashSig)
+    r.register("simhash64", TextFunctions.simhash64)
+    r.register("lang_id", TextFunctions.langId)
+    r.register("winnow_fingerprints", TextFunctions.fingerprints)
+  }
+}

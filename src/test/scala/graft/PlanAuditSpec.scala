@@ -79,6 +79,28 @@ class PlanAuditSpec extends SparkSpecBase {
       s"shingle payload leaked into the candidate join: ${dedupLine.get}")
   }
 
+  test("the Q5 join graph broadcasts its dims and never falls back to nested loops") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(6).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "six-table join must stay hash-based")
+  }
+
+  test("ROLLUP compiles to one Expand + aggregate pass (no per-level re-scan)") {
+    val p = plan("q_rollup")
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    // one base scan feeds every grouping level
+    assert("FileScan parquet".r.findAllIn(p).size == 3, // customer+nation+region
+      "rollup must not re-scan the fact per level")
+  }
+
+  test("typed top-k aggregator runs as ObjectHashAggregate with partial merge") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(8).mkString("\n"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final aggregate")
+  }
+
   test("exchange reuse deduplicates the shingle-table subtree in ngram jaccard") {
     val p = plan("q_doc_ngram_jaccard")
     assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),

@@ -160,8 +160,11 @@ object TextFunctions {
   // Rolling-hash fingerprinting (Rabin-Karp windows + winnowing).
   // ---------------------------------------------------------------------
   private val fpBase = 1000003L
-  private val fpWindow = 8 // chars per rolling window
-  private val winnowW = 4  // windows per winnow band
+  // 16-char windows: an 8-char window over a small vocabulary is
+  // non-discriminative (its document frequency explodes and with it the
+  // near-dup candidate join); 16 chars spans ~3 words and stays selective
+  private val fpWindow = 16 // chars per rolling window
+  private val winnowW = 8   // windows per winnow band
 
   /** Winnowed fingerprint set of a normalized document: polynomial
     * rolling hashes of `fpWindow`-char windows, then the min of each

@@ -281,13 +281,21 @@ object TextQ {
   /** The fingerprint-overlap pipeline over any (doc_id, text) frame —
     * factored out so the spec can grade recall on planted duplicates.
     */
+  /** Tighter DF cap for fingerprint candidates: character windows are
+    * far less discriminative than 3-word shingles, so a fingerprint
+    * seen in more than this many docs contributes quadratic candidate
+    * pairs with near-zero signal.
+    */
+  val maxFingerprintDf = 100
+
   def fingerprintNearDup(docs: org.apache.spark.sql.DataFrame,
                          minShared: Int): org.apache.spark.sql.DataFrame = {
     val fp = docs
       .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
       .distinct()
+      .cache()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("fp")
+      .filter(col("df") <= maxFingerprintDf).select("fp")
     val fpRare = fp.join(rare, "fp")
     fpRare.as("a")
       .join(fpRare.as("b"),

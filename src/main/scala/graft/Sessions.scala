@@ -24,6 +24,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // spill-awareness: explicit scan-split size so a cluster deploy
+      // sizes input partitions deliberately (pairs with
+      // shuffle.partitions above; AQE coalesces post-shuffle)
+      .config("spark.sql.files.maxPartitionBytes", "128m")
       // saveAsTable targets (bucketed tables) land under tmp, not CWD
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-spark-warehouse")

@@ -143,7 +143,9 @@ object CosineSimilarity {
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
+  }
 }

@@ -204,17 +204,17 @@ object Geo {
   /** GeoJSON geometry string → WKT (ingestion direction). */
   val geojsonToWkt: UserDefinedFunction = udf { s: String =>
     parseGeoJson(s).map(toWkt).orNull
-  }
+  }.withName("geojsonToWkt")
 
   /** WKT → GeoJSON geometry string (ST_AsGeoJSON parity). */
   val stAsGeoJson: UserDefinedFunction = udf { s: String =>
     parseWkt(s).map(toGeoJson).orNull
-  }
+  }.withName("stAsGeoJson")
 
   /** WKT POLYGON → WKT MULTIPOLYGON (single-element); pass-through otherwise. */
   val promoteToMultiPolygon: UserDefinedFunction = udf { s: String =>
     parseWkt(s).map(g => toWkt(promote(g))).orNull
-  }
+  }.withName("promoteToMultiPolygon")
 
   /** WKT → (minx, miny, maxx, maxy). */
   val envelopeOf: UserDefinedFunction = udf { s: String =>
@@ -222,7 +222,7 @@ object Geo {
       val (a, b, c, d) = envelope(g)
       EnvelopeBox(a, b, c, d)
     }.orNull
-  }
+  }.withName("envelopeOf")
 }
 
 /** Envelope result shape (named case class so the UDF's struct columns

@@ -111,6 +111,19 @@ class ConnectorsSpec extends SparkSpecBase {
     assert(sleeps2.toSeq == Seq(1L, 2L), "exponential backoff 2^0, 2^1")
   }
 
+  test("S3: the POST path retries identically (SODA uses POST)") {
+    val sleeps = mutable.Buffer[Long]()
+    val stub = new StubHttp(Seq(
+      HttpResponse(429, "", Map("Retry-After" -> "3")),
+      HttpResponse(500, "x"),
+      HttpResponse(200, "[]")))
+    val rc = new RetryingClient(stub, maxRetries = 3, sleeper = sleeps += _)
+    assert(rc.post("u", "{}").body == "[]")
+    // the 429 consumed attempt 0 (reference loop semantics), so the
+    // transport-error backoff that follows is 2^1
+    assert(sleeps.toSeq == Seq(3L, 2L))
+  }
+
   test("S3: persistent failure raises after exactly maxRetries attempts") {
     val sleeps = mutable.Buffer[Long]()
     val stub = new StubHttp(Seq.fill(3)(HttpResponse(500, "down")))

@@ -19,9 +19,11 @@ import graft.functions.VectorFunctions._
   * per-query full scan, and the bucket table can be bucketed/partitioned
   * by bucket id for co-located joins.
   *
-  * Oracle determinism: cosine is computed as a *sequential left fold in
-  * IEEE double* in both engines (Spark `aggregate`, DuckDB
-  * `list_reduce`), so scores are bit-identical and hash-comparable.
+  * Oracle determinism: cosine is a *sequential left fold in IEEE
+  * double* in both engines — Spark's native fast_cosine expression
+  * (graft.expressions.CosineSimilarity, codegen; bit-identical to the
+  * declarative aggregate/zip_with form) and DuckDB `list_reduce` — so
+  * scores are bit-identical and hash-comparable.
   */
 object SimilarityQ {
 

@@ -180,6 +180,50 @@ object EventsQ {
       .orderBy(col("window_start_sec").asc, col("event_type").asc)
   }
 
+  /** Native session_window operator (the built-in counterpart to the
+    * custom gaps-and-islands sessionize). Boundary semantics differ
+    * deliberately and are pinned here: session_window extends a session
+    * to [ts, ts+gap) and merges OVERLAPPING intervals, so a successor
+    * exactly `gap` seconds later starts a NEW session — whereas
+    * q_events_sessionize's `diff > gap` keeps it. The oracle encodes
+    * the strict-< islands accordingly.
+    */
+  val qSessionWindow: Q = Q.sql(
+    "q_events_session_window",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL
+      |      OR ts_sec - lag(ts_sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, ts_sec,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts_sec) AS session_start_sec,
+      |  MAX(ts_sec) + 1800 AS session_end_sec, COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid
+      |ORDER BY user_id ASC, session_start_sec ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ts_sec",
+        floor(unix_micros(col("ts")) / lit(1000000L)).cast(LongType))
+      .withColumn("ts_wall", timestamp_seconds(col("ts_sec")))
+      .groupBy(session_window(col("ts_wall"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        (unix_micros(col("session_window.start")) / lit(1000000L)).cast(LongType)
+          .as("session_start_sec"),
+        (unix_micros(col("session_window.end")) / lit(1000000L)).cast(LongType)
+          .as("session_end_sec"),
+        col("n_events"))
+      .orderBy(col("user_id").asc, col("session_start_sec").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
-    qSketchStats, qSlidingWindow)
+    qSketchStats, qSlidingWindow, qSessionWindow)
 }

@@ -48,6 +48,21 @@ object StreamingEvents {
   final case class UserSessions(nextOrdinal: Long, startSec: Long,
                                 endSec: Long, n: Long)
 
+  /** Streaming exact deduplication on a content key with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until
+    * the watermark passes it — the streaming form of the batch
+    * hash-groupBy dedup (q_doc_exact_dedup), and the standard
+    * ingest-time guard against replayed/duplicated training records.
+    * State is O(distinct keys within the watermark horizon), not
+    * O(stream length).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming tumbling 1-hour rollup (batch form: q_events_tumbling).
     * Watermarked so state for closed windows is dropped; append mode
     * emits each window exactly once when the watermark passes its end.

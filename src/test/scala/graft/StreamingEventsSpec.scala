@@ -120,6 +120,34 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(n >= 1 && n <= total, s"$n windows vs $total batch groups")
   }
 
+  test("streaming dedup drops replayed records within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    val stream = MemoryStream[Ev]
+    val deduped = StreamingEvents.dedupStream(
+      stream.toDF().withColumn("ts", timestamp_seconds(col("ts_sec"))),
+      keyCols = Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct events, one duplicated in-batch
+      stream.addData(Seq(
+        Ev(100, 1, "view", t0, 1.0),
+        Ev(100, 1, "view", t0, 1.0), // exact replay
+        Ev(101, 1, "view", t0 + 60, 2.0)))
+      q.processAllAvailable()
+      // batch 2: replay of 100 arrives again (still inside the horizon)
+      stream.addData(Seq(
+        Ev(100, 1, "view", t0 + 120, 1.0),
+        Ev(102, 1, "view", t0 + 180, 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(100L, 101L, 102L),
+      s"each event_id must survive exactly once, got ${ids.toSeq}")
+  }
+
   test("sessions respect the 30-minute gap on a hand-pinned trace") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = 1700000000L

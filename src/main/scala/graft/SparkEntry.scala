@@ -34,10 +34,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (seeded-hash LSH / langid / fingerprints) → rows-only check, with
-    * the compensating ground-truth specs in src/test/scala/graft
-    * (AnnRecallSpec, MinhashRecallSpec, SimhashSpec, LangIdSpec,
-    * FingerprintSpec).
+    * (seeded-hash LSH / langid / fingerprints / sketches) → rows-only
+    * check, each with a compensating ground-truth spec in
+    * src/test/scala/graft: AnnRecallSpec (q_ann_lsh), IvfAnnSpec
+    * (q_ann_ivf), MinhashRecallSpec (q_doc_minhash_lsh), SimhashSpec
+    * (q_doc_simhash), LangIdSpec (q_doc_langid), FingerprintSpec
+    * (q_doc_fingerprint), FingerprintNearDupSpec
+    * (q_doc_fingerprint_neardup), SketchSpec (q_events_sketch_stats).
     */
   def oracleSql: Map[String, String] =
     catalog.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap

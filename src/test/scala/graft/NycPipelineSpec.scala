@@ -128,6 +128,20 @@ class NycPipelineSpec extends SparkSpecBase {
     assert(snap.count() == nNtas)
   }
 
+  test("dry-run validates without writing (ingest_data.py:108-116 parity)") {
+    val dir = Files.createTempDirectory("graft-dryrun").toString
+    val raw = Seq(("10001", "50000", "10", "100"))
+      .toDF("zip code tabulation area", "B19013_001E", "B17020_002E", "B17020_001E")
+    val res = IngestJob.run(spark, Registry.censusAcs, raw,
+      Transformers.censusAcs(), dir, dryRun = true)
+    assert(res.recordCount == 1)
+    assert(res.report.ok)
+    assert(!Files.exists(Paths.get(s"$dir/census_acs_income_poverty")),
+      "dry run must not write the table")
+    assert(!Files.exists(Paths.get(s"$dir/dataset_metadata")),
+      "dry run must not touch metadata")
+  }
+
   test("re-running ingest is idempotent (upsert on unique keys)") {
     val before = spark.read.parquet(s"$warehouse/census_acs_income_poverty").count()
     val acsAgain = zips.zipWithIndex.map { case (z, i) =>

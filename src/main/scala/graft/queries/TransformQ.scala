@@ -61,7 +61,7 @@ object TransformQ {
     */
   val qChainCensus: Q = Q.sql(
     "q_chain_census",
-    """SELECT '1' || lpad(CAST(s_suppkey AS VARCHAR), 4, '0') AS zip_code,
+    """SELECT '1' || CAST(s_suppkey AS VARCHAR) AS zip_code,
       |  CASE WHEN s_acctbal >= 0 THEN s_acctbal END AS median_household_income,
       |  CAST(s_suppkey % 120 AS DOUBLE) AS poverty_count,
       |  CAST(s_suppkey % 7 AS DOUBLE) AS poverty_universe,
@@ -71,7 +71,9 @@ object TransformQ {
       |FROM supplier
       |ORDER BY zip_code ASC""".stripMargin) { (s, d) =>
     val raw = Tables.supplier(s, d).select(
-      concat(lit("1"), lpad((col("s_suppkey")).cast(StringType), 4, "0"))
+      // '1' || key is injective at ANY scale factor (lpad-to-4 would
+      // silently truncate 5-digit keys into colliding zips at sf >= 1)
+      concat(lit("1"), col("s_suppkey").cast(StringType))
         .as("zip code tabulation area"),
       when(col("s_acctbal") < 0, lit("-666666666"))
         .otherwise(col("s_acctbal").cast(StringType)).as("B19013_001E"),

@@ -67,6 +67,25 @@ class GeoSpec extends SparkSpecBase {
     assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("WKT parser handles scientific notation and negative exponents") {
+    val wkt = "POINT (1e2 -2.5E-3)"
+    val g = Geo.parseWkt(wkt)
+    assert(g.contains(Geo.GPoint(100.0, -0.0025)))
+    // re-emission uses plain formatting
+    assert(g.map(Geo.toWkt).contains("POINT (100 -0.0025)"))
+  }
+
+  test("whitespace-tolerant parsing, canonical re-emission") {
+    val sloppy = "MULTIPOLYGON ( ( (0 0 ,1 0, 1 1 , 0 0) ) )"
+    assert(Geo.parseWkt(sloppy).map(Geo.toWkt)
+      .contains("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"))
+  }
+
+  test("trailing garbage after a valid geometry is rejected") {
+    assert(Geo.parseWkt("POINT (1 2) EXTRA").isEmpty)
+    assert(Geo.parseWkt("POLYGON ((0 0, 1 0, 1 1, 0 0)))").isEmpty)
+  }
+
   test("fmt: integral coordinates print without decimal point (oracle contract)") {
     assert(Geo.fmt(7.0) == "7")
     assert(Geo.fmt(-73.95) == "-73.95")

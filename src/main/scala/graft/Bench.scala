@@ -27,7 +27,7 @@ object Bench {
     */
   def materialize(df: DataFrame): Long = {
     val h = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
-    val r = h.agg(expr("bit_xor(__h)")).head
+    val r = h.agg(expr("bit_xor(__h)")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

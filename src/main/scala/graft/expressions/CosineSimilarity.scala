@@ -123,8 +123,7 @@ object CosineSimilarity {
   val identifier: FunctionIdentifier = FunctionIdentifier("fast_cosine")
 
   val info: ExpressionInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getCanonicalName, null, "fast_cosine",
-    "_FUNC_(a, b) - cosine similarity of two float vectors (codegen)", "")
+    classOf[CosineSimilarity].getCanonicalName, null, "fast_cosine")
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "fast_cosine takes exactly 2 arguments")

@@ -8,9 +8,22 @@ package graft.sources.connectors
   */
 final case class HttpResponse(
     status: Int,
-    body: String,
+    bytes: Array[Byte],
     headers: Map[String, String] = Map.empty) {
+  /** Text view of the payload; JSON/CSV consumers decode on demand.
+    * Binary payloads (ZIP archives, parquet) must use [[bytes]] — a
+    * String round-trip replaces invalid UTF-8 sequences and corrupts
+    * them (the reference streams raw bytes: url_fetcher.py wb mode).
+    */
+  def body: String = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   def isSuccess: Boolean = status >= 200 && status < 300
+}
+
+object HttpResponse {
+  def apply(status: Int, body: String): HttpResponse =
+    HttpResponse(status, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def apply(status: Int, body: String, headers: Map[String, String]): HttpResponse =
+    HttpResponse(status, body.getBytes(java.nio.charset.StandardCharsets.UTF_8), headers)
 }
 
 trait HttpClient {

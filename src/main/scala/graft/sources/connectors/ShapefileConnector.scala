@@ -17,14 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - resolve the named .shp, with a glob fallback to any .shp when
   *     the expected name is missing (fetcher:76-83).
   *
-  * The binary .shp/.dbf DECODE step is the documented stub: the
-  * reference delegates it to geopandas/GDAL, which this zero-egress
-  * container doesn't ship, and re-implementing ESRI shapefile binary
-  * parsing is out of engine scope (SURVEY §7.4: "offline we read the
-  * pre-converted fixture instead"). [[readConverted]] is that seam —
-  * it reads the (attrs…, geometry WKT) table a one-time conversion
-  * produces, after which everything downstream (zctas chain, geo
-  * codecs, queries) is real and tested.
+  * The binary .shp/.dbf DECODE step — delegated by the reference to
+  * geopandas/GDAL (fetcher:86-88) — is native here: [[read]] parses
+  * the public ESRI format via [[ShapefileReader]] into the same
+  * (attrs…, geometry WKT) frame, so the whole chain runs end-to-end
+  * from raw zip bytes. [[readConverted]] remains for tables already
+  * materialized as parquet.
   */
 final class ShapefileConnector(client: HttpClient, cacheDir: String) {
 
@@ -74,9 +72,24 @@ final class ShapefileConnector(client: HttpClient, cacheDir: String) {
         s"no .shp under $extractedDir"))
   }
 
-  /** The decode seam: read the pre-converted (attrs…, geometry WKT)
-    * table for a shapefile. Conversion happens once, out-of-band
-    * (reference: geopandas.read_file; offline: the driver fixture).
+  /** Decode the .shp (+ sibling .dbf) natively → (attrs…, geometry WKT)
+    * DataFrame (reference: geopandas.read_file, fetcher:86-88).
+    */
+  def read(spark: SparkSession, shpPath: Path): DataFrame =
+    ShapefileReader.read(spark, shpPath)
+
+  /** Full raw-bytes pipeline: download zip → extract → resolve .shp →
+    * binary decode (fetcher:30-89 end-to-end).
+    */
+  def fetch(spark: SparkSession, zipUrl: String, expectedShpName: String,
+            filename: Option[String] = None, force: Boolean = false): DataFrame = {
+    val zip = download(zipUrl, filename, force)
+    val dir = extract(zip)
+    read(spark, resolveShp(dir, expectedShpName))
+  }
+
+  /** Read a shapefile table already materialized as parquet
+    * (attrs…, geometry WKT) by an earlier conversion.
     */
   def readConverted(spark: SparkSession, convertedPath: String): DataFrame =
     spark.read.parquet(convertedPath)

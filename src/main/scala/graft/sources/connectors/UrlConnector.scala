@@ -1,6 +1,5 @@
 package graft.sources.connectors
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,7 +27,7 @@ final class UrlConnector(client: HttpClient, cacheDir: String) {
       try {
         val resp = client.get(url)
         require(resp.isSuccess, s"download failed: HTTP ${resp.status}")
-        Files.write(target, resp.body.getBytes(StandardCharsets.UTF_8))
+        Files.write(target, resp.bytes) // raw bytes: ZIPs et al. must not round-trip through String
       } catch {
         case e: Throwable =>
           Files.deleteIfExists(target) // no partial files (fetcher:52-55)

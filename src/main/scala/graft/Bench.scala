@@ -75,8 +75,14 @@ object Bench {
       }
     }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"sf":"$sfDir"}"""
+    println(line)
+    // stdout can get clipped by log interleaving (BENCH_r02 lost its
+    // tail); the file is the durable artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -24,8 +24,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object CollapseIdempotentUdfs extends Rule[LogicalPlan] {
 
-  /** Engine UDFs proven idempotent (specs referenced above). */
-  private val idempotent = Set("promoteToMultiPolygon", "normalizeWkt")
+  /** Engine UDFs proven idempotent (specs referenced above), listed
+    * under BOTH surfaces' names: the DataFrame-side withName and the
+    * SQL registration alias (GraftFunctions.registerAll) — a UDF only
+    * collapses under the name it was invoked with.
+    */
+  private val idempotent = Set("promoteToMultiPolygon", "st_multi")
 
   private def nameOf(u: ScalaUDF): Option[String] = u.udfName
 

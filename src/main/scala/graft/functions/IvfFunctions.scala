@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
@@ -21,8 +22,14 @@ import org.apache.spark.sql.functions._
   * Scale shape: the index is (vector, int) — at 100 TB the lists can
   * be bucketed/partitioned by `cid` so probes touch only matching
   * partitions (partition pruning); candidate volume is
-  * |corpus| × nProbe / k on balanced lists. Training cost is the usual
-  * k-means sample pass; centroids (k × dim doubles) ride in closures.
+  * |corpus| × nProbe / k on balanced lists. The centroid table ships
+  * as a TorrentBroadcast (once per executor, not once per task
+  * closure), so the index stays honest at large k — k=65k × 64 dims is
+  * ~33 MB, fine broadcast, fatal closure. Assignment stays a per-row
+  * UDF over the broadcast rather than a join against a centroid table:
+  * a broadcast-join argmin would materialize k candidate rows per
+  * vector before aggregating them away — a k× row blowup the UDF's
+  * internal argmin never pays.
   */
 object IvfFunctions {
 
@@ -46,9 +53,15 @@ object IvfFunctions {
     s
   }
 
+  /** Ship the centroid table to executors once (TorrentBroadcast). */
+  def broadcastCentroids(emb: DataFrame,
+                         centroids: Array[Array[Double]]): Broadcast[Array[Array[Double]]] =
+    emb.sparkSession.sparkContext.broadcast(centroids)
+
   /** Nearest-centroid (inverted list) id. */
-  def assignUdf(centroids: Array[Array[Double]]): UserDefinedFunction =
+  def assignUdf(bc: Broadcast[Array[Array[Double]]]): UserDefinedFunction =
     udf { v: Seq[Float] =>
+      val centroids = bc.value
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -61,8 +74,9 @@ object IvfFunctions {
     }
 
   /** The `nProbe` nearest centroid ids for a query vector. */
-  def probeUdf(centroids: Array[Array[Double]], nProbe: Int): UserDefinedFunction =
+  def probeUdf(bc: Broadcast[Array[Array[Double]]], nProbe: Int): UserDefinedFunction =
     udf { v: Seq[Float] =>
+      val centroids = bc.value
       centroids.indices
         .map(c => (l2sq(v, centroids(c)), c))
         .sorted.take(nProbe).map(_._2)
@@ -75,7 +89,7 @@ object IvfFunctions {
               topK: Int, seed: Long = 42): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val centroids = trainCentroids(emb, "embedding", k, seed)
+    val centroids = broadcastCentroids(emb, trainCentroids(emb, "embedding", k, seed))
     val lists = emb.withColumn("cid", assignUdf(centroids)(col("embedding")))
     val probed = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -223,6 +223,34 @@ object Geo {
       EnvelopeBox(a, b, c, d)
     }.orNull
   }.withName("envelopeOf")
+
+  /** Every coordinate inside the geographic (lon/lat degree) domain? */
+  def isGeographic(g: Geom): Boolean = {
+    val (minx, miny, maxx, maxy) = envelope(g)
+    minx >= -180 && maxx <= 180 && miny >= -90 && maxy <= 90
+  }
+
+  /** `to_crs("EPSG:4326")` parity guard (zctas transformer.py:39-40).
+    * TIGER input is NAD83 *geographic* lat/lon — identical to EPSG:4326
+    * at NYC precision — so reprojection is a validating identity. But a
+    * PROJECTED input (e.g. EPSG:2263 state-plane feet, coordinates in
+    * the 10^5–10^6 range) must fail loudly rather than flow through as
+    * silently wrong "degrees": this engine carries no CRS math, so it
+    * refuses what it cannot convert. NULL/unparseable pass through for
+    * downstream null handling.
+    */
+  val requireGeographicCrs: UserDefinedFunction = udf { s: String =>
+    parseWkt(s) match {
+      case Some(g) if !isGeographic(g) =>
+        val (minx, miny, maxx, maxy) = envelope(g)
+        throw new IllegalArgumentException(
+          s"geometry coordinates [$minx,$miny,$maxx,$maxy] fall outside the " +
+            "geographic lon/lat domain [-180,180]x[-90,90] — input looks like a " +
+            "projected CRS (e.g. EPSG:2263 state-plane); reproject to EPSG:4326 " +
+            "before ingestion, this engine carries no CRS transform")
+      case _ => s
+    }
+  }.withName("requireGeographicCrs")
 }
 
 /** Envelope result shape (named case class so the UDF's struct columns

@@ -96,18 +96,15 @@ object SimilarityQ {
   }
 
   /** Embedding-cosine near-dup pairs over a deterministic sample of
-    * left anchors (every 20th vector).
-    *
-    * Scale path: LSH band keys generate candidate pairs via a plain
-    * equi-join (keys only — embeddings are re-joined once for the exact
-    * rerank), replacing the earlier broadcast nested-loop all-pairs scan
-    * that was O(N²) at 100 TB. Approximate-by-construction: a true pair
-    * colliding in no band is missed; EmbeddingNearDupSpec measures
-    * recall against the exact all-pairs form on planted near-dups. The
-    * oracle below stays the *exact* all-pairs semantics — at the tested
-    * SFs the testdata's max pairwise cosine (≈0.48) is below the 0.55
-    * threshold, so exact and LSH results coincide (both empty) and the
-    * gate checks the plumbing end-to-end.
+    * left anchors (every 20th vector) — the ORACLE-GATED form runs the
+    * exact sampled all-pairs semantics the SQL expresses, with a 0.40
+    * threshold chosen so the gate is NON-vacuous on the testdata (3/2/50
+    * matching pairs at sf0.001/0.01/0.1; max pairwise cosine ≈0.48).
+    * Running the approximate LSH path against an exact oracle would
+    * only pass while both sides are empty — recall loss would read as
+    * an oracle mismatch, so the production LSH path is the separate
+    * rows-only [[qEmbeddingNearDupLsh]], recall-graded by
+    * EmbeddingNearDupSpec on planted near-dups.
     */
   val qEmbeddingNearDup: Q = Q.sql(
     "q_embedding_neardup",
@@ -115,8 +112,19 @@ object SimilarityQ {
        |  ${oracleCosine("a.embedding", "b.embedding")} AS cos_sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE a.vec_id % 20 = 0
-       |  AND ${oracleCosine("a.embedding", "b.embedding")} >= 0.55
+       |  AND ${oracleCosine("a.embedding", "b.embedding")} >= 0.40
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
+    embeddingNearDupExact(Tables.embeddings(s, d), 0.40)
+  }
+
+  /** Production near-dup path: LSH band keys generate candidate pairs
+    * via a plain equi-join (keys only — embeddings re-joined once for
+    * the exact rerank); at 100 TB the bucketed join replaces the
+    * all-pairs scan. Approximate-by-construction (a true pair colliding
+    * in no band is missed) → rows-only gate + EmbeddingNearDupSpec
+    * planted-pair recall.
+    */
+  val qEmbeddingNearDupLsh: Q = Q.rowsOnly("q_embedding_neardup_lsh") { (s, d) =>
     embeddingNearDupLsh(Tables.embeddings(s, d), 0.55)
   }
 
@@ -173,5 +181,6 @@ object SimilarityQ {
       k = 16, nProbe = 6, topK = topK)
   }
 
-  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup)
+  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
+    qEmbeddingNearDupLsh)
 }

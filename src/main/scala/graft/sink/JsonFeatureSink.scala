@@ -29,13 +29,17 @@ object JsonFeatureSink {
   /** Feature JSON column: raw GeoJSON geometry string spliced verbatim
     * (it is already JSON — to_json would double-encode it), properties
     * serialized from the given struct fields in declared order.
+    * NULL-valued properties are emitted explicitly (`"key":null`) to
+    * match the reference's json_build_object shape — Spark's default
+    * ignoreNullFields=true would silently drop the key and change the
+    * JSON schema consumers see.
     */
   def featureJson(geometryGeoJson: Column, properties: Column*): Column =
     concat(
       lit("""{"type":"Feature","geometry":"""),
       coalesce(geometryGeoJson, lit("null")),
       lit(""","properties":"""),
-      to_json(struct(properties: _*)),
+      to_json(struct(properties: _*), Map("ignoreNullFields" -> "false")),
       lit("}"))
 
   /** Aggregate per-feature JSON into a single FeatureCollection string.

@@ -173,30 +173,35 @@ object Ops {
     * Right timestamps must be unique per key (pre-dedup with W1 if
     * not); ties between a left and right row at the SAME timestamp
     * match (≤, the standard as-of convention).
+    *
+    * The whole right payload travels as ONE struct carried by a single
+    * `last(ignoreNulls)`: carrying columns independently would let a
+    * NULL in one payload column backfill from an OLDER right row,
+    * stitching the output together from different right rows.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                payload: Seq[String]): DataFrame = {
-    // left rows carry null payload slots; right rows carry only
-    // (key, ts, payload) — unionByName backfills the rest with nulls
-    val lTagged = payload.foldLeft(
-      left.withColumn("__ts", col(leftTs))
-        .withColumn("__side", lit(1))) { (df, p) => // left AFTER right at equal ts → ≤ matches
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType))
-    }
     val rTagged = right
-      .select((key +: rightTs +: payload).distinct.map(col).toIndexedSeq: _*)
-      .withColumn("__ts", col(rightTs))
+      .select(col(key), col(rightTs).as("__ts"),
+        struct(payload.map(col).toIndexedSeq: _*).as("__payload"))
       .withColumn("__side", lit(0))
-      .drop(rightTs)
+    val payloadType = rTagged.schema("__payload").dataType
+    // left AFTER right at equal ts in the window order → ≤ matches
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(p, col("__payload").getField(p))
     }
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    unpacked.filter(col("__side") === 1).drop("__ts", "__side", "__payload")
   }
 
   /** Binned range join: match left rows to right intervals

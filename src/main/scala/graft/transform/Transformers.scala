@@ -79,15 +79,18 @@ object Transformers {
   }
 
   /** census_zctas_2020 (transformer.py:28-50): NYC-ZIP membership
-    * filter → rename → column select → Polygon→MultiPolygon promotion
-    * (input geometry already WKT from the shapefile source, §7.4) →
-    * metadata.
+    * filter → rename → column select → CRS guard (the reference's
+    * to_crs("EPSG:4326"), transformer.py:39-40 — validating identity
+    * for geographic input, loud failure for projected coordinates) →
+    * Polygon→MultiPolygon promotion (input geometry already WKT from
+    * the shapefile source, §7.4) → metadata.
     */
   def censusZctas2020(nycZips: Seq[String])(raw: DataFrame): DataFrame =
     raw
       .filter(col("ZCTA5CE20").isin(nycZips: _*))
       .transform(Ops.renameAll(Map("ZCTA5CE20" -> "zip_code")))
       .select(col("zip_code"), col("geometry"))
+      .withColumn("geometry", Geo.requireGeographicCrs(col("geometry")))
       .withColumn("geometry", Geo.promoteToMultiPolygon(col("geometry")))
       .transform(Ops.withIngestionMetadata(Registry.censusZctas2020.datasetId))
 

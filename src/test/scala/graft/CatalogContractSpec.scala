@@ -15,6 +15,7 @@ class CatalogContractSpec extends AnyFunSuite {
   private val rowsOnlySpecs: Map[String, String] = Map(
     "q_ann_lsh" -> "graft.AnnRecallSpec",
     "q_ann_ivf" -> "graft.IvfAnnSpec",
+    "q_embedding_neardup_lsh" -> "graft.EmbeddingNearDupSpec",
     "q_doc_minhash_lsh" -> "graft.MinhashRecallSpec",
     "q_doc_simhash" -> "graft.SimhashSpec",
     "q_doc_langid" -> "graft.LangIdSpec",

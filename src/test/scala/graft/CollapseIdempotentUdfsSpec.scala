@@ -36,6 +36,15 @@ class CollapseIdempotentUdfsSpec extends SparkSpecBase {
       .findAllIn(single.queryExecution.optimizedPlan.toString).size == 1)
   }
 
+  test("the SQL surface name (st_multi) collapses identically") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    polys.createOrReplaceTempView("collapse_polys")
+    val df = spark.sql("SELECT st_multi(st_multi(wkt)) AS g FROM collapse_polys")
+    val calls = "st_multi".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(calls == 1,
+      s"SQL-registered alias must collapse like the DataFrame name, got $calls")
+  }
+
   test("non-idempotent UDFs are left alone") {
     // stAsGeoJson(stAsGeoJson(x)) is NOT idempotent (the outer parse of
     // a JSON string as WKT fails -> null); the rule must not touch it

@@ -91,4 +91,23 @@ class GeoSpec extends SparkSpecBase {
     assert(Geo.fmt(-73.95) == "-73.95")
     assert(Geo.fmt(0.0) == "0")
   }
+
+  test("CRS guard: geographic input passes through; NULL/garbage untouched") {
+    val df = Seq(nycMultiPolygonWkt, null, "GARBAGE").toDF("g")
+      .select(Geo.requireGeographicCrs(col("g")).as("g"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some(nycMultiPolygonWkt), None, Some("GARBAGE")))
+  }
+
+  test("CRS guard: projected coordinates (EPSG:2263-range feet) fail loudly") {
+    // NYC City Hall in state-plane feet — valid geometry, wrong CRS
+    val projected = "POLYGON ((981000 199000, 982000 199000, 982000 200000, 981000 199000))"
+    val e = intercept[Exception] {
+      Seq(projected).toDF("g")
+        .select(Geo.requireGeographicCrs(col("g")).as("g")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("projected CRS"), s"unexpected failure: $msgs")
+  }
 }

@@ -35,9 +35,10 @@ class IvfAnnSpec extends SparkSpecBase {
 
   test("every vector lands in exactly one inverted list; probes are distinct and bounded") {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16)
-    assert(centroids.length == 16)
-    assert(centroids.forall(_.length == 64))
+    val centroids = IvfFunctions.broadcastCentroids(emb,
+      IvfFunctions.trainCentroids(emb, "embedding", k = 16))
+    assert(centroids.value.length == 16)
+    assert(centroids.value.forall(_.length == 64))
     val assigned = emb.withColumn("cid",
       IvfFunctions.assignUdf(centroids)(col("embedding")))
     assert(assigned.count() == emb.count())
@@ -53,11 +54,32 @@ class IvfAnnSpec extends SparkSpecBase {
 
   test("probed list always contains the vector's own assignment (nearest centroid first)") {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16)
+    val centroids = IvfFunctions.broadcastCentroids(emb,
+      IvfFunctions.trainCentroids(emb, "embedding", k = 16))
     val df = emb.select(
       IvfFunctions.assignUdf(centroids)(col("embedding")).as("cid"),
       IvfFunctions.probeUdf(centroids, 4)(col("embedding")).as("probes"))
     val rows = df.collect()
     rows.foreach(r => assert(r.getSeq[Int](1).head == r.getInt(0)))
+  }
+
+  test("the index path stays honest at large k: k=256 via the centroid broadcast") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // k > corpus/2 forces many singleton/empty lists — the path must
+    // still answer with full top-k via multi-probe
+    val out = IvfFunctions.annTopK(
+      emb, emb.filter(col("vec_id") < 3), k = 256, nProbe = 96, topK = 5)
+    val rows = out.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // exact top-1 must be found with this probe width on the 500-vector fixture
+    val exact = neighborSets(
+      SparkEntry.queries("q_ann_bruteforce")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect())
+    val got = neighborSets(out.select("query_id", "neighbor_id").collect())
+    val recalls = got.map { case (q, n) =>
+      exact(q).intersect(n).size.toDouble / n.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"k=256 recall collapsed: $recalls")
   }
 }

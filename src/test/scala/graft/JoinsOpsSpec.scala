@@ -33,6 +33,18 @@ class JoinsOpsSpec extends SparkSpecBase {
     assert(r.getAs[String]("v") == "b" && r.getAs[Double]("w") == 60.0)
   }
 
+  test("asOfJoin: a NULL payload slot stays NULL — never backfilled from an older right row") {
+    val left = Seq((1L, 7L, 20L)).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (7L, 5L, Option("a"), Option(50.0)),
+      (7L, 10L, Option("b"), Option.empty[Double])) // matching row has w = NULL
+      .toDF("k", "rts", "v", "w")
+    val r = Ops.asOfJoin(left, right, "k", "ts", "rts", Seq("v", "w")).head
+    assert(r.getAs[String]("v") == "b")
+    assert(r.isNullAt(r.fieldIndex("w")),
+      "w must be NULL from the as-of row, not 50.0 from the older one")
+  }
+
   test("rangeJoinBinned: inclusive bounds, multi-bin intervals, overlap multi-match") {
     val points = Seq((1L, 10.0), (2L, 25.0), (3L, 39.99), (4L, 40.0), (5L, 200.0))
       .toDF("id", "x")

@@ -55,6 +55,15 @@ class JsonFeatureSinkSpec extends SparkSpecBase {
     assert(back.selectExpr("features[0].type").head.getString(0) == "Feature")
   }
 
+  test("featureJson emits NULL properties explicitly (json_build_object parity)") {
+    val f = Seq(("NTA1", Option.empty[Double])).toDF("zone", "supply_gap_lbs")
+      .select(JsonFeatureSink.featureJson(lit(null).cast("string"),
+        col("zone"), col("supply_gap_lbs")).as("feature"))
+      .head.getString(0)
+    assert(f.contains(""""supply_gap_lbs":null"""),
+      s"NULL property key must not be dropped: $f")
+  }
+
   test("writeFeatureLines is the distributed path and reads back losslessly") {
     val dir = tmpDir("lines")
     JsonFeatureSink.writeFeatureLines(features, dir)
@@ -63,6 +72,22 @@ class JsonFeatureSinkSpec extends SparkSpecBase {
     assert(back.select("properties.zone_name").distinct().count() == 197)
     // geometry came through as a real nested object, not a string
     assert(back.select("geometry.type").distinct().head.getString(0) == "MultiPolygon")
+  }
+
+  test("writeFeatureLines stays distributed at 100k features — no driver collect, no 1-file coalesce") {
+    val big = spark.range(100000).toDF("zone_key")
+      .repartition(8)
+      .select(JsonFeatureSink.featureJson(
+        format_string("""{"type":"Point","coordinates":[%d,0]}""", col("zone_key")),
+        col("zone_key")).as("feature"))
+    val dir = tmpDir("lines100k")
+    JsonFeatureSink.writeFeatureLines(big, dir)
+    val parts = Files.list(Paths.get(dir)).iterator()
+    val partFiles = Iterator.continually(parts).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString)
+      .count(n => n.startsWith("part-")) // not the .part-*.crc checksums
+    assert(partFiles == 8, s"expected one output file per partition, got $partFiles")
+    assert(spark.read.json(dir).count() == 100000)
   }
 
   test("empty input yields an empty FeatureCollection (routes.py:95-97 fallback)") {

@@ -33,11 +33,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated subset for focused investigation runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val spark = Sessions.local()
     // warm-up: JVM + parquet footer reads out of the timed path
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => materialize(fn(spark, sfDir)))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def timeOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =

@@ -1,0 +1,204 @@
+package graft.queries
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Training-data pipeline operators beyond pairwise dedup: duplicate
+  * CLUSTERING (pairs → groups), token-budget shard packing, stratified
+  * sampling, and unicode normalization — the operations that turn a
+  * cleaned corpus into training shards at 100 TB.
+  */
+object PipelineQ {
+
+  // -------------------------------------------------------------------
+  // Duplicate clustering (connected components over near-dup pairs)
+  // -------------------------------------------------------------------
+
+  /** Connected components by iterative min-label propagation:
+    * label(v) ← min(label(v), min over neighbors' labels) until
+    * fixpoint. Each iteration is ONE keys-only shuffle (edge⋈label +
+    * groupBy min); iterations = graph diameter, and near-dup graphs
+    * are dense clique-ish clusters with tiny diameters (2–3). The
+    * driver sees only the convergence counter; labels are
+    * localCheckpoint-ed so plan depth stays O(1) per iteration. For
+    * adversarial long-chain graphs the same loop accepts the
+    * large-star/small-star rewrite (Kiveris et al., "Connected
+    * Components in MapReduce"), which bounds iterations at O(log n).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // undirected: propagate both ways
+    val bidir = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .cache()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = bidir.join(labels, bidir("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") < col("comp")).count()
+      labels = updated.select(col("id"), col("next").as("comp"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters over the exact jaccard pairs: every document in
+    * at least one ≥0.5-jaccard pair, labeled with the min doc_id of its
+    * connected component plus the component size. The DuckDB oracle
+    * computes the same fixpoint with a recursive CTE (min reachable id).
+    */
+  val qDupClusters: Q = Q.sql(
+    "q_doc_dup_clusters",
+    s"""${TextQ.jaccardPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT c.doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) s
+       |  ON c.cluster_id = s.cluster_id
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val pairs = TextQ.ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Token-budget shard packing
+  // -------------------------------------------------------------------
+
+  val shardTokenBudget = 1000L
+  private val packBucketSize = 100L
+
+  /** Pack documents (in doc_id order) into training shards of
+    * ~`shardTokenBudget` whitespace tokens: shard_id =
+    * floor(exclusive-prefix-sum(n_tokens) / budget).
+    *
+    * Scale shape: a GLOBAL running sum is a single-task window, so the
+    * prefix sum is two-phase — per-bucket (doc_id div bucketSize)
+    * partial sums, a driver-side prefix over the tiny bucket-sum table
+    * (10^10 docs / 10^6-row buckets = 10^4 scalars), then a per-bucket
+    * window + broadcast offset join. Deterministic: buckets derive from
+    * doc_id, not partition layout.
+    */
+  val qShardPack: Q = Q.sql(
+    "q_doc_shard_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |    / $shardTokenBudget.0) AS BIGINT) AS shard_id
+       |FROM t
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket"))
+    val bucketSums = toks.groupBy("__bucket")
+      .agg(sum("n_tokens").as("bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bucketSums.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, bs)) => (b, acc + bs)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val w = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsetDf, "__bucket")
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+          / lit(shardTokenBudget.toDouble)).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Stratified sampling
+  // -------------------------------------------------------------------
+
+  /** Per-language keep-thresholds over the md5(doc_id) hash space:
+    * a row survives iff its first 8 md5 hex chars sort below the
+    * language's threshold — 50% of English, 20% of everything else.
+    * Deterministic (same rows in any engine, any partitioning, any
+    * run), per-row, shuffle-free: the sampling design that lets a
+    * 100 TB corpus downsample in the scan itself. Hex-string
+    * comparison is engine-portable; 0x80000000/0x33333333 ≈ the target
+    * fractions of the 32-bit space.
+    */
+  private val langThreshold: Map[String, String] =
+    Map("en" -> "80000000").withDefaultValue("33333333")
+
+  val qStratifiedSample: Q = Q.sql(
+    "q_doc_stratified_sample",
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val h = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8)
+    Tables.documents(s, d)
+      .filter(h < when(col("lang") === "en", lit(langThreshold("en")))
+        .otherwise(lit(langThreshold("other"))))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Unicode normalization
+  // -------------------------------------------------------------------
+
+  /** NFC-normalize (composed form), strip control characters, collapse
+    * whitespace runs, trim — the canonical text-cleanup pass before
+    * hashing/dedup (differently-encoded equal strings must hash equal).
+    * Per-row scalar, embarrassingly parallel. Oracle: DuckDB
+    * nfc_normalize + the same regex pipeline.
+    */
+  val nfcNormalize = udf { s: String =>
+    if (s == null) null
+    else Normalizer.normalize(s, Normalizer.Form.NFC)
+  }.withName("nfcNormalize")
+
+  val qNormalize: Q = Q.sql(
+    "q_doc_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', '', 'g'),
+      |    '\s+', ' ', 'g')) AS norm_text
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+          "\\s+", " ")).as("norm_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize)
+}

@@ -88,12 +88,11 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs, candidates from shared
-    * shingles (with DF cap), verified exactly. Fully SQL-expressible →
-    * strong oracle for the whole near-dup family.
+  /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
+    * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
+    * Emits pairs(doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
     */
-  val qNgramJaccard: Q = Q.sql(
-    "q_doc_ngram_jaccard",
+  val jaccardPairsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
@@ -107,18 +106,24 @@ object TextQ {
        |rare AS (
        |  SELECT shingle FROM sh GROUP BY shingle
        |  HAVING COUNT(*) <= $maxShingleDf),
-       |pairs AS (
+       |prepairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  JOIN rare r ON a.shingle = r.shingle
-       |  GROUP BY a.doc_id, b.doc_id)
-       |SELECT p.doc_a, p.doc_b,
-       |  CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
-       |FROM pairs p
-       |JOIN sizes sa ON p.doc_a = sa.doc_id
-       |JOIN sizes sb ON p.doc_b = sb.doc_id
-       |WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
-       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
+       |  FROM prepairs p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id
+       |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5)""".stripMargin
+
+  /** Spark side of [[jaccardPairsSql]]: exact n-gram Jaccard near-dup
+    * pairs (doc_a, doc_b, jaccard ≥ 0.5), candidates from shared
+    * DF-capped shingles. Unordered — callers add their own ORDER BY.
+    */
+  def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     // cached: feeds sizes, the DF filter, and both sides of the pair
     // join — without it the tokenize+explode+distinct runs three times
     // (at 100 TB you would persist or checkpoint this table the same way)
@@ -144,7 +149,18 @@ object TextQ {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, candidates from shared
+    * shingles (with DF cap), verified exactly. Fully SQL-expressible →
+    * strong oracle for the whole near-dup family.
+    */
+  val qNgramJaccard: Q = Q.sql(
+    "q_doc_ngram_jaccard",
+    s"""$jaccardPairsSql
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    ngramJaccardPairs(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** MinHash + LSH near-dup: per-row signatures → band buckets →

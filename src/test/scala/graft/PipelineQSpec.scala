@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQ
+
+/** Hand-pinned semantics for the training-pipeline operators: duplicate
+  * clustering (connected components), token-budget shard packing,
+  * deterministic stratified sampling, unicode normalization. The oracle
+  * queries grade them on the real corpus; these pin the boundary rules
+  * on constructed inputs.
+  */
+class PipelineQSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents: two components + a chain resolve to min labels") {
+    // component A: clique-ish {1,2,3}; component B: chain 10-11-12-13
+    val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L), (12L, 11L), (13L, 12L))
+      .toDF("doc_a", "doc_b")
+    val comp = PipelineQ.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("connectedComponents: a long chain still converges (diameter iterations)") {
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val comp = PipelineQ.connectedComponents(edges).collect()
+    assert(comp.length == n + 1)
+    assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("q_doc_dup_clusters labels every paired doc with component min + size") {
+    val out = SparkEntry.queries("q_doc_dup_clusters")(spark, sfDir).collect()
+    assert(out.nonEmpty, "expected near-dup clusters in the fixture corpus")
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid, "cluster id must be the min member")
+      assert(rows.forall(_.getLong(2) == rows.length), "cluster_size must match")
+      assert(rows.length >= 2, "singletons must not appear")
+    }
+  }
+
+  test("shard packing: docs fill a shard until the budget, oversized docs get their own") {
+    val out = SparkEntry.queries("q_doc_shard_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exclusive-prefix-sum invariant, recomputed sequentially
+    var cum = 0L
+    out.sortBy(_._1).foreach { case (id, n, shard) =>
+      assert(shard == cum / PipelineQ.shardTokenBudget,
+        s"doc $id: shard $shard != floor($cum/${PipelineQ.shardTokenBudget})")
+      cum += n
+    }
+    // shards are contiguous in doc_id order and start at 0
+    val shardIds = out.sortBy(_._1).map(_._3)
+    assert(shardIds.head == 0L)
+    assert(shardIds.sliding(2).forall(w => w.length < 2 || w(1) == w(0) || w(1) == w(0) + 1))
+  }
+
+  test("stratified sample is deterministic and near the target per-language rates") {
+    val q = SparkEntry.queries("q_doc_stratified_sample")
+    val once = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val again = q(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(once == again, "hash-based sampling must be run-stable")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = q(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept("en").toDouble / docs("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate far from 0.5")
+    docs.keys.filter(_ != "en").foreach { l =>
+      val r = kept.getOrElse(l, 0L).toDouble / docs(l)
+      assert(r < 0.45, s"$l rate $r far above 0.2")
+    }
+  }
+
+  test("nfcNormalize: decomposed accents compose; controls strip; whitespace collapses") {
+    val decomposed = "cafe\u0301  \t down\u0007 town\n" // e + combining acute, BEL control
+    val out = Seq((1L, decomposed)).toDF("doc_id", "text")
+      .select(trim(regexp_replace(
+        regexp_replace(PipelineQ.nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+        "\\s+", " ")).as("norm_text"))
+      .head().getString(0)
+    assert(out == "caf\u00e9 down town") // composed e-acute, controls gone, single spaces, trimmed
+  }
+
+  test("equal-after-normalization strings hash equal (the dedup motivation)") {
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed)
+    val hashes = Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")
+      .select(md5(PipelineQ.nfcNormalize(col("text")).cast("binary")))
+      .collect().map(_.getString(0))
+    assert(hashes(0) == hashes(1))
+  }
+}

@@ -37,9 +37,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
     val spark = Sessions.local()
-    // warm-up: JVM + parquet footer reads out of the timed path
-    SparkEntry.queries.get("q1_pricing_summary")
+    // warm-up: JVM + parquet footer reads out of the timed path (best
+    // effort — subset runs may point at a dir without every table)
+    try SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => materialize(fn(spark, sfDir)))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

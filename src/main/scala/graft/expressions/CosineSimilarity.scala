@@ -145,6 +145,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
       CosineSimilarity.builder))
+    ext.injectFunction((LshBandKeys.identifier, LshBandKeys.info,
+      LshBandKeys.builder))
     ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
   }
 }

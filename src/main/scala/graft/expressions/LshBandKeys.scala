@@ -1,0 +1,146 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `lsh_band_keys(array<float>, bands, rows_per_band) -> array<int>` —
+  * native codegen form of the random-hyperplane band-key generator
+  * (graft.functions.VectorFunctions.lshBandKeys, Charikar 2002).
+  *
+  * The UDF form deserializes every embedding to a boxed Seq[Float]
+  * before computing bands×rowsPerBand (≤64) hyperplane projections of
+  * 64 dims each — ~4k multiply-adds per row paying an allocation and a
+  * box per element. This is THE per-row cost of every LSH candidate
+  * pass (ANN and embedding near-dup), and the ANN scale probe
+  * (BENCH_NOTES.md) showed it dominating corpus-side work. The native
+  * expression reads floats straight out of ArrayData inside the
+  * surrounding WholeStageCodegen stage: no boxing, no Seq, one int[]
+  * allocation per row for the result.
+  *
+  * Key contract (bit-identical to the UDF, pinned by
+  * LshBandKeysFastSpec): key(band) = (band << rowsPerBand) | sign bits
+  * of that band's seeded-Gaussian projections; same plane matrix
+  * (seed 7), same float→double widening, same ≥0 sign convention.
+  */
+case class LshBandKeys(vec: Expression, bands: Expression, rowsPerBand: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = bands
+  override def third: Expression = rowsPerBand
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (vecOk && second.dataType == IntegerType && third.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_keys expects (array<float>, int, int), got " +
+          s"(${vec.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = vec.nullable
+
+  override def prettyName: String = "lsh_band_keys"
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LshBandKeys =
+    copy(vec = newFirst, bands = newSecond, rowsPerBand = newThird)
+
+  override protected def nullSafeEval(v: Any, b: Any, r: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nBands = b.asInstanceOf[Int]
+    val rpb = r.asInstanceOf[Int]
+    val planes = LshBandKeys.planes
+    val n = math.min(arr.numElements(), LshBandKeys.embeddingDim)
+    val keys = new Array[Int](nBands)
+    var band = 0
+    while (band < nBands) {
+      var bits = 0
+      var rr = 0
+      while (rr < rpb) {
+        val plane = planes(band * rpb + rr)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += arr.getFloat(i) * plane(i); i += 1 }
+        if (s >= 0) bits |= (1 << rr)
+        rr += 1
+      }
+      keys(band) = (band << rpb) | bits
+      band += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", LshBandKeys.planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, b, r) => {
+      val n = ctx.freshName("n")
+      val keys = ctx.freshName("keys")
+      val band = ctx.freshName("band")
+      val bits = ctx.freshName("bits")
+      val rr = ctx.freshName("rr")
+      val plane = ctx.freshName("plane")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($v.numElements(), ${LshBandKeys.embeddingDim});
+         |final int[] $keys = new int[$b];
+         |for (int $band = 0; $band < $b; $band++) {
+         |  int $bits = 0;
+         |  for (int $rr = 0; $rr < $r; $rr++) {
+         |    final double[] $plane = $planesRef[$band * $r + $rr];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += ((double) $v.getFloat($i)) * $plane[$i];
+         |    }
+         |    if ($s >= 0) $bits |= (1 << $rr);
+         |  }
+         |  $keys[$band] = ($band << $r) | $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+}
+
+object LshBandKeys {
+
+  val embeddingDim = 64
+  val maxPlanes = 64
+
+  /** The shared seeded-Gaussian plane matrix — MUST stay identical to
+    * VectorFunctions.planes (seed 7) for key bit-identity.
+    */
+  private[graft] lazy val planes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(maxPlanes, embeddingDim)(rng.nextGaussian())
+  }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("lsh_band_keys")
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[LshBandKeys].getCanonicalName, null, "lsh_band_keys")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "lsh_band_keys takes exactly 3 arguments")
+    LshBandKeys(children.head, children(1), children(2))
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(identifier))
+      registry.registerFunction(identifier, info, builder)
+  }
+}

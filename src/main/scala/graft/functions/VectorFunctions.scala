@@ -89,4 +89,17 @@ object VectorFunctions {
       }
     }
   }
+
+  /** Codegen'd native band keys (graft.expressions.LshBandKeys) —
+    * bit-identical to [[lshBandKeys]] (same seed-7 planes, widening,
+    * sign convention; pinned by LshBandKeysFastSpec), no per-element
+    * boxing. The production candidate-generation path. Callers must
+    * ensure registration (LshBandKeys.ensureRegistered; Sessions
+    * sessions always have it).
+    */
+  def fastLshBandKeys(v: Column, bands: Int = lshBands,
+                      rowsPerBand: Int = lshRowsPerBand): Column = {
+    require(bands * rowsPerBand <= maxPlanes, s"need ${bands * rowsPerBand} planes > $maxPlanes")
+    call_function("lsh_band_keys", v, lit(bands), lit(rowsPerBand))
+  }
 }

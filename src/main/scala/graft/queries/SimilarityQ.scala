@@ -76,8 +76,9 @@ object SimilarityQ {
     */
   val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
     graft.expressions.CosineSimilarity.ensureRegistered(s)
+    graft.expressions.LshBandKeys.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
-      .withColumn("bk", explode(lshBandKeys()(col("embedding"))))
+      .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bk"))
@@ -133,10 +134,11 @@ object SimilarityQ {
     */
   def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
     graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    graft.expressions.LshBandKeys.ensureRegistered(emb.sparkSession)
     // near-dup banding: 8 bands × 8 planes — high-cosine pairs still
     // collide w.h.p. while random pairs land in 1-of-256 buckets/band
     val keyed = emb.select(col("vec_id"),
-      explode(lshBandKeys(bands = 8, rowsPerBand = 8)(col("embedding"))).as("bk"))
+      explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
     val anchors = keyed.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("bk"))
     val pairs = keyed.join(anchors, Seq("bk"))

@@ -106,4 +106,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),
       "shingle table should be cached or its exchange reused")
   }
+
+  test("stratified sampling filters in the scan stage — no shuffle before the cut") {
+    val p = plan("q_doc_stratified_sample")
+    // exactly one Exchange: the range partitioning for the final ORDER BY;
+    // the md5-threshold filter itself must run pre-shuffle so a 100 TB
+    // corpus downsamples before any data moves
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    val filterLine = p.linesIterator.find(_.contains("Filter")).getOrElse("")
+    assert(filterLine.contains("md5"), s"expected the md5 cut in a Filter: $p")
+  }
+
+  test("shard packing windows are bucket-partitioned — no single-task global window") {
+    val p = plan("q_doc_shard_pack")
+    assert(p.contains("Window"), p)
+    // a global running sum would plan Exchange SinglePartition; the
+    // two-phase prefix design must never do that
+    assert(!p.contains("SinglePartition"),
+      s"global window detected — the two-phase prefix sum regressed:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__bucket"),
+      s"window must partition by __bucket: $windowLine")
+  }
+
+  test("IVF probe join broadcasts the query side, never the corpus") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF candidate generation must stay an equi-join on list id")
+  }
 }

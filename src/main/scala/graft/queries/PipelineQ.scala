@@ -200,5 +200,122 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize)
+  // -------------------------------------------------------------------
+  // Repetition metrics (Gopher-style quality rules)
+  // -------------------------------------------------------------------
+
+  /** Per-document repetition signals from the public Gopher data-quality
+    * rules (Rae et al. 2021 §A1.1): duplicate-word fraction and the
+    * fraction of bigrams taken by the single most frequent bigram.
+    * Highly repetitive machine-generated text scores near 1. Per-doc
+    * aggregation of exploded bigrams — shuffle keys are (doc_id,
+    * bigram), uniform at corpus scale.
+    */
+  val qRepetition: Q = Q.sql(
+    "q_doc_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(tok) AS n_tokens, len(list_distinct(tok)) AS n_distinct, tok
+      |  FROM t WHERE len(tok) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS bigram
+      |  FROM base),
+      |top AS (
+      |  SELECT doc_id, MAX(c) AS top_c
+      |  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      |  1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_word_frac,
+      |  CAST(p.top_c AS DOUBLE) / CAST(b.n_tokens - 1 AS DOUBLE) AS top_bigram_frac
+      |FROM base b JOIN top p ON b.doc_id = p.doc_id
+      |ORDER BY b.doc_id ASC""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(col("doc_id"),
+        size(col("tok")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("tok"))).cast(LongType).as("n_distinct"),
+        col("tok"))
+    val top = base
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("tok"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("dup_word_frac"),
+        (col("top_c").cast(DoubleType) / (col("n_tokens") - 1).cast(DoubleType))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination
+  // -------------------------------------------------------------------
+
+  /** Decontamination: flag corpus documents sharing any 5-gram with the
+    * benchmark set (here the deterministic doc_id < 10 subset stands in
+    * for an eval benchmark). The benchmark n-gram table is tiny relative
+    * to any corpus, so the overlap test is a BROADCAST left-semi join —
+    * the corpus never shuffles (pinned in PlanAuditSpec). This is the
+    * standard eval-contamination sweep run before training.
+    */
+  val qContamination: Q = Q.sql(
+    "q_doc_contamination",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tok) - 3),
+      |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS g
+      |  FROM t WHERE len(tok) >= 5),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10)
+      |SELECT DISTINCT s.doc_id
+      |FROM sh s JOIN bench b ON s.g = b.g
+      |WHERE s.doc_id >= 10
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
+    val bench = sh.filter(col("doc_id") < 10).select("g").distinct()
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** Scrub emails and URLs to placeholder tokens — the minimal PII /
+    * boilerplate pass every public-web corpus runs. Patterns restricted
+    * to syntax RE2 (DuckDB) and java.util.regex execute identically.
+    * Per-row scalar, shuffle-free.
+    */
+  val qRedact: Q = Q.sql(
+    "q_doc_redact",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS red_text
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "https?://[^\\s]+", "<URL>"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>").as("red_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
+    qRepetition, qContamination, qRedact)
 }

@@ -129,6 +129,29 @@ class PlanAuditSpec extends SparkSpecBase {
       s"window must partition by __bucket: $windowLine")
   }
 
+  test("decontamination semi-join broadcasts the benchmark n-grams — corpus never shuffles") {
+    val p = plan("q_doc_contamination")
+    assert(p.toLowerCase.contains("leftsemi"), p.linesIterator.take(8).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark n-gram table must broadcast; a shuffled semi-join moves the whole corpus")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle detected in the contamination sweep:\n$p")
+  }
+
+  test("PII redaction is shuffle-free up to the output sort") {
+    val p = plan("q_doc_redact")
+    // per-row regexp_replace: the ONLY exchange allowed is the final
+    // ORDER BY's range partitioning (which the driver's determinism
+    // contract requires)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("repetition metrics aggregate partially before the (doc_id,bigram) shuffle") {
+    val p = plan("q_doc_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(10).mkString("\n"))
+  }
+
   test("IVF probe join broadcasts the query side, never the corpus") {
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))

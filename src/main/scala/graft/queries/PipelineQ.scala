@@ -316,6 +316,155 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  // -------------------------------------------------------------------
+  // Cluster representative selection (quality-aware dedup)
+  // -------------------------------------------------------------------
+
+  /** For each near-dup cluster, keep the BEST copy rather than an
+    * arbitrary one: representative = argmax(n_tokens), tie-broken by
+    * min doc_id. This is the retention policy step that follows
+    * clustering in a curation pipeline — dropping n-1 copies per
+    * cluster but keeping the longest (highest-information) variant.
+    * Scale shape: clusters from [[connectedComponents]] (keys-only
+    * iterations), then ONE window over cluster_id — cluster tables are
+    * tiny relative to the corpus (only docs in ≥1 near-dup pair).
+    */
+  val qClusterRep: Q = Q.sql(
+    "q_doc_cluster_rep",
+    s"""${TextQ.jaccardPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.cluster_id, c.doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_tokens DESC, doc_id ASC) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |  FROM scored)
+       |SELECT cluster_id, doc_id AS rep_doc_id, n_tokens AS rep_n_tokens,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+       |FROM ranked WHERE rnk = 1
+       |ORDER BY cluster_id ASC""".stripMargin) { (s, d) =>
+    val pairs = TextQ.ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val scored = comp.join(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      "doc_id")
+    val w = Window.partitionBy("cluster_id")
+    val ranked = scored
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("n_tokens").desc, col("doc_id").asc)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+    ranked.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_tokens").as("rep_n_tokens"),
+        col("cluster_size").cast(LongType).as("cluster_size"),
+        (col("cluster_size") - 1).cast(LongType).as("n_dropped"))
+      .orderBy(col("cluster_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Bloom-filter decontamination (the 100 TB shape)
+  // -------------------------------------------------------------------
+
+  /** Decontamination with a BLOOM pre-filter: at real scale the
+    * benchmark n-gram set is ~10^8 rows — broadcasting it as a hashed
+    * relation costs multiple GB per executor, while a 1%-FPP bloom
+    * filter of the same set is ~120 MB. So: build the bloom with a
+    * distributed `stat.bloomFilter` aggregation, broadcast it, drop
+    * ~99% of corpus n-grams in the SCAN stage, and run the exact
+    * broadcast semi-join only on the tiny survivor set (true hits +
+    * ~1% false positives) — the FPs are removed by the exact confirm,
+    * so the result is IDENTICAL to [[qContamination]] and shares its
+    * oracle semantics.
+    */
+  val qContaminationBloom: Q = Q.sql(
+    "q_doc_contamination_bloom",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tok) - 3),
+      |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS g
+      |  FROM t WHERE len(tok) >= 5),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10)
+      |SELECT DISTINCT s.doc_id
+      |FROM sh s JOIN bench b ON s.g = b.g
+      |WHERE s.doc_id >= 10
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
+    val bench = sh.filter(col("doc_id") < 10).select("g").distinct().cache()
+    val n = bench.count()
+    val bloom = bench.stat.bloomFilter("g", math.max(n, 1000L), 0.01)
+    val bBloom = s.sparkContext.broadcast(bloom)
+    val mightContain = udf { g: String => g != null && bBloom.value.mightContain(g) }
+    sh.filter(col("doc_id") >= 10)
+      .filter(mightContain(col("g")))            // bloom cut, pre-shuffle
+      .join(broadcast(bench), Seq("g"), "left_semi") // exact confirm kills FPs
+      .select("doc_id").distinct()
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // TF-IDF top terms
+  // -------------------------------------------------------------------
+
+  /** Top-3 most characteristic terms per document by TF-IDF rank
+    * (score ∝ tf/df; the monotone log(N/df) weighting is omitted from
+    * the ORDER BY operand to keep the comparison engine-portable —
+    * identical ordering, no transcendental-function bit drift).
+    * Shuffles carry only (doc_id, term, count) triples: tf is one
+    * keyed agg, df re-aggregates tf's output, and the rank window
+    * partitions by doc_id — never a global sort until the final
+    * output ORDER BY.
+    */
+  val qTfidfTopTerms: Q = Q.sql(
+    "q_doc_tfidf_topterms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT t.doc_id, t.term, t.tf, d.df,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term ASC) AS rnk
+      |  FROM tf t JOIN df d ON t.term = d.term)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id ASC, rnk ASC""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ranked = tf.join(df, "term")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy((col("tf").cast(DoubleType) / col("df")).desc, col("term").asc)))
+    ranked.filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast(IntegerType).as("rnk"),
+        col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id").asc, col("rnk").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
-    qRepetition, qContamination, qRedact)
+    qRepetition, qContamination, qRedact,
+    qClusterRep, qContaminationBloom, qTfidfTopTerms)
 }

@@ -152,6 +152,26 @@ class PlanAuditSpec extends SparkSpecBase {
       p.linesIterator.take(10).mkString("\n"))
   }
 
+  test("bloom decontamination cuts in the scan stage, then broadcast-confirms") {
+    val p = plan("q_doc_contamination_bloom")
+    // the bloom UDF must run in a Filter BEFORE the exact semi-join
+    val lines = p.linesIterator.toVector
+    val bloomIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(bloomIdx >= 0, s"bloom filter missing from the plan:\n$p")
+    assert(joinIdx >= 0 && p.toLowerCase.contains("leftsemi"), p)
+    assert(bloomIdx > joinIdx, // plan text is top-down: later line = earlier stage
+      "bloom cut must sit below (execute before) the exact confirm join")
+  }
+
+  test("tfidf rank window partitions by doc_id — never a single-task global window") {
+    val p = plan("q_doc_tfidf_topterms")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("doc_id"), s"window must partition by doc_id: $windowLine")
+    // only allowed SinglePartition would be none at all pre-output-sort
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("IVF probe join broadcasts the query side, never the corpus") {
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))

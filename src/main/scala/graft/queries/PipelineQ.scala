@@ -21,39 +21,85 @@ object PipelineQ {
   // Duplicate clustering (connected components over near-dup pairs)
   // -------------------------------------------------------------------
 
-  /** Connected components by iterative min-label propagation:
-    * label(v) ← min(label(v), min over neighbors' labels) until
-    * fixpoint. Each iteration is ONE keys-only shuffle (edge⋈label +
-    * groupBy min); iterations = graph diameter, and near-dup graphs
-    * are dense clique-ish clusters with tiny diameters (2–3). The
-    * driver sees only the convergence counter; labels are
-    * localCheckpoint-ed so plan depth stays O(1) per iteration. For
-    * adversarial long-chain graphs the same loop accepts the
-    * large-star/small-star rewrite (Kiveris et al., "Connected
-    * Components in MapReduce"), which bounds iterations at O(log n).
+  /** Large-star: for every node u, hang each LARGER neighbor v off
+    * m(u) = min(Γ(u) ∪ {u}). One keys-only shuffle (groupBy min + a
+    * join that reuses the same hash partitioning on src).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // undirected: propagate both ways
-    val bidir = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
-      .cache()
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbr = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = nbr.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    nbr.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large→small; every node u re-points its
+    * smaller neighbors (and itself) at its minimum neighbor.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val m = o.groupBy("src").agg(min(col("dst")).as("m"))
+    o.join(m, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(m.select(col("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Order-independent edge-set signature for convergence detection:
+    * (count, XOR of per-edge hashes) — one tiny aggregate per round.
+    */
+  private def signature(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round is two keys-only shuffles and
+    * the round count is O(log n) REGARDLESS of graph diameter — unlike
+    * min-label propagation, whose iteration count equals the diameter
+    * and which therefore silently under-converges on adversarial
+    * long-chain graphs under any fixed iteration cap. Convergence is
+    * detected by edge-set signature fixpoint; a graph that has not
+    * converged within maxRounds throws rather than returning wrong
+    * labels. Edge frames are localCheckpoint-ed so plan depth stays
+    * O(1) per round; the driver sees only (count, hash) scalars.
+    * Returns (id, comp) with comp = min doc_id of the component.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val nodes = edges.toDF("src", "dst")
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+    var e = edges.toDF("src", "dst")
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = bidir.join(labels, bidir("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("next"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("next") < col("comp")).count()
-      labels = updated.select(col("id"), col("next").as("comp"))
-      iter += 1
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      rounds += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // fixpoint is a union of stars: every edge points a member at its
+    // component min; centers (and isolated nodes) label themselves
+    nodes.join(e.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .groupBy("id").agg(min(col("dst")).as("mn"))
+      .select(col("id"), coalesce(col("mn"), col("id")).as("comp"))
   }
 
   /** Near-dup clusters over the exact jaccard pairs: every document in

@@ -24,12 +24,46 @@ class PipelineQSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
-  test("connectedComponents: a long chain still converges (diameter iterations)") {
-    val n = 12
+  test("connectedComponents: a 256-diameter path converges in O(log n) rounds") {
+    // star contraction must label a path graph far inside the round cap
+    // (label propagation needs diameter=256 iterations here and would
+    // either throw or silently mislabel under any small fixed cap)
+    val n = 256
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    val comp = PipelineQ.connectedComponents(edges).collect()
+    val comp = PipelineQ.connectedComponents(edges, maxRounds = 12).collect()
     assert(comp.length == n + 1)
     assert(comp.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents matches driver-side union-find on random graphs") {
+    val rng = new scala.util.Random(20260812)
+    for (trial <- 1 to 5) {
+      val nNodes = 20 + rng.nextInt(40)
+      val nEdges = rng.nextInt(60)
+      val ids = (0 until nNodes).map(_ => rng.nextInt(1000).toLong).distinct
+      val edges = (0 until nEdges).map { _ =>
+        (ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = members.groupBy(find).flatMap { case (_, ms) =>
+          val label = ms.min; ms.map(_ -> label)
+        }.toMap
+        val got = PipelineQ.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: $edges")
+      }
+    }
   }
 
   test("q_doc_dup_clusters labels every paired doc with component min + size") {

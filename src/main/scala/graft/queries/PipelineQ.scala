@@ -234,14 +234,14 @@ object PipelineQ {
     "q_doc_normalize",
     """SELECT doc_id,
       |  trim(regexp_replace(
-      |    regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', '', 'g'),
+      |    regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
       |    '\s+', ' ', 'g')) AS norm_text
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
         trim(regexp_replace(
-          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
           "\\s+", " ")).as("norm_text"))
       .orderBy(col("doc_id").asc)
   }
@@ -510,7 +510,92 @@ object PipelineQ {
       .orderBy(col("doc_id").asc, col("rnk").asc)
   }
 
+  // -------------------------------------------------------------------
+  // End-to-end curation flagship
+  // -------------------------------------------------------------------
+
+  /** The whole curation pipeline in ONE oracle-gated query:
+    * normalize → quality gate → exact dedup on normalized text (keep
+    * min doc_id) → token-budget shard packing of the survivors. This is
+    * the composition a training run actually executes; every stage is
+    * the operator proven individually elsewhere in the catalog, and the
+    * pipeline stays oracle-checkable end to end because each stage is
+    * deterministic. Scale shape: per-row stages fuse into the scan,
+    * dedup is one hash shuffle on md5(norm_text), packing is the
+    * two-phase prefix sum (no global window).
+    */
+  val curateMinTokens = 5L
+  val curateMaxPunctRatio = 0.3
+
+  val qCurate: Q = Q.sql(
+    "q_doc_curate",
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |      '\\s+', ' ', 'g')) AS norm_text
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, norm_text,
+       |    CAST(len(regexp_split_to_array(lower(norm_text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(length(norm_text) - length(regexp_replace(norm_text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(length(norm_text) AS BIGINT) AS n_chars
+       |  FROM norm WHERE length(norm_text) > 0),
+       |kept AS (
+       |  SELECT * FROM scored
+       |  WHERE n_tokens >= $curateMinTokens
+       |    AND CAST(n_punct AS DOUBLE) / n_chars <= $curateMaxPunctRatio),
+       |dedup AS (
+       |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+       |  FROM kept GROUP BY md5(norm_text))
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |    / $shardTokenBudget.0) AS BIGINT) AS shard_id
+       |FROM dedup
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val norm = Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+          "\\s+", " ")).as("norm_text"))
+    val scored = norm
+      .filter(length(col("norm_text")) > 0)
+      .select(col("doc_id"), col("norm_text"),
+        size(tokens(col("norm_text"))).cast(LongType).as("n_tokens"),
+        (length(col("norm_text")) -
+          length(regexp_replace(col("norm_text"), "[^\\w\\s]", "")))
+          .cast(LongType).as("n_punct"),
+        length(col("norm_text")).cast(LongType).as("n_chars"))
+    val kept = scored.filter(col("n_tokens") >= curateMinTokens &&
+      col("n_punct").cast(DoubleType) / col("n_chars") <= curateMaxPunctRatio)
+    val dedup = kept
+      .groupBy(md5(col("norm_text").cast(BinaryType)))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket"))
+    // two-phase prefix sum over the deduped survivors (same design as
+    // qShardPack: per-bucket partials, driver prefix over the tiny
+    // bucket-sum table, per-bucket window + broadcast offsets)
+    val bucketSums = dedup.groupBy("__bucket")
+      .agg(sum("n_tokens").as("bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bucketSums.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, bs)) => (b, acc + bs)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val w = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dedup.join(offsetDf, "__bucket")
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+          / lit(shardTokenBudget.toDouble)).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
-    qClusterRep, qContaminationBloom, qTfidfTopTerms)
+    qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate)
 }

@@ -111,11 +111,38 @@ class PipelineQSpec extends SparkSpecBase {
     }
   }
 
+  test("curate pipeline: normalization-induced dups dedup, quality gate drops, shards pack") {
+    // constructed corpus where every stage has to fire:
+    //   1/2: equal AFTER normalization (composed vs decomposed é + messy
+    //        whitespace) → dedup keeps doc 1 only
+    //   3:   too short (< 5 tokens) → quality-dropped
+    //   4:   punctuation-bomb (ratio > 0.3) → quality-dropped
+    //   5-7: clean 6-token docs → survive, pack into shards
+    val docs = Seq(
+      (1L, "café one two three four five", "en", "t", 0L),
+      (2L, " cafe\u0301  one	two  three four five ", "en", "t", 0L), // decomposed e+accent
+      (3L, "too short here", "en", "t", 0L),
+      (4L, "a !!! ??? ;;; ::: ,,, ... !!!", "en", "t", 0L),
+      (5L, "alpha beta gamma delta epsilon zeta", "en", "t", 0L),
+      (6L, "eta theta iota kappa lambda mu", "en", "t", 0L),
+      (7L, "nu xi omicron pi rho sigma", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("curate_fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_curate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 5L, 6L, 7L),
+      s"expected docs {1,5,6,7} to survive, got ${out.toSeq}")
+    assert(out.forall(_._2 == 6L)) // all survivors are 6-token docs
+    // budget=1000 → 24 total tokens fit in shard 0
+    assert(out.forall(_._3 == 0L))
+  }
+
   test("nfcNormalize: decomposed accents compose; controls strip; whitespace collapses") {
     val decomposed = "cafe\u0301  \t down\u0007 town\n" // e + combining acute, BEL control
     val out = Seq((1L, decomposed)).toDF("doc_id", "text")
       .select(trim(regexp_replace(
-        regexp_replace(PipelineQ.nfcNormalize(col("text")), "[\\x00-\\x1F\\x7F]", ""),
+        regexp_replace(PipelineQ.nfcNormalize(col("text")), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
         "\\s+", " ")).as("norm_text"))
       .head().getString(0)
     assert(out == "caf\u00e9 down town") // composed e-acute, controls gone, single spaces, trimmed

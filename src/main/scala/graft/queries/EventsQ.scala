@@ -224,6 +224,46 @@ object EventsQ {
       .orderBy(col("user_id").asc, col("session_start_sec").asc)
   }
 
+  /** View→click attribution: join each click to the view events of the
+    * same user in the preceding 30 minutes. Equi-join on user_id with
+    * the time window as a range predicate; at scale the join shuffles
+    * only the two filtered event subsets (views + clicks, a fraction of
+    * the log), keyed uniformly by user. The streaming form
+    * (StreamingEvents.attributionJoin) runs the same semantics with
+    * watermark-bounded state; StreamingEventsSpec proves parity.
+    * lag_sec uses integer microsecond arithmetic — exact in both
+    * engines.
+    */
+  val qAttribution: Q = Q.sql(
+    "q_events_attribution",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)
+      |SELECT v.event_id AS view_event_id, c.event_id AS click_event_id,
+      |  v.user_id,
+      |  CAST((epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_sec
+      |FROM e v JOIN e c
+      |  ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_event_id ASC, click_event_id ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id"),
+        col("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("interval 30 minutes"))
+      .select(col("view_event_id"), col("click_event_id"), col("user_id"),
+        expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000")
+          .cast(LongType).as("lag_sec"))
+      .orderBy(col("view_event_id").asc, col("click_event_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
-    qSketchStats, qSlidingWindow, qSessionWindow)
+    qSketchStats, qSlidingWindow, qSessionWindow, qAttribution)
 }

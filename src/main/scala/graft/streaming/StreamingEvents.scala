@@ -132,4 +132,36 @@ object StreamingEvents {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
   }
+
+  /** Stream-stream view→click attribution join — the streaming form of
+    * the batch q_events_attribution. Both sides are watermarked and the
+    * join carries an event-time range (`c_ts ∈ [v_ts, v_ts + maxLag]`),
+    * which is what lets Structured Streaming BOUND the join state: a
+    * buffered view can be dropped once the click-side watermark passes
+    * `v_ts + maxLag`, so state is O(events within the lag horizon), not
+    * O(stream length). Inner-join rows emit as soon as both sides
+    * arrive. Input: an event DataFrame with TimestampType `ts` (e.g.
+    * [[readEventsStream]]); both join branches may derive from the same
+    * source stream.
+    */
+  def attributionJoin(events: DataFrame,
+                      viewType: String = "view", clickType: String = "click",
+                      maxLag: String = "30 minutes",
+                      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = events.filter(col("event_type") === viewType)
+      .select(col("event_id").as("view_event_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermarkDelay)
+    val c = events.filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    v.join(c, col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"interval $maxLag"))
+      .select(col("view_event_id"), col("click_event_id"),
+        col("v_user").as("user_id"),
+        expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000")
+          .cast("long").as("lag_sec"))
+  }
 }

@@ -98,6 +98,37 @@ class StreamingEventsSpec extends SparkSpecBase {
       s"sessions differ: missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("stream-stream attribution join equals the batch join on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingEvents.attributionJoin(
+      stream.toDF().withColumn("ts", timestamp_seconds(col("ts_sec"))))
+    val q = out.writeStream.format("memory").queryName("attr_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel(maxSec)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val batch = SparkEntry.queries("q_events_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(batch.nonEmpty, "fixture must contain view→click pairs")
+    // the fixture truncates ts to whole seconds while the batch query
+    // joins on microsecond timestamps, so pair membership must match
+    // exactly and lag within the 1 s truncation granularity
+    assert(streamed.keySet == batch.keySet,
+      s"missing=${(batch.keySet -- streamed.keySet).take(3)} " +
+        s"extra=${(streamed.keySet -- batch.keySet).take(3)}")
+    batch.foreach { case (k, lag) =>
+      assert(math.abs(streamed(k) - lag) <= 1L, s"pair $k: ${streamed(k)} vs $lag")
+    }
+  }
+
   test("readEventsStream drives the tumbling rollup from the parquet file source") {
     // production entry: the same events parquet staged into a stream
     // directory (the file source watches directories)

@@ -230,6 +230,17 @@ object PipelineQ {
     else Normalizer.normalize(s, Normalizer.Form.NFC)
   }.withName("nfcNormalize")
 
+  /** The full normalize pipeline as a column expression — NFC compose,
+    * strip non-whitespace controls (tab/newline/CR stay, so the
+    * whitespace collapse turns them into single spaces instead of
+    * gluing words), collapse runs, trim. Shared by the batch queries
+    * and the streaming curation path.
+    */
+  def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   val qNormalize: Q = Q.sql(
     "q_doc_normalize",
     """SELECT doc_id,
@@ -239,10 +250,7 @@ object PipelineQ {
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-          "\\s+", " ")).as("norm_text"))
+      .select(col("doc_id"), normText(col("text")).as("norm_text"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -556,10 +564,7 @@ object PipelineQ {
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     import s.implicits._
     val norm = Tables.documents(s, d)
-      .select(col("doc_id"),
-        trim(regexp_replace(
-          regexp_replace(nfcNormalize(col("text")), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-          "\\s+", " ")).as("norm_text"))
+      .select(col("doc_id"), normText(col("text")).as("norm_text"))
     val scored = norm
       .filter(length(col("norm_text")) > 0)
       .select(col("doc_id"), col("norm_text"),

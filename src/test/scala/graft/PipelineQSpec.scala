@@ -138,6 +138,29 @@ class PipelineQSpec extends SparkSpecBase {
     assert(out.forall(_._3 == 0L))
   }
 
+  test("bloom decontamination equals the exact sweep on a contamination-heavy corpus") {
+    // the real testdata has almost no benchmark overlap, so the oracle
+    // gate barely exercises the bloom path's FP-removal; this fixture
+    // plants heavy contamination and verifies bloom ≡ exact
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (0L until 10L).map(i => (i, s"$bench filler$i one two three")) ++ Seq(
+      (20L, s"prefix words $bench suffix words here"), // contains a bench 5-gram
+      (21L, "alpha beta gamma delta epsilon wholly different tail"), // exact 5-gram hit
+      (22L, "beta gamma delta epsilon zeta another contaminated doc"), // shifted 5-gram hit
+      (23L, "completely clean document with no overlapping grams at all"),
+      (24L, "alpha beta gamma clean because only a three gram matches"))
+    val df = docs.map { case (id, t) => (id, t, "en", "t", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("contam_fix").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = SparkEntry.queries("q_doc_contamination")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val bloom = SparkEntry.queries("q_doc_contamination_bloom")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact == Seq(20L, 21L, 22L), s"exact sweep wrong: $exact")
+    assert(bloom == exact, s"bloom path diverged: $bloom vs $exact")
+  }
+
   test("nfcNormalize: decomposed accents compose; controls strip; whitespace collapses") {
     val decomposed = "cafe\u0301  \t down\u0007 town\n" // e + combining acute, BEL control
     val out = Seq((1L, decomposed)).toDF("doc_id", "text")

@@ -251,7 +251,65 @@ object Geo {
       case _ => s
     }
   }.withName("requireGeographicCrs")
+
+  // -------------------------------------------------------------------
+  // Containment (spatial join support)
+  // -------------------------------------------------------------------
+
+  /** Even-odd ray-cast point-in-polygon over all rings (holes handled
+    * by crossing parity). Boundary behavior is fp-dependent — callers
+    * joining against an exact oracle must keep test points off ring
+    * edges.
+    */
+  def containsXY(g: Geom, x: Double, y: Double): Boolean = {
+    def crossings(r: Ring): Int = {
+      var c = 0
+      var j = r.length - 1
+      var i = 0
+      while (i < r.length) {
+        val (xi, yi) = r(i)
+        val (xj, yj) = r(j)
+        if ((yi > y) != (yj > y)) {
+          val xint = xi + (y - yi) * (xj - xi) / (yj - yi)
+          if (x < xint) c += 1
+        }
+        j = i
+        i += 1
+      }
+      c
+    }
+    g match {
+      case GPolygon(rings) => rings.map(crossings).sum % 2 == 1
+      case GMultiPolygon(polys) => polys.exists(_.map(crossings).sum % 2 == 1)
+      case GPoint(_, _) => false
+    }
+  }
+
+  /** WKT polygon contains (x, y)? NULL-safe: malformed WKT → false. */
+  val stContains: UserDefinedFunction = udf { (s: String, x: Double, y: Double) =>
+    parseWkt(s).exists(containsXY(_, x, y))
+  }.withName("stContains")
+
+  /** Grid cells covered by the geometry's ENVELOPE at `cellSize` — the
+    * index-side key generator for the grid spatial join. Cell count is
+    * bounded by (envelope/cellSize)², so pick cellSize near the median
+    * polygon extent; a continent-sized outlier polygon should be split
+    * upstream rather than exploded into millions of cells.
+    */
+  def coveringCellsUdf(cellSize: Double): UserDefinedFunction = udf { s: String =>
+    parseWkt(s).map { g =>
+      val (minx, miny, maxx, maxy) = envelope(g)
+      val cells = for {
+        cx <- math.floor(minx / cellSize).toLong to math.floor(maxx / cellSize).toLong
+        cy <- math.floor(miny / cellSize).toLong to math.floor(maxy / cellSize).toLong
+      } yield GridCell(cx, cy)
+      cells
+    }.getOrElse(Seq.empty[GridCell])
+  }
 }
+
+/** One covering grid cell (named case class for stable struct fields). */
+final case class GridCell(cx: Long, cy: Long)
 
 /** Envelope result shape (named case class so the UDF's struct columns
   * are stable: minx/miny/maxx/maxy).

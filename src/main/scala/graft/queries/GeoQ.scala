@@ -163,5 +163,67 @@ object GeoQ {
         count(lit(1)).as("n_features"))
   }
 
-  val all: Seq[Q] = Seq(qGeoEnvelope, qGeoRoundtrip, qGeoPromote, qFoodGapsGeo)
+  /** Grid-indexed point-in-polygon spatial join: polygons explode into
+    * the grid cells covering their envelope (index side, small), points
+    * compute their single cell NATIVELY in the scan (floor(x/cell) —
+    * no UDF on the big side), the candidate join is a plain equi-join
+    * on (cx, cy), and the exact ray-cast containment runs only on
+    * candidates. Never a cross product: candidate volume is bounded by
+    * points-per-cell × polygons-per-cell. This is the standard
+    * scale-out spatial join (grid/quadtree partitioning); hot cells
+    * (Manhattan) are handled by the same salting/AQE machinery as any
+    * skewed equi-join.
+    */
+  def pointInPolygonJoin(points: DataFrame, polys: DataFrame,
+                         cellSize: Double): DataFrame = {
+    val cells = polys
+      .withColumn("__cell",
+        explode(Geo.coveringCellsUdf(cellSize)(col("wkt"))))
+      .select(polys.columns.map(col) :+ col("__cell.cx").as("__cx") :+
+        col("__cell.cy").as("__cy"): _*)
+    val keyed = points
+      .withColumn("__cx", floor(col("x") / cellSize).cast("long"))
+      .withColumn("__cy", floor(col("y") / cellSize).cast("long"))
+    keyed.join(cells, Seq("__cx", "__cy"))
+      .filter(Geo.stContains(col("wkt"), col("x"), col("y")))
+      .drop("__cx", "__cy")
+  }
+
+  /** Oracle-gated spatial join: disjoint unit squares synthesized from
+    * nation keys at even offsets, points synthesized from customer keys
+    * at .n5 coordinates (never on a ring edge, so ray-cast and the
+    * oracle's interval test agree exactly). The oracle exploits that
+    * the squares are axis-aligned; the Spark side runs the GENERAL
+    * grid-join + ray-cast path.
+    */
+  val qPointInPoly: Q = Q.sql(
+    "q_geo_point_in_poly",
+    """WITH p AS (
+      |  SELECT c_custkey,
+      |    ((c_custkey % 100) + 0.5) / 10.0 AS x,
+      |    (((c_custkey * 7) % 100) + 0.5) / 10.0 AS y
+      |  FROM customer),
+      |n AS (
+      |  SELECT n_nationkey,
+      |    2 * (n_nationkey % 5) AS k, 2 * (n_nationkey // 5) AS m
+      |  FROM nation)
+      |SELECT p.c_custkey, n.n_nationkey, p.x, p.y
+      |FROM p JOIN n
+      |  ON p.x >= k AND p.x <= k + 1 AND p.y >= m AND p.y <= m + 1
+      |ORDER BY c_custkey ASC, n_nationkey ASC""".stripMargin) { (s, d) =>
+    val points = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 100 + lit(0.5)) / 10.0).as("x"),
+        ((col("c_custkey") * 7 % 100 + lit(0.5)) / 10.0).as("y"))
+    val polys = Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        squareWkt((col("n_nationkey") % 5 * 2).cast("int"),
+          (floor(col("n_nationkey") / 5) * 2).cast("int")).as("wkt"))
+    pointInPolygonJoin(points, polys, cellSize = 1.0)
+      .select(col("c_custkey"), col("n_nationkey"), col("x"), col("y"))
+      .orderBy(col("c_custkey").asc, col("n_nationkey").asc)
+  }
+
+  val all: Seq[Q] = Seq(qGeoEnvelope, qGeoRoundtrip, qGeoPromote, qFoodGapsGeo,
+    qPointInPoly)
 }

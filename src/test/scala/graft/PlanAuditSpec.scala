@@ -172,6 +172,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("spatial join is a grid-cell equi-join — never a cross product") {
+    val p = plan("q_geo_point_in_poly")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join degenerated to all-pairs:\n$p")
+    // the point side's cell keys must be native floor(), not a UDF
+    // (the scan-stage key computation is what keeps the big side cheap)
+    val pointSide = p.linesIterator.find(l =>
+      l.contains("FLOOR") && l.contains("__cx")).getOrElse("")
+    assert(!pointSide.contains("UDF"), s"point cell keys must be codegen: $pointSide")
+  }
+
   test("IVF probe join broadcasts the query side, never the corpus") {
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.PipelineQ
+
+/** Manual scale probe (not a CI test — run with `Test/runMain
+  * graft.ScaleProbeMain`): measures the round-3 operators at sizes the
+  * fixture corpus cannot reach. Results are recorded in BENCH_NOTES.md;
+  * methodology mirrors Bench (materialize-everything timing).
+  */
+object ScaleProbeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // --- connected components: adversarial 100k-diameter path ---------
+    val path = spark.range(100000)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    time("cc_path_100k(diameter=1e5)") {
+      val comp = PipelineQ.connectedComponents(path)
+      val bad = comp.filter(col("comp") =!= 0L).count()
+      require(bad == 0, s"$bad mislabeled")
+    }
+
+    // --- connected components: 50k-node random graph (clustered) ------
+    val rand = spark.range(200000)
+      .select((pmod(hash(col("id")), lit(50000))).cast("long").as("a"),
+        (pmod(hash(col("id") * 7 + 1), lit(50000))).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    time("cc_random_50k_nodes_200k_edges") {
+      val comp = PipelineQ.connectedComponents(rand)
+      require(comp.count() > 0)
+    }
+
+    // --- curation + contamination on a 10x-amplified corpus -----------
+    val sfDir = "/root/testdata/sf0.1"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val bigDir = java.nio.file.Files.createTempDirectory("probe10x").toString
+    val n = docs.count()
+    // 10 copies, distinct ids, identical text → 90% exact-dup corpus
+    docs.crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * n * 10).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    val curated = time(s"curate_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_curate")(spark, bigDir).count()
+    }
+    println(s"PROBE curate_10x kept $curated of ${n * 10} (dedup must collapse copies)")
+
+    time(s"contamination_exact_10x") {
+      SparkEntry.queries("q_doc_contamination")(spark, bigDir).count()
+    }
+    time(s"contamination_bloom_10x") {
+      SparkEntry.queries("q_doc_contamination_bloom")(spark, bigDir).count()
+    }
+
+    spark.stop()
+  }
+}

@@ -7,8 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Sessions
+import graft.{Sessions, SparkEntry}
 import graft.catalog.Registry
+import graft.queries.PipelineQ
+import graft.sink.ShardSink
+import graft.sources.Tables
 import graft.transform.Transformers
 
 /** CLI entry points mirroring the reference's two scripts
@@ -19,6 +22,7 @@ import graft.transform.Transformers
   * runMain graft.jobs.Main ingest <key> <rawParquet> <warehouseDir> [--dry-run] [--zips <file>]
   * runMain graft.jobs.Main ingest-all <rawDir> <warehouseDir> [--zips <file>]
   * runMain graft.jobs.Main export <warehouseDir> <outDir>
+  * runMain graft.jobs.Main curate <sfDir> <shardOutDir>
   * }}}
   *
   * The reference's reflection-loaded transformer classes
@@ -63,6 +67,24 @@ object Main {
     IngestJob.run(spark, spec, raw, transformerFor(key, zips), warehouse, dryRun)
   }
 
+  /** End-to-end curation deliverable: run the oracle-gated
+    * normalize→quality→dedup→pack pipeline (q_doc_curate) over
+    * `sfDir/documents.parquet`, re-attach the NORMALIZED text payload
+    * (what a training loader should see, not the raw bytes), and
+    * materialize one parquet file per token-budget shard. Returns
+    * (documents written, shard count), both read back from the output
+    * so the numbers certify the files on disk, not the plan.
+    */
+  def curate(spark: SparkSession, sfDir: String, outDir: String): (Long, Long) = {
+    val packed = SparkEntry.queries("q_doc_curate")(spark, sfDir)
+    val text = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), PipelineQ.normText(col("text")).as("text"))
+    ShardSink.writeShards(packed.join(text, "doc_id"), outDir)
+    val back = spark.read.parquet(outDir)
+    val r = back.agg(count(lit(1)), countDistinct(col("shard_id"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
   def main(args: Array[String]): Unit = {
     var dryRun = false
     var zips: Seq[String] = Nil
@@ -101,11 +123,15 @@ object Main {
         counts.toSeq.sortBy(_._1).foreach { case (f, n) =>
           println(s"[export] $f: $n features")
         }
+      case "curate" :: sfDir :: outDir :: Nil =>
+        val (docs, shards) = curate(spark, sfDir, outDir)
+        println(s"[curate] $docs documents -> $shards shards in $outDir")
       case other =>
         System.err.println(
           s"""usage: ingest <key> <rawPath> <warehouseDir> [--dry-run] [--zips <file>]
              |       ingest-all <rawDir> <warehouseDir> [--zips <file>]
              |       export <warehouseDir> <outDir>
+             |       curate <sfDir> <shardOutDir>
              |got: ${other.mkString(" ")}""".stripMargin)
         sys.exit(2)
     } finally spark.stop()

@@ -600,7 +600,97 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  // -------------------------------------------------------------------
+  // Source mixture balancing (data mixing)
+  // -------------------------------------------------------------------
+
+  /** Rebalance the corpus to equal per-source character mass — the
+    * "data mixing" step of a training pipeline (down-sample
+    * over-represented sources to target proportions). Per-source
+    * sampling rate = min(1, fair_share / source_mass), applied as the
+    * same deterministic md5 cut as [[qStratifiedSample]] so the sample
+    * is reproducible and order-independent.
+    *
+    * Scale shape: the rate table is one tiny groupBy over `source`
+    * (partial agg, a handful of keys) broadcast back onto the scan —
+    * the corpus itself is filtered in the scan stage with NO shuffle.
+    * At 100 TB the only change is the rate table coming from table
+    * statistics instead of a recount.
+    */
+  val qMixBalance: Q = Q.sql(
+    "q_doc_mix_balance",
+    """WITH stats AS (
+      |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS src_chars
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(src_chars) AS DOUBLE) AS total_chars,
+      |         CAST(COUNT(*) AS DOUBLE) AS nsrc
+      |  FROM stats),
+      |rates AS (
+      |  SELECT source, LEAST(1.0, (total_chars / nsrc) / src_chars) AS rate
+      |  FROM stats CROSS JOIN tot)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN rates r USING (source)
+      |WHERE r.rate >= 1.0
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |      lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source")
+      .agg(sum("n_chars").cast(DoubleType).as("src_chars"))
+    val tot = stats.agg(sum("src_chars").as("total_chars"),
+      count(lit(1)).cast(DoubleType).as("nsrc"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0), (col("total_chars") / col("nsrc")) / col("src_chars")).as("rate"))
+    docs.join(broadcast(rates), "source")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8) <
+          lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast(LongType))), 8, "0"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental dedup (new crawl batch vs existing corpus)
+  // -------------------------------------------------------------------
+
+  /** Dedup an INCOMING batch against the EXISTING corpus — the
+    * incremental-crawl shape (the whole-corpus pass is
+    * TextQ.qExactDedup). Survivors = one representative (min doc_id)
+    * per content hash that is new to the corpus: batch-internal dupes
+    * collapse AND anything already in the corpus is dropped. The
+    * deterministic doc_id%3 split stands in for the batch boundary.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT hashes before the
+    * anti-join, so the shuffle carries 16-byte keys only — never
+    * document text. At 100 TB the existing side IS the corpus hash
+    * index (a fraction of corpus size), exactly how production crawl
+    * dedup joins a new dump against the index.
+    */
+  val qIncrementalDedup: Q = Q.sql(
+    "q_doc_incremental_dedup",
+    """WITH existing AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      |incoming AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+      |SELECT MIN(i.doc_id) AS doc_id
+      |FROM incoming i
+      |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = i.h)
+      |GROUP BY i.h
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val h = md5(col("text").cast(BinaryType)).as("h")
+    val existing = docs.filter(col("doc_id") % 3 =!= 0).select(h).distinct()
+    val incoming = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), h)
+    incoming.join(existing, Seq("h"), "left_anti")
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
-    qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate)
+    qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
+    qMixBalance, qIncrementalDedup)
 }

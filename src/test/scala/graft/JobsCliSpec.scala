@@ -67,4 +67,20 @@ class JobsCliSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("food_insecure_pct") == 99.0,
       "keep-last must retain the later arrival")
   }
+
+  test("curate command lands sharded parquet carrying the normalized text payload") {
+    val outDir = Files.createTempDirectory("graft-cli-shards").toString
+    val (docs, shards) = JobsMain.curate(spark, sfDir, outDir)
+
+    val expected = SparkEntry.queries("q_doc_curate")(spark, sfDir).count()
+    assert(docs == expected, "every curated document must land in a shard")
+    assert(shards >= 1)
+
+    val back = spark.read.parquet(outDir)
+    assert(back.columns.toSet == Set("doc_id", "n_tokens", "text", "shard_id"))
+    // payload is the normalized form: no control chars, no doubled spaces
+    val dirty = back.filter(col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]") ||
+      col("text").contains("  ")).count()
+    assert(dirty == 0, "shard text must be the normalized payload, not raw bytes")
+  }
 }

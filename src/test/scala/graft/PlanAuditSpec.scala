@@ -189,4 +189,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "IVF candidate generation must stay an equi-join on list id")
   }
+
+  test("mix balancing broadcasts the tiny rate table — the corpus filters in place") {
+    val p = plan("q_doc_mix_balance")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      s"rate table must broadcast; an SMJ shuffles the whole corpus:\n$p")
+    // the md5 cut must run in the post-join filter stage, not after
+    // any further shuffle of document rows
+    assert(p.contains("md5"), p)
+  }
+
+  test("incremental dedup anti-join shuffles 16-byte hashes only, never text") {
+    val p = plan("q_doc_incremental_dedup")
+    assert(p.toLowerCase.contains("leftanti"), p.linesIterator.take(8).mkString("\n"))
+    // every exchange must carry only the hash/doc_id projection: the
+    // text column is projected away before data moves
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text crossed a shuffle boundary:\n$exchanges")
+  }
 }

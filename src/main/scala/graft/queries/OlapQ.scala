@@ -125,5 +125,73 @@ object OlapQ {
       .orderBy(col("c_nationkey").asc, col("rnk").asc, col("c_custkey").asc)
   }
 
-  val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs)
+  /** CUBE: all 2^2 grouping combinations of (status, priority) in one
+    * pass — completes the ROLLUP/PIVOT/CUBE trio. Same one-Expand
+    * physical shape as ROLLUP (each input row expands to 4 grouping
+    * tuples, then a single hash aggregate), so the cost is 4× the
+    * grouped row count, never a per-level re-scan.
+    */
+  val qCube: Q = Q.sql(
+    "q_cube",
+    s"""SELECT
+       |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN NULL ELSE o_orderstatus END AS status,
+       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN NULL ELSE o_orderpriority END AS priority,
+       |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS lvl,
+       |  COUNT(*) AS n_orders,
+       |  ${Num.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY lvl ASC, status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast(IntegerType).as("lvl"))
+      .select(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"),
+        col("lvl"), col("n_orders"), col("sum_price"))
+      .orderBy(col("lvl").asc, col("status").asc_nulls_first,
+        col("priority").asc_nulls_first)
+  }
+
+  /** Time-series gap filling (resampling): monthly order counts per
+    * priority with missing months materialized as 0 — the dense-grid
+    * shape every downstream time-series consumer (forecasting,
+    * charting) needs. The month spine is `sequence()` + `explode` over
+    * the global [min, max] bounds; the grid (priorities × months) is
+    * dims-sized — tiny — and joins the PRE-AGGREGATED monthly counts,
+    * so the fact table is reduced by a partial-agg shuffle before any
+    * join and the fill itself never touches raw rows.
+    */
+  val qTimeFill: Q = Q.sql(
+    "q_time_fill",
+    """WITH o AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         o_orderpriority AS priority
+      |  FROM orders),
+      |bounds AS (SELECT min(month) AS lo, max(month) AS hi FROM o),
+      |months AS (
+      |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
+      |  FROM bounds),
+      |dims AS (SELECT DISTINCT priority FROM o),
+      |counts AS (SELECT priority, month, COUNT(*) AS n_orders FROM o GROUP BY 1, 2)
+      |SELECT d.priority, m.month, COALESCE(c.n_orders, 0) AS n_orders
+      |FROM dims d CROSS JOIN months m
+      |LEFT JOIN counts c ON c.priority = d.priority AND c.month = m.month
+      |ORDER BY d.priority ASC, m.month ASC""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"),
+        col("o_orderpriority").as("priority"))
+    val months = o.agg(min("month").as("lo"), max("month").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month")))
+        .as("month"))
+    val grid = o.select("priority").distinct().crossJoin(broadcast(months))
+    val counts = o.groupBy("priority", "month").agg(count(lit(1)).as("n_orders"))
+    grid.join(counts, Seq("priority", "month"), "left")
+      .select(col("priority"), col("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("priority").asc, col("month").asc)
+  }
+
+  val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill)
 }

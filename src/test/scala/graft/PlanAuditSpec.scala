@@ -94,6 +94,22 @@ class PlanAuditSpec extends SparkSpecBase {
       "rollup must not re-scan the fact per level")
   }
 
+  test("CUBE compiles to one Expand over a single orders scan") {
+    val p = plan("q_cube")
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "cube must not re-scan the fact per grouping combination")
+  }
+
+  test("time fill pre-aggregates the fact before joining the tiny month grid") {
+    val p = plan("q_time_fill")
+    // monthly counts must reduce map-side: a partial_count before the
+    // (priority, month) exchange, so the join sees aggregated rows only
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the dense-grid fill join must stay broadcast-sized:\n$p")
+  }
+
   test("typed top-k aggregator runs as ObjectHashAggregate with partial merge") {
     val p = plan("q_topk_per_group")
     assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(8).mkString("\n"))

@@ -59,6 +59,27 @@ object PipelineQ {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Driver-side union-find with path compression + min-root union:
+    * the local finisher for edge sets that fit on the driver.
+    */
+  private def unionFindLocal(edges: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k))
+  }
+
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14): each round is two keys-only shuffles and
@@ -71,34 +92,57 @@ object PipelineQ {
     * labels. Edge frames are localCheckpoint-ed so plan depth stays
     * O(1) per round; the driver sees only (count, hash) scalars.
     * Returns (id, comp) with comp = min doc_id of the component.
+    *
+    * Hybrid small-graph path: when the deduped edge set fits on the
+    * driver (≤ `localThreshold` edges, ~4 MB at the default 2^18), the
+    * iteration is replaced by one collect + union-find — the standard
+    * production hybrid (distributed contraction is for edge sets that
+    * do NOT fit anywhere, and paying 5+ scheduled rounds for a few
+    * thousand edges is pure overhead). Specs force `localThreshold = 0`
+    * to exercise the distributed loop on small fixtures.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
-    val nodes = edges.toDF("src", "dst")
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30,
+                          localThreshold: Long = 1L << 18): DataFrame = {
+    // materialize the (possibly expensive) edge-producing pipeline ONCE;
+    // nodes and the working edge set both derive from the checkpoint
+    val in = edges.toDF("src", "dst").localCheckpoint(true)
+    val spark = in.sparkSession
+    import spark.implicits._
+    val nodes = in
       .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
-    var e = edges.toDF("src", "dst")
+    var e = in
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
     var sig = signature(e)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      e = next
-      sig = nextSig
-      rounds += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxRounds rounds")
-    // fixpoint is a union of stars: every edge points a member at its
-    // component min; centers (and isolated nodes) label themselves
-    nodes.join(e.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .groupBy("id").agg(min(col("dst")).as("mn"))
+    val labeled: DataFrame =
+      if (sig._1 <= localThreshold) {
+        val comp = unionFindLocal(
+          e.collect().map(r => (r.getLong(0), r.getLong(1)))).toSeq
+        comp.toDF("id", "comp")
+      } else {
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < maxRounds) {
+          val next = smallStar(largeStar(e)).localCheckpoint(true)
+          val nextSig = signature(next)
+          converged = nextSig == sig
+          e = next
+          sig = nextSig
+          rounds += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents: no fixpoint after $maxRounds rounds")
+        // fixpoint is a union of stars: every edge points a member at
+        // its component min; centers label themselves below
+        e.select(col("src").as("id"), col("dst").as("comp"))
+      }
+    // isolated nodes (self-loop-only inputs) and star centers label themselves
+    nodes.join(labeled, Seq("id"), "left")
+      .groupBy("id").agg(min(col("comp")).as("mn"))
       .select(col("id"), coalesce(col("mn"), col("id")).as("comp"))
   }
 

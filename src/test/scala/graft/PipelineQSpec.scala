@@ -17,11 +17,16 @@ class PipelineQSpec extends SparkSpecBase {
     // component A: clique-ish {1,2,3}; component B: chain 10-11-12-13
     val edges = Seq((2L, 1L), (2L, 3L), (11L, 10L), (12L, 11L), (13L, 12L))
       .toDF("doc_a", "doc_b")
-    val comp = PipelineQ.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+    // both the hybrid local path (default threshold) and the forced
+    // distributed contraction must produce the same labels
+    for (threshold <- Seq(1L << 18, 0L)) {
+      val comp = PipelineQ.connectedComponents(edges, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == expected, s"localThreshold=$threshold")
+    }
   }
 
   test("connectedComponents: a 256-diameter path converges in O(log n) rounds") {
@@ -30,7 +35,8 @@ class PipelineQSpec extends SparkSpecBase {
     // either throw or silently mislabel under any small fixed cap)
     val n = 256
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    val comp = PipelineQ.connectedComponents(edges, maxRounds = 12).collect()
+    val comp = PipelineQ.connectedComponents(edges, maxRounds = 12,
+      localThreshold = 0L).collect()
     assert(comp.length == n + 1)
     assert(comp.forall(_.getLong(1) == 0L))
   }
@@ -59,7 +65,10 @@ class PipelineQSpec extends SparkSpecBase {
         val expected = members.groupBy(find).flatMap { case (_, ms) =>
           val label = ms.min; ms.map(_ -> label)
         }.toMap
-        val got = PipelineQ.connectedComponents(edges.toDF("a", "b"))
+        // force the distributed contraction: the local path IS this
+        // union-find, so grading it against itself would be vacuous
+        val got = PipelineQ.connectedComponents(edges.toDF("a", "b"),
+            localThreshold = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got == expected, s"trial $trial: $edges")
       }

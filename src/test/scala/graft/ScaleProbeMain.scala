@@ -26,7 +26,7 @@ object ScaleProbeMain {
     val path = spark.range(100000)
       .select(col("id").as("a"), (col("id") + 1).as("b"))
     time("cc_path_100k(diameter=1e5)") {
-      val comp = PipelineQ.connectedComponents(path)
+      val comp = PipelineQ.connectedComponents(path, localThreshold = 0L)
       val bad = comp.filter(col("comp") =!= 0L).count()
       require(bad == 0, s"$bad mislabeled")
     }
@@ -37,7 +37,7 @@ object ScaleProbeMain {
         (pmod(hash(col("id") * 7 + 1), lit(50000))).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     time("cc_random_50k_nodes_200k_edges") {
-      val comp = PipelineQ.connectedComponents(rand)
+      val comp = PipelineQ.connectedComponents(rand, localThreshold = 0L)
       require(comp.count() > 0)
     }
 

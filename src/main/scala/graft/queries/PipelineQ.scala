@@ -733,8 +733,38 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  // -------------------------------------------------------------------
+  // Corpus profile (GROUPING SETS)
+  // -------------------------------------------------------------------
+
+  /** One-pass corpus profile: per-source totals, per-language totals,
+    * and the grand total via GROUP BY GROUPING SETS — the report a
+    * curation run prints before/after each stage. Single Expand +
+    * one hash aggregate (each row expands to its 3 grouping tuples);
+    * never a re-scan per dimension. Complements ROLLUP (q_rollup) and
+    * CUBE (q_cube) with the third, irregular grouping construct.
+    */
+  val qCorpusProfile: Q = {
+    val sql =
+      """SELECT
+        |  CASE WHEN GROUPING(source) = 1 THEN NULL ELSE source END AS source,
+        |  CASE WHEN GROUPING(lang) = 1 THEN NULL ELSE lang END AS lang,
+        |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS lvl,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())
+        |ORDER BY lvl ASC, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+    Q.sql("q_doc_corpus_profile", sql) { (s, d) =>
+      // the construct is SQL-only surface (Dataset API stops at
+      // rollup/cube), so the engine runs the identical statement
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qIncrementalDedup)
+    qMixBalance, qIncrementalDedup, qCorpusProfile)
 }

@@ -94,6 +94,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "rollup must not re-scan the fact per level")
   }
 
+  test("GROUPING SETS corpus profile is one Expand over a single documents scan") {
+    val p = plan("q_doc_corpus_profile")
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "grouping sets must not re-scan the corpus per dimension")
+  }
+
   test("CUBE compiles to one Expand over a single orders scan") {
     val p = plan("q_cube")
     assert("Expand".r.findAllIn(p).size >= 1, p)

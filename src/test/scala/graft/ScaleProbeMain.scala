@@ -64,6 +64,19 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_contamination_bloom")(spark, bigDir).count()
     }
 
+    // --- incremental dedup against the persistent bucketed index ------
+    val big = spark.read.parquet(s"$bigDir/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")
+    time(s"hash_index_build_10x(${n * 10} docs)") {
+      graft.sink.HashIndex.build(big.filter(col("doc_id") % 3 =!= 0),
+        "probe_corpus_hashes")
+    }
+    time("hash_index_dedup_10x_batch") {
+      graft.sink.HashIndex.dedupAgainst(spark, "probe_corpus_hashes",
+        big.filter(col("doc_id") % 3 === 0)).count()
+    }
+    spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")
+
     spark.stop()
   }
 }

@@ -763,8 +763,39 @@ object PipelineQ {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Per-group quantile quality cut
+  // -------------------------------------------------------------------
+
+  /** Keep documents at/above their language's median length — the
+    * "top-X% by quality, per group" curation cut (quality proxies vary;
+    * the pattern is the operator). The per-lang threshold table is a
+    * handful of rows broadcast onto the scan, so the corpus filters in
+    * place. Exact `percentile` is the oracle-matchable form; at 100 TB
+    * the threshold pass switches to `approx_percentile` (same plan
+    * shape; error bounds proven in SketchSpec) — only the tiny
+    * threshold aggregate changes, never the filter side.
+    */
+  val qQualityCut: Q = Q.sql(
+    "q_doc_quality_cut",
+    """WITH th AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN th USING (lang)
+      |WHERE d.n_chars >= th.med
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val th = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    docs.join(broadcast(th), "lang")
+      .filter(col("n_chars") >= col("med"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qIncrementalDedup, qCorpusProfile)
+    qMixBalance, qIncrementalDedup, qCorpusProfile, qQualityCut)
 }

@@ -213,6 +213,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "IVF candidate generation must stay an equi-join on list id")
   }
 
+  test("quality cut broadcasts the per-lang threshold — the corpus filters in place") {
+    val p = plan("q_doc_quality_cut")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      s"threshold table must broadcast; an SMJ shuffles the whole corpus:\n$p")
+  }
+
   test("mix balancing broadcasts the tiny rate table — the corpus filters in place") {
     val p = plan("q_doc_mix_balance")
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(8).mkString("\n"))

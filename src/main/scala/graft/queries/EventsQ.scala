@@ -264,6 +264,51 @@ object EventsQ {
       .orderBy(col("view_event_id").asc, col("click_event_id").asc)
   }
 
+  /** Ordered conversion funnel: users who viewed, clicked AFTER their
+    * first view, and purchased AFTER that first qualifying click — the
+    * sequence constraint is what separates a funnel from three counts
+    * (a purchase before any view must NOT count). Each stage is a
+    * min-timestamp aggregate joined to the previous stage's threshold;
+    * every join and aggregate hash-partitions on user_id, so a depth-k
+    * funnel is k co-partitioned agg+join rounds over the same exchange
+    * family — no windows, no per-user event collection, no driver
+    * state. Stage thresholds are first-touch (MIN ts), the common
+    * product-analytics convention.
+    */
+  val qFunnel: Q = Q.sql(
+    "q_events_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS vts FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.vts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.cts GROUP BY e.user_id)
+      |SELECT stage, event_type, n_users FROM (
+      |  SELECT 1 AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM v) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+      |ORDER BY stage ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("vts"))
+      .groupBy("user_id").agg(min("ts").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("cts"))
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    def stageRow(df: org.apache.spark.sql.DataFrame, stage: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(name).as("event_type"), col("n_users"))
+    stageRow(v, 1, "view")
+      .unionByName(stageRow(c, 2, "click"))
+      .unionByName(stageRow(p, 3, "purchase"))
+      .orderBy(col("stage").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
-    qSketchStats, qSlidingWindow, qSessionWindow, qAttribution)
+    qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel)
 }

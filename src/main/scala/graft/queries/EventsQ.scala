@@ -309,6 +309,49 @@ object EventsQ {
       .orderBy(col("stage").asc)
   }
 
+  /** Weekly cohort retention: users grouped by the week of their first
+    * `signup`, counted as retained in week-offset k if they produced
+    * ANY event k weeks after that cohort week. The cohort table is one
+    * min-ts aggregate per user; activities join it on user_id (same
+    * exchange family) and reduce to distinct (cohort, offset, user)
+    * before the final count — so the shuffle after the join carries
+    * key triples, not events. Weeks are epoch-day/7 buckets (stable
+    * across engines; date_trunc('week') is ISO-Monday in both but
+    * epoch arithmetic avoids timezone edges entirely).
+    */
+  val qRetention: Q = Q.sql(
+    "q_events_retention",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |cohort AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(MIN(ts)) / 604800.0) AS BIGINT) AS cohort_week
+      |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |hits AS (
+      |  SELECT DISTINCT c.cohort_week,
+      |    CAST(floor(epoch(e.ts) / 604800.0) AS BIGINT) - c.cohort_week AS week_offset,
+      |    e.user_id
+      |  FROM e JOIN cohort c USING (user_id)
+      |  WHERE CAST(floor(epoch(e.ts) / 604800.0) AS BIGINT) >= c.cohort_week)
+      |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      |FROM hits GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def week(ts: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(ts) / lit(604800.0)).cast(LongType)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(week(min("ts")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        (week(col("ts")) - col("cohort_week")).as("week_offset"), col("user_id"))
+      .filter(col("week_offset") >= 0)
+      .distinct()
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week").asc, col("week_offset").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
-    qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel)
+    qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
+    qRetention)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.Compactor
+
+/** Compaction contract: file count drops to the measured-bytes /
+  * target ratio, row content is untouched, and the swap leaves no
+  * temp/old residue next to the table.
+  */
+class CompactorSpec extends SparkSpecBase {
+
+  test("fragmented table compacts to measured-size file count, rows intact") {
+    val dir = Files.createTempDirectory("compact").resolve("t").toString
+    // 64 tiny files
+    spark.range(10000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(64).write.parquet(dir)
+    val beforeSum = spark.read.parquet(dir).agg(sum("v")).head.getLong(0)
+
+    val (before, after) = Compactor.compact(spark, dir)
+    assert(before == 64, s"fixture should fragment into 64 files, had $before")
+    assert(after == 1, s"tiny table must compact to 1 file, got $after")
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum("v")).head.getLong(0) == beforeSum)
+
+    // no .tmp-/.old- residue
+    val siblings = Files.list(java.nio.file.Paths.get(dir).getParent)
+      .toArray.map(_.toString)
+    assert(siblings.forall(s => !s.contains(".tmp-") && !s.contains(".old-")),
+      siblings.mkString(", "))
+  }
+
+  test("target size drives the output file count") {
+    val dir = Files.createTempDirectory("compact2").resolve("t").toString
+    spark.range(100000).select(col("id"), md5(col("id").cast("string")).as("pad"))
+      .repartition(40).write.parquet(dir)
+    val bytes = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    var total = 0L
+    bytes.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) total += Files.size(p)
+    }
+    // pick a target that should produce ~4 files from the measured bytes
+    val target = total / 4
+    val (_, after) = Compactor.compact(spark, dir, targetBytes = target)
+    assert(after >= 4 && after <= 5, s"expected ~4 files for bytes/target=4, got $after")
+    assert(spark.read.parquet(dir).count() == 100000)
+  }
+}

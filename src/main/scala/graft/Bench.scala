@@ -82,12 +82,17 @@ object Bench {
       }
     }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val subsetJson = only.fold("")(s =>
+      s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"sf":"$sfDir"$subsetJson}"""
     println(line)
     // stdout can get clipped by log interleaving (BENCH_r02 lost its
-    // tail); the file is the durable artifact
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // tail); the file is the durable artifact. Subset runs default to a
+    // separate file so a focused investigation can never clobber the
+    // checked-in full-catalog artifact with a partial total.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_out_subset.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -39,14 +39,28 @@ case class LshBandKeys(vec: Expression, bands: Expression, rowsPerBand: Expressi
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    if (vecOk && second.dataType == IntegerType && third.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
+    if (vecOk && second.dataType == IntegerType && third.dataType == IntegerType) {
+      // The 64-plane budget the Scala APIs enforce with require() must
+      // hold on the SQL surface too, or generated code dies with a bare
+      // ArrayIndexOutOfBoundsException. Literals (the only realistic SQL
+      // usage) are checked here at analysis time; non-foldable args fall
+      // through to the runtime guard in the eval paths.
+      (foldedInt(bands), foldedInt(rowsPerBand)) match {
+        case (Some(b), Some(r)) if b <= 0 || r <= 0 || r > 30 || b.toLong * r > LshBandKeys.maxPlanes =>
+          TypeCheckResult.TypeCheckFailure(
+            s"lsh_band_keys requires bands > 0, rows_per_band in [1, 30], and " +
+              s"bands * rows_per_band <= ${LshBandKeys.maxPlanes}; got bands=$b, rows_per_band=$r")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    } else
       TypeCheckResult.TypeCheckFailure(
         s"lsh_band_keys expects (array<float>, int, int), got " +
           s"(${vec.dataType.simpleString}, ${second.dataType.simpleString}, " +
           s"${third.dataType.simpleString})")
   }
+
+  private def foldedInt(e: Expression): Option[Int] =
+    if (e.foldable) Option(e.eval()).map(_.asInstanceOf[Int]) else None
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -62,6 +76,7 @@ case class LshBandKeys(vec: Expression, bands: Expression, rowsPerBand: Expressi
     val arr = v.asInstanceOf[ArrayData]
     val nBands = b.asInstanceOf[Int]
     val rpb = r.asInstanceOf[Int]
+    LshBandKeys.checkPlaneBudget(nBands, rpb)
     val planes = LshBandKeys.planes
     val n = math.min(arr.numElements(), LshBandKeys.embeddingDim)
     val keys = new Array[Int](nBands)
@@ -95,6 +110,7 @@ case class LshBandKeys(vec: Expression, bands: Expression, rowsPerBand: Expressi
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
+         |graft.expressions.LshBandKeys.checkPlaneBudget($b, $r);
          |final int $n = java.lang.Math.min($v.numElements(), ${LshBandKeys.embeddingDim});
          |final int[] $keys = new int[$b];
          |for (int $band = 0; $band < $b; $band++) {
@@ -119,6 +135,16 @@ object LshBandKeys {
 
   val embeddingDim = 64
   val maxPlanes = 64
+
+  /** Runtime form of the plane-budget contract, shared by interpreted
+    * eval and generated code (hence public + JVM-friendly signature).
+    */
+  def checkPlaneBudget(bands: Int, rowsPerBand: Int): Unit =
+    if (bands <= 0 || rowsPerBand <= 0 || rowsPerBand > 30 ||
+        bands.toLong * rowsPerBand > maxPlanes)
+      throw new IllegalArgumentException(
+        s"lsh_band_keys requires bands > 0, rows_per_band in [1, 30], and " +
+          s"bands * rows_per_band <= $maxPlanes; got bands=$bands, rows_per_band=$rowsPerBand")
 
   /** The shared seeded-Gaussian plane matrix — MUST stay identical to
     * VectorFunctions.planes (seed 7) for key bit-identity.

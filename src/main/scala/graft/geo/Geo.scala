@@ -256,28 +256,35 @@ object Geo {
   // Containment (spatial join support)
   // -------------------------------------------------------------------
 
+  /** Ray crossings of the horizontal ray from (x, y) with one ring —
+    * the shared primitive behind containsXY and the shapefile decoder's
+    * hole-attachment test, so boundary/fp behavior cannot drift between
+    * the two.
+    */
+  def ringCrossings(r: Ring, x: Double, y: Double): Int = {
+    var c = 0
+    var j = r.length - 1
+    var i = 0
+    while (i < r.length) {
+      val (xi, yi) = r(i)
+      val (xj, yj) = r(j)
+      if ((yi > y) != (yj > y)) {
+        val xint = xi + (y - yi) * (xj - xi) / (yj - yi)
+        if (x < xint) c += 1
+      }
+      j = i
+      i += 1
+    }
+    c
+  }
+
   /** Even-odd ray-cast point-in-polygon over all rings (holes handled
     * by crossing parity). Boundary behavior is fp-dependent — callers
     * joining against an exact oracle must keep test points off ring
     * edges.
     */
   def containsXY(g: Geom, x: Double, y: Double): Boolean = {
-    def crossings(r: Ring): Int = {
-      var c = 0
-      var j = r.length - 1
-      var i = 0
-      while (i < r.length) {
-        val (xi, yi) = r(i)
-        val (xj, yj) = r(j)
-        if ((yi > y) != (yj > y)) {
-          val xint = xi + (y - yi) * (xj - xi) / (yj - yi)
-          if (x < xint) c += 1
-        }
-        j = i
-        i += 1
-      }
-      c
-    }
+    def crossings(r: Ring): Int = ringCrossings(r, x, y)
     g match {
       case GPolygon(rings) => rings.map(crossings).sum % 2 == 1
       case GMultiPolygon(polys) => polys.exists(_.map(crossings).sum % 2 == 1)

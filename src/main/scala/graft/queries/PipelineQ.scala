@@ -129,6 +129,8 @@ object PipelineQ {
           val next = smallStar(largeStar(e)).localCheckpoint(true)
           val nextSig = signature(next)
           converged = nextSig == sig
+          e.unpersist() // superseded round frame — free its blocks now,
+          // not at session end (Bench runs this catalog repeatedly)
           e = next
           sig = nextSig
           rounds += 1
@@ -140,10 +142,17 @@ object PipelineQ {
         // its component min; centers label themselves below
         e.select(col("src").as("id"), col("dst").as("comp"))
       }
-    // isolated nodes (self-loop-only inputs) and star centers label themselves
-    nodes.join(labeled, Seq("id"), "left")
+    // isolated nodes (self-loop-only inputs) and star centers label themselves.
+    // Checkpoint the (small) label table so every intermediate block —
+    // input checkpoint + final edge fixpoint — can be freed immediately
+    // instead of living for the session.
+    val result = nodes.join(labeled, Seq("id"), "left")
       .groupBy("id").agg(min(col("comp")).as("mn"))
       .select(col("id"), coalesce(col("mn"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    e.unpersist()
+    in.unpersist()
+    result
   }
 
   /** Near-dup clusters over the exact jaccard pairs: every document in
@@ -183,9 +192,10 @@ object PipelineQ {
   val shardTokenBudget = 1000L
   private val packBucketSize = 100L
 
-  /** Pack documents (in doc_id order) into training shards of
-    * ~`shardTokenBudget` whitespace tokens: shard_id =
-    * floor(exclusive-prefix-sum(n_tokens) / budget).
+  /** Token-budget shard packing over (doc_id, n_tokens): shard_id =
+    * floor(exclusive-prefix-sum(n_tokens) / budget) in doc_id order —
+    * the ONE implementation behind qShardPack and qCurate, so the
+    * offset arithmetic cannot diverge between the two packing paths.
     *
     * Scale shape: a GLOBAL running sum is a single-task window, so the
     * prefix sum is two-phase — per-bucket (doc_id div bucketSize)
@@ -193,6 +203,35 @@ object PipelineQ {
     * (10^10 docs / 10^6-row buckets = 10^4 scalars), then a per-bucket
     * window + broadcast offset join. Deterministic: buckets derive from
     * doc_id, not partition layout.
+    *
+    * The input is cached: it feeds both the bucket-sum collect and the
+    * returned frame, and without the cache the entire upstream pipeline
+    * (scan, normalize, dedup shuffle, …) executes twice per run.
+    */
+  private[graft] def packIntoShards(in: DataFrame, budget: Long): DataFrame = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val toks = in.select(col("doc_id"), col("n_tokens"),
+      floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket")).cache()
+    val bucketSums = toks.groupBy("__bucket")
+      .agg(sum("n_tokens").as("bsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = bucketSums.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, bs)) => (b, acc + bs)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val w = Window.partitionBy("__bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsetDf, "__bucket")
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+          / lit(budget.toDouble)).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Pack documents (in doc_id order) into training shards of
+    * ~`shardTokenBudget` whitespace tokens — see [[packIntoShards]].
     */
   val qShardPack: Q = Q.sql(
     "q_doc_shard_pack",
@@ -206,26 +245,10 @@ object PipelineQ {
        |    / $shardTokenBudget.0) AS BIGINT) AS shard_id
        |FROM t
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket"))
-    val bucketSums = toks.groupBy("__bucket")
-      .agg(sum("n_tokens").as("bsum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = bucketSums.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, bs)) => (b, acc + bs)
-    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
-    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
-    val w = Window.partitionBy("__bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(offsetDf, "__bucket")
-      .withColumn("shard_id",
-        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
-          / lit(shardTokenBudget.toDouble)).cast(LongType))
-      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
-      .orderBy(col("doc_id").asc)
+    packIntoShards(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      shardTokenBudget)
   }
 
   // -------------------------------------------------------------------
@@ -622,26 +645,8 @@ object PipelineQ {
     val dedup = kept
       .groupBy(md5(col("norm_text").cast(BinaryType)))
       .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket"))
-    // two-phase prefix sum over the deduped survivors (same design as
-    // qShardPack: per-bucket partials, driver prefix over the tiny
-    // bucket-sum table, per-bucket window + broadcast offsets)
-    val bucketSums = dedup.groupBy("__bucket")
-      .agg(sum("n_tokens").as("bsum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = bucketSums.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, bs)) => (b, acc + bs)
-    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
-    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
-    val w = Window.partitionBy("__bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dedup.join(offsetDf, "__bucket")
-      .withColumn("shard_id",
-        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
-          / lit(shardTokenBudget.toDouble)).cast(LongType))
-      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
-      .orderBy(col("doc_id").asc)
+      .select(col("doc_id"), col("n_tokens"))
+    packIntoShards(dedup, shardTokenBudget)
   }
 
   // -------------------------------------------------------------------
@@ -756,10 +761,20 @@ object PipelineQ {
         |GROUP BY GROUPING SETS ((source), (lang), ())
         |ORDER BY lvl ASC, source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
     Q.sql("q_doc_corpus_profile", sql) { (s, d) =>
-      // the construct is SQL-only surface (Dataset API stops at
-      // rollup/cube), so the engine runs the identical statement
-      Tables.documents(s, d).createOrReplaceTempView("documents")
-      s.sql(sql)
+      // Native groupingSets (Spark 4.0+) — no temp view, so this query
+      // is side-effect-free like the rest of the catalog (a
+      // createOrReplaceTempView("documents") here would silently
+      // re-point the shared view other SQL consumers resolve against).
+      Tables.documents(s, d)
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq.empty),
+          col("source"), col("lang"))
+        .agg(
+          (grouping(col("source")) * 2 + grouping(col("lang")))
+            .cast(IntegerType).as("lvl"),
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").cast(LongType).as("sum_chars"))
+        .select(col("source"), col("lang"), col("lvl"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("lvl").asc, col("source").asc_nulls_first, col("lang").asc_nulls_first)
     }
   }
 

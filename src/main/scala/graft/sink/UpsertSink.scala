@@ -89,9 +89,13 @@ object UpsertSink {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      // sorted() drains the walk before the first delete, so removing
+      // entries during iteration cannot invalidate the stream
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 
   /** Strategy (b): PostgreSQL upsert statement generator
     * (storage.py:265-287). Every non-key column updates from EXCLUDED;

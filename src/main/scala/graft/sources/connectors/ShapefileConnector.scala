@@ -65,11 +65,15 @@ final class ShapefileConnector(client: HttpClient, cacheDir: String) {
   def resolveShp(extractedDir: Path, expectedName: String): Path = {
     val expected = extractedDir.resolve(expectedName)
     if (Files.exists(expected)) expected
-    else Files.walk(extractedDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".shp"))
-      .nextOption()
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"no .shp under $extractedDir"))
+    else {
+      val s = Files.walk(extractedDir)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".shp"))
+        .nextOption()
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no .shp under $extractedDir"))
+      finally s.close()
+    }
   }
 
   /** Decode the .shp (+ sibling .dbf) natively → (attrs…, geometry WKT)

@@ -98,21 +98,12 @@ object ShapefileReader {
     s / 2.0
   }
 
-  /** Even-odd ray cast: is p strictly inside ring? */
-  private[connectors] def contains(ring: Ring, p: Pt): Boolean = {
-    var inside = false
-    var i = 0
-    var j = ring.length - 1
-    while (i < ring.length) {
-      val (xi, yi) = ring(i)
-      val (xj, yj) = ring(j)
-      if ((yi > p._2) != (yj > p._2) &&
-          p._1 < (xj - xi) * (p._2 - yi) / (yj - yi) + xi) inside = !inside
-      j = i
-      i += 1
-    }
-    inside
-  }
+  /** Even-odd ray cast: is p strictly inside ring? Delegates to the
+    * shared Geo primitive so decoder hole-attachment and query-side
+    * containment cannot drift.
+    */
+  private[connectors] def contains(ring: Ring, p: Pt): Boolean =
+    Geo.ringCrossings(ring, p._1, p._2) % 2 == 1
 
   /** ESRI ring soup → Polygon/MultiPolygon: clockwise (area ≤ 0) rings
     * are outers; each hole attaches to the outer containing its first
@@ -185,9 +176,14 @@ object ShapefileReader {
     if (raw.isEmpty || raw.forall(_ == '*')) null
     else f.fieldType match {
       case 'C' => raw
-      case 'N' | 'F' =>
-        if (f.decimals > 0 || raw.contains('.')) raw.toDoubleOption.orNull
-        else raw.toLongOption.orNull
+      // Decoded value must match sparkType(f) exactly or createDataFrame
+      // rejects the row at materialization: 'F' is a float regardless of
+      // the decimals byte; 'N' with decimals=0 is integral, but lenient
+      // writers emit decimal text there — truncate rather than crash.
+      case 'F' => raw.toDoubleOption.orNull
+      case 'N' =>
+        if (f.decimals > 0) raw.toDoubleOption.orNull
+        else raw.toLongOption.orElse(raw.toDoubleOption.map(_.toLong)).orNull
       case 'D' =>
         try java.sql.Date.valueOf(LocalDate.parse(raw, dbfDate))
         catch { case _: Exception => null }
@@ -202,7 +198,8 @@ object ShapefileReader {
 
   private def sparkType(f: DbfField): DataType = f.fieldType match {
     case 'C' => StringType
-    case 'N' | 'F' => if (f.decimals > 0) DoubleType else LongType
+    case 'F' => DoubleType
+    case 'N' => if (f.decimals > 0) DoubleType else LongType
     case 'D' => DateType
     case 'L' => BooleanType
     case _ => StringType

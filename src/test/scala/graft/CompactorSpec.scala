@@ -49,4 +49,29 @@ class CompactorSpec extends SparkSpecBase {
     assert(after >= 4 && after <= 5, s"expected ~4 files for bytes/target=4, got $after")
     assert(spark.read.parquet(dir).count() == 100000)
   }
+
+  test("recover restores a table stranded mid-swap and clears residue") {
+    val base = Files.createTempDirectory("compact3")
+    val dir = base.resolve("t")
+    spark.range(100).write.parquet(dir.toString)
+    // simulate a crash between the two moves: live path gone, table
+    // intact under .old-*; plus a stale .tmp-* from an earlier attempt
+    Files.move(dir, base.resolve("t.old-deadbeef"))
+    val tmp = base.resolve("t.tmp-cafe")
+    Files.createDirectory(tmp)
+    Files.write(tmp.resolve("junk"), Array[Byte](1, 2, 3))
+
+    Compactor.recover(dir)
+    assert(Files.exists(dir), "recover must restore the live path")
+    assert(!Files.exists(base.resolve("t.old-deadbeef")))
+    assert(!Files.exists(tmp))
+    assert(spark.read.parquet(dir.toString).count() == 100)
+
+    // compact() itself recovers first, so a stranded table is usable
+    // with no separate manual step
+    Files.move(dir, base.resolve("t.old-feed"))
+    val (_, after) = Compactor.compact(spark, dir.toString)
+    assert(after == 1)
+    assert(spark.read.parquet(dir.toString).count() == 100)
+  }
 }

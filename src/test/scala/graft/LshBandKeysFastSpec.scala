@@ -68,4 +68,20 @@ class LshBandKeysFastSpec extends SparkSpecBase {
     assert(plan.contains("lsh_band_keys"), plan)
     assert(!plan.contains("lshBandKeys"), s"UDF must not appear:\n$plan")
   }
+
+  test("SQL surface rejects plane-budget violations at analysis time") {
+    LshBandKeys.ensureRegistered(spark)
+    import spark.implicits._
+    Seq((1L, Seq(1f, 2f))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .createOrReplaceTempView("lsh_guard_t")
+    // 32 bands x 4 rows = 128 planes > the 64-plane budget: must fail
+    // during analysis with the contract message, not die later with a
+    // bare ArrayIndexOutOfBoundsException inside generated code
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_band_keys(v, 32, 4) FROM lsh_guard_t").collect()
+    }
+    assert(ex.getMessage.contains("bands * rows_per_band"), ex.getMessage)
+    spark.catalog.dropTempView("lsh_guard_t")
+  }
 }

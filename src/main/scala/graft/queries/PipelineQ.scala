@@ -208,7 +208,11 @@ object PipelineQ {
     * returned frame, and without the cache the entire upstream pipeline
     * (scan, normalize, dedup shuffle, …) executes twice per run.
     */
-  private[graft] def packIntoShards(in: DataFrame, budget: Long): DataFrame = {
+  /** (doc_id, n_tokens) → + `__start`, the EXCLUSIVE prefix sum of
+    * n_tokens in doc_id order, computed with the two-phase design
+    * above. The primitive behind shard packing and sequence spans.
+    */
+  private def withExclusivePrefixSum(in: DataFrame): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
     val toks = in.select(col("doc_id"), col("n_tokens"),
@@ -223,12 +227,17 @@ object PipelineQ {
     val w = Window.partitionBy("__bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.join(offsetDf, "__bucket")
-      .withColumn("shard_id",
-        floor((sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
-          / lit(budget.toDouble)).cast(LongType))
-      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
-      .orderBy(col("doc_id").asc)
+      .withColumn("__start",
+        (sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("__start"))
   }
+
+  private[graft] def packIntoShards(in: DataFrame, budget: Long): DataFrame =
+    withExclusivePrefixSum(in)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("__start") / lit(budget.toDouble)).cast(LongType).as("shard_id"))
+      .orderBy(col("doc_id").asc)
 
   /** Pack documents (in doc_id order) into training shards of
     * ~`shardTokenBudget` whitespace tokens — see [[packIntoShards]].
@@ -249,6 +258,56 @@ object PipelineQ {
       Tables.documents(s, d).select(col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens")),
       shardTokenBudget)
+  }
+
+  // -------------------------------------------------------------------
+  // Fixed-context sequence spans
+  // -------------------------------------------------------------------
+
+  /** Pretraining-batch geometry: concatenate the corpus in doc_id
+    * order and cut it into fixed `seqLen`-token training sequences
+    * (tokens cross document boundaries, the standard packed-sequence
+    * regime). Per document: the first and last sequence it lands in
+    * and how many it spans — the bookkeeping a data loader needs to
+    * attribute sequences back to documents (and the shape of the
+    * boundary-index sidecar file a packed dataset ships with).
+    *
+    * Same scale shape as shard packing: the only non-per-row work is
+    * the two-phase exclusive prefix sum (no global window). Positions
+    * are exact at any corpus size a Double can index (< 2^53 tokens).
+    */
+  val seqLen = 128L
+
+  val qSeqSpans: Q = Q.sql(
+    "q_doc_seq_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+       |  FROM t WHERE n_tokens >= 1)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(st / $seqLen.0) AS BIGINT) AS first_seq,
+       |  CAST(floor((st + n_tokens - 1) / $seqLen.0) AS BIGINT) AS last_seq,
+       |  CAST(floor((st + n_tokens - 1) / $seqLen.0)
+       |     - floor(st / $seqLen.0) + 1 AS BIGINT) AS n_seqs
+       |FROM p
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val lastTok = col("__start") + col("n_tokens") - 1
+    withExclusivePrefixSum(toks)
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("__start") / lit(seqLen.toDouble)).cast(LongType).as("first_seq"),
+        floor(lastTok / lit(seqLen.toDouble)).cast(LongType).as("last_seq"),
+        (floor(lastTok / lit(seqLen.toDouble))
+          - floor(col("__start") / lit(seqLen.toDouble)) + 1)
+          .cast(LongType).as("n_seqs"))
+      .orderBy(col("doc_id").asc)
   }
 
   // -------------------------------------------------------------------
@@ -809,7 +868,7 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qStratifiedSample, qNormalize,
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qCorpusProfile, qQualityCut)

@@ -102,6 +102,30 @@ class PipelineQSpec extends SparkSpecBase {
     assert(shardIds.sliding(2).forall(w => w.length < 2 || w(1) == w(0) || w(1) == w(0) + 1))
   }
 
+  test("sequence spans tile the concatenated token stream exactly") {
+    val L = PipelineQ.seqLen
+    val out = SparkEntry.queries("q_doc_seq_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // recompute the packed-sequence geometry sequentially: doc i owns
+    // token positions [cum, cum+n), sequence s owns [s*L, (s+1)*L)
+    var cum = 0L
+    out.foreach { case (id, n, first, last, nSeqs) =>
+      assert(first == cum / L, s"doc $id first_seq")
+      assert(last == (cum + n - 1) / L, s"doc $id last_seq")
+      assert(nSeqs == last - first + 1, s"doc $id n_seqs")
+      cum += n
+    }
+    // consecutive docs abut: the next doc starts in the sequence the
+    // previous one ended in, or the one right after (never a gap)
+    out.sliding(2).foreach {
+      case Array((_, _, _, lastA, _), (_, _, firstB, _, _)) =>
+        assert(firstB == lastA || firstB == lastA + 1)
+      case _ => ()
+    }
+    assert(out.head._3 == 0L, "the stream starts at sequence 0")
+  }
+
   test("stratified sample is deterministic and near the target per-language rates") {
     val q = SparkEntry.queries("q_doc_stratified_sample")
     val once = q(spark, sfDir).collect().map(_.getLong(0)).toSeq

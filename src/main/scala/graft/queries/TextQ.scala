@@ -88,6 +88,56 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Unigram LM quality scoring (the CCNet/Wikipedia-LM filter shape):
+    * train a unigram model on the corpus itself, then score each
+    * document by its mean token surprisal — high-surprisal docs are
+    * gibberish/rare-token soup, low-surprisal docs are boilerplate;
+    * curation keeps the middle band.
+    *
+    * Surprisal is QUANTIZED to integer bits (ilog2(total) − ilog2(c_w)
+    * via `length(bin(x)) − 1`, within 1 bit of −log2 p) so every
+    * aggregate is an exact integer sum in both engines — a true
+    * Σ ln(c_w) is a sum of transcendentals whose value depends on
+    * accumulation order and libm rounding, which the oracle hash
+    * contract (QueryDef) forbids. The final mean divides identical
+    * integer operands as doubles (bit-identical IEEE division).
+    *
+    * Scale shape: one shuffle to count the vocab, a broadcast of the
+    * (token, bits) table back onto the exploded stream, one shuffle to
+    * re-aggregate per doc. At web scale the broadcast becomes top-K
+    * vocab + an OOV ceiling (max surprisal) — the filter's standard
+    * form; the plan shape is unchanged.
+    */
+  val qUnigramSurprisal: Q = Q.sql(
+    "q_doc_unigram_surprisal",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+      |tot AS (SELECT SUM(c) AS tt FROM v),
+      |s AS (
+      |  SELECT t.doc_id, length(bin(tot.tt)) - length(bin(v.c)) AS bits
+      |  FROM t JOIN v USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
+      |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
+      |FROM s GROUP BY doc_id
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("tt"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), (length(bin(col("tt"))) - length(bin(col("c"))))
+        .cast(LongType).as("bits"))
+    exploded.join(broadcast(scored), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast(DoubleType) / col("n_tokens")).as("mean_bits"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
     * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
     * Emits pairs(doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
@@ -323,7 +373,7 @@ object TextQ {
   }
 
   val all: Seq[Q] = Seq(
-    qExactDedup, qTokenCount, qQualityScore, qNgramJaccard, qMinhashLsh,
-    qSimhash, qLangId, qFingerprint, qBinaryMeta, qTokensExploded,
+    qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qNgramJaccard,
+    qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta, qTokensExploded,
     qFingerprintNearDup)
 }

@@ -61,4 +61,19 @@ class TextFunctionsSpec extends SparkSpecBase {
     // true jaccard of the 3-shingle sets: |∩|=18, |∪|=28 → ≈ 0.643
     assert(est > 0.2 && est < 1.0, s"estimate $est implausible for J≈0.64")
   }
+
+  test("unigram surprisal: quantized bits match hand computation") {
+    // corpus: 'a' x5, 'b' x1 -> total 6 tokens
+    // ilog2 via length(bin(x))-1: ilog2(6)=2, ilog2(5)=2, ilog2(1)=0
+    // bits(a) = 2-2 = 0; bits(b) = 2-0 = 2
+    val docs = Seq(
+      (1L, "a a a a", "en", "t", 0L),
+      (2L, "a b", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("surprisal_fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_unigram_surprisal")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
+  }
 }

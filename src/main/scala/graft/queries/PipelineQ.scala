@@ -798,6 +798,58 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Snapshot diff (change capture between crawls)
+  // -------------------------------------------------------------------
+
+  /** Change capture between two corpus snapshots — the bookkeeping op
+    * an incremental pipeline runs per crawl: which documents were
+    * added, removed, changed (same id, different content hash), or
+    * unchanged. Snapshots are simulated from the one synthetic table
+    * (old = doc_id % 5 ≠ 4, new = doc_id % 5 ≠ 0, content of
+    * doc_id % 5 = 1 "edited" in new), which exercises all four states
+    * deterministically.
+    *
+    * Scale shape: both sides project to (doc_id, 16-byte md5) BEFORE
+    * the full-outer join, so the shuffle carries hashes, never text;
+    * with both snapshots bucketed on doc_id the join runs with zero
+    * Exchange (BucketedJoinSpec proves the layout).
+    */
+  val qSnapshotDiff: Q = Q.sql(
+    "q_doc_snapshot_diff",
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 4),
+      |new AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // distinct column names on each side: both frames derive from the
+    // same scan, and Dataset-column references are ambiguous in a
+    // self-join
+    val old = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id").as("o_id"), md5(col("text").cast(BinaryType)).as("o_h"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("n_id"),
+        md5(when(col("doc_id") % 5 === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).cast(BinaryType)).as("n_h"))
+    old.join(nw, col("o_id") === col("n_id"), "full_outer")
+      .select(
+        coalesce(col("o_id"), col("n_id")).as("doc_id"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Corpus profile (GROUPING SETS)
   // -------------------------------------------------------------------
 
@@ -871,5 +923,5 @@ object PipelineQ {
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qIncrementalDedup, qCorpusProfile, qQualityCut)
+    qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
 }

@@ -239,4 +239,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!exchanges.contains("text"),
       s"document text crossed a shuffle boundary:\n$exchanges")
   }
+
+  test("sequence spans reuse the bucketed prefix sum — no single-task global window") {
+    val p = plan("q_doc_seq_spans")
+    assert(!p.contains("SinglePartition"),
+      s"global window detected — the two-phase prefix sum regressed:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__bucket"),
+      s"window must partition by __bucket: $windowLine")
+  }
+
+  test("unigram surprisal broadcasts the vocab — document tokens shuffle once for the doc rollup") {
+    val p = plan("q_doc_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      "scoring join must not shuffle the exploded token stream against the vocab")
+    // partial aggregation before the per-doc shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
 }

@@ -183,6 +183,54 @@ object SimilarityQ {
       k = 16, nProbe = 6, topK = topK)
   }
 
+  /** Int8 scalar quantization of the embedding column — the memory
+    * lever that makes vector search shippable at 100 TB: per-dimension
+    * corpus min/max, each float mapped to floor((x−mn)·255/(mx−mn)) in
+    * [0,255], shrinking the resident index 4× (float32 → uint8) at a
+    * reconstruction error bounded by (mx−mn)/255 per dimension.
+    *
+    * Scale shape: the stats pass is one shuffle keyed by dimension
+    * index (64 keys, partial agg first) producing a 64-row table that
+    * broadcasts back onto the stream — the corpus quantizes in the
+    * scan stage.
+    *
+    * Oracle determinism: min/max are exact float comparisons; the
+    * quantization expression is evaluated in IEEE double with the same
+    * operand order in both engines ((x−mn)·255 then ÷(mx−mn)), and
+    * floor of identical doubles is identical — no transcendentals, no
+    * accumulation order.
+    */
+  val qEmbQuantize: Q = Q.sql(
+    "q_emb_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+      |    embedding[CAST(i AS INT)] AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+      |st AS (
+      |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim)
+      |SELECT e.vec_id, e.dim,
+      |  CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(least(255.0, floor(
+      |         (CAST(e.x AS DOUBLE) - CAST(st.mn AS DOUBLE)) * 255.0
+      |           / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)))) AS BIGINT)
+      |  END AS code
+      |FROM e JOIN st USING (dim)
+      |ORDER BY vec_id ASC, dim ASC""".stripMargin) { (s, d) =>
+    val exploded = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val stats = exploded.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    exploded.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255.0), floor(
+            (col("x").cast(DoubleType) - col("mn").cast(DoubleType)) * 255.0
+              / (col("mx").cast(DoubleType) - col("mn").cast(DoubleType))))
+            .cast(LongType))
+          .as("code"))
+      .orderBy(col("vec_id").asc, col("dim").asc)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
-    qEmbeddingNearDupLsh)
+    qEmbeddingNearDupLsh, qEmbQuantize)
 }

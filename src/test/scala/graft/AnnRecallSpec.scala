@@ -48,4 +48,25 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(checked.nonEmpty)
     checked.foreach { case (e, a) => assert(e == a, s"score mismatch: $e vs $a") }
   }
+
+  test("int8 quantization reconstructs within the per-dim bound (mx-mn)/255") {
+    import org.apache.spark.sql.functions._
+    val codes = SparkEntry.queries("q_emb_quantize")(spark, sfDir)
+    val exploded = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val stats = exploded.groupBy("dim")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    // dequantize with the bucket midpoint and check |x - xhat| <= w where
+    // w = (mx-mn)/255 is the bucket width (midpoint guarantees w/2 for
+    // interior buckets; the clamped top bucket still stays within w)
+    val bad = codes.join(exploded, Seq("vec_id", "dim")).join(stats, "dim")
+      .withColumn("w", (col("mx").cast("double") - col("mn").cast("double")) / 255.0)
+      .withColumn("xhat", col("mn").cast("double") + (col("code").cast("double") + 0.5) * col("w"))
+      .filter(abs(col("x").cast("double") - col("xhat")) > col("w"))
+      .count()
+    assert(bad == 0L, s"$bad values reconstruct outside the quantization bound")
+    // codes use the full [0, 255] range on this corpus
+    val r = codes.agg(min("code"), max("code")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 255L, r.toString)
+  }
 }

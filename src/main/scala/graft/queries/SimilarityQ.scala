@@ -231,6 +231,48 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc, col("dim").asc)
   }
 
+  /** ANN over the int8-quantized index (asymmetric distance: float
+    * queries against dequantized bucket-midpoint corpus vectors) —
+    * what a memory-resident quantized index actually retrieves. The
+    * quantize→dequantize round trip happens per element inside one
+    * `transform` over the scan (no code table materialized, no extra
+    * shuffle); the per-dim (mn, bucket-width) vectors are a 64-scalar
+    * driver collect, the same size class as the shard-pack bucket sums.
+    * Rows-only gate; AnnRecallSpec measures recall@10 against the
+    * exact brute-force path.
+    */
+  val qAnnQuantized: Q = Q.rowsOnly("q_ann_quantized") { (s, d) =>
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+      .sortBy(_._1)
+    val mnArr = stats.map(_._2)
+    val rangeArr = stats.map { case (_, mn, mx) => if (mx > mn) mx - mn else 1.0f }
+    val mnCol = array(mnArr.map(lit(_)).toIndexedSeq: _*)
+    val rangeCol = array(rangeArr.map(lit(_)).toIndexedSeq: _*)
+    val dequant = transform(col("embedding"), (x, i) => {
+      val mn = element_at(mnCol, i + 1)
+      val range = element_at(rangeCol, i + 1)
+      val code = floor(least(lit(255.0), (x - mn) * 255.0 / range))
+      (mn + (code + 0.5) * range / 255.0).cast(FloatType)
+    })
+    val corpus = emb.select(col("vec_id"), dequant.as("xhat"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fastCosine(col("q_emb"), col("xhat")).as("score"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
-    qEmbeddingNearDupLsh, qEmbQuantize)
+    qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized)
 }

@@ -69,4 +69,21 @@ class AnnRecallSpec extends SparkSpecBase {
     val r = codes.agg(min("code"), max("code")).head()
     assert(r.getLong(0) == 0L && r.getLong(1) == 255L, r.toString)
   }
+
+  test("q_ann_quantized recall@10 vs q_ann_bruteforce (int8 index fidelity)") {
+    val exact = neighborSets(
+      SparkEntry.queries("q_ann_bruteforce")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect())
+    val quant = neighborSets(
+      SparkEntry.queries("q_ann_quantized")(spark, sfDir)
+        .select("query_id", "neighbor_id").collect())
+    assert(quant.keySet == exact.keySet, "every query must return results")
+    // 64-dim int8 with per-dim scaling distorts cosine very little:
+    // demand high recall, not the looser LSH bar
+    val recalls = exact.map { case (q, e) =>
+      quant(q).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean < 0.8 (per-query: $recalls)")
+  }
 }

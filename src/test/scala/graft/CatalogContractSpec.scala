@@ -14,6 +14,7 @@ class CatalogContractSpec extends AnyFunSuite {
   /** rows-only query → its ground-truth spec class (must exist). */
   private val rowsOnlySpecs: Map[String, String] = Map(
     "q_ann_lsh" -> "graft.AnnRecallSpec",
+    "q_ann_quantized" -> "graft.AnnRecallSpec",
     "q_ann_ivf" -> "graft.IvfAnnSpec",
     "q_embedding_neardup_lsh" -> "graft.EmbeddingNearDupSpec",
     "q_doc_minhash_lsh" -> "graft.MinhashRecallSpec",

@@ -351,7 +351,48 @@ object EventsQ {
       .orderBy(col("cohort_week").asc, col("week_offset").asc)
   }
 
+  /** Per-type z-score outlier detection — the monitoring query an event
+    * pipeline runs to flag anomalous values (|z| > 3 against the
+    * event_type's own distribution).
+    *
+    * Scale shape: the stats table is one tiny groupBy (a handful of
+    * event types, partial agg first) broadcast back onto the scan; the
+    * event stream filters in place, no second shuffle.
+    *
+    * Oracle determinism: mean and variance come from DECIMAL-exact
+    * sums (Σv, Σv² — order-independent in any engine); the z
+    * expression then runs the same IEEE double ops on those exact
+    * operands in both engines (sqrt is correctly rounded per IEEE 754,
+    * so even it is bit-identical).
+    */
+  val qAnomaly: Q = Q.sql(
+    "q_events_anomaly",
+    """WITH st AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - s / n) / sqrt((ss - s * s / n) / n) AS z
+      |FROM events e JOIN st USING (event_type)
+      |WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / n)) > 3.0
+      |ORDER BY event_id ASC""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type").agg(
+      sum(dec(col("value"))).cast(DoubleType).as("s"),
+      sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"),
+      count(lit(1)).cast(DoubleType).as("n"))
+    val z = (col("value") - col("s") / col("n")) /
+      sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
-    qRetention)
+    qRetention, qAnomaly)
 }

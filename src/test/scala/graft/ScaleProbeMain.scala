@@ -64,6 +64,19 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_contamination_bloom")(spark, bigDir).count()
     }
 
+    // --- round-3 late additions at 10x: prefix-sum family + scoring ----
+    // (seq spans and surprisal are linear scans + bounded shuffles; the
+    // probe checks the wall time scales like the corpus, not worse)
+    time(s"seq_spans_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_seq_spans")(spark, bigDir).count()
+    }
+    time(s"unigram_surprisal_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_unigram_surprisal")(spark, bigDir).count()
+    }
+    time(s"snapshot_diff_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_snapshot_diff")(spark, bigDir).count()
+    }
+
     // --- incremental dedup against the persistent bucketed index ------
     val big = spark.read.parquet(s"$bigDir/documents.parquet")
     spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")

@@ -146,8 +146,10 @@ object LshBandKeys {
         s"lsh_band_keys requires bands > 0, rows_per_band in [1, 30], and " +
           s"bands * rows_per_band <= $maxPlanes; got bands=$bands, rows_per_band=$rowsPerBand")
 
-  /** The shared seeded-Gaussian plane matrix — MUST stay identical to
-    * VectorFunctions.planes (seed 7) for key bit-identity.
+  /** THE seeded-Gaussian plane matrix (seed 7) — the single definition
+    * both the native expression and VectorFunctions' UDF read, so the
+    * two surfaces cannot drift (bit-identity also pinned by
+    * LshBandKeysFastSpec).
     */
   private[graft] lazy val planes: Array[Array[Double]] = {
     val rng = new scala.util.Random(7)

@@ -54,10 +54,11 @@ object VectorFunctions {
   val embeddingDim = 64
   private val maxPlanes = 64
 
-  private lazy val planes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(7)
-    Array.fill(maxPlanes, embeddingDim)(rng.nextGaussian())
-  }
+  // THE plane matrix — defined once in LshBandKeys and shared here so
+  // the UDF and the native codegen expression cannot drift (key parity
+  // is also pinned by LshBandKeysFastSpec, but sharing removes the
+  // hazard at the source, like Geo.ringCrossings for the ray cast).
+  private def planes: Array[Array[Double]] = graft.expressions.LshBandKeys.planes
 
   /** Band keys: one Int per band = (band index << r) | sign bits of that
     * band's hyperplane projections. Band index is baked into the key so a

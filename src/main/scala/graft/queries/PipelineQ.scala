@@ -190,7 +190,8 @@ object PipelineQ {
   // -------------------------------------------------------------------
 
   val shardTokenBudget = 1000L
-  private val packBucketSize = 100L
+  private val minBucketSize = 100L
+  private val maxDriverBuckets = 8192L
 
   /** Token-budget shard packing over (doc_id, n_tokens): shard_id =
     * floor(exclusive-prefix-sum(n_tokens) / budget) in doc_id order —
@@ -199,25 +200,37 @@ object PipelineQ {
     *
     * Scale shape: a GLOBAL running sum is a single-task window, so the
     * prefix sum is two-phase — per-bucket (doc_id div bucketSize)
-    * partial sums, a driver-side prefix over the tiny bucket-sum table
-    * (10^10 docs / 10^6-row buckets = 10^4 scalars), then a per-bucket
-    * window + broadcast offset join. Deterministic: buckets derive from
-    * doc_id, not partition layout.
+    * partial sums, a driver-side prefix over the bucket-sum table,
+    * then a per-bucket window + broadcast offset join. The bucket size
+    * ADAPTS to the id range (max(doc_id) / maxDriverBuckets, floored
+    * at minBucketSize), so the driver never holds more than ~8192
+    * scalars at ANY corpus size — 10^10 docs collect the same few KB
+    * as the fixture corpus — while small corpora still split into
+    * enough buckets to exercise (and parallelize) the two-phase path.
+    * Deterministic: buckets derive from doc_id values only, never from
+    * partition layout or row order.
     *
-    * The input is cached: it feeds both the bucket-sum collect and the
-    * returned frame, and without the cache the entire upstream pipeline
-    * (scan, normalize, dedup shuffle, …) executes twice per run.
-    */
-  /** (doc_id, n_tokens) → + `__start`, the EXCLUSIVE prefix sum of
-    * n_tokens in doc_id order, computed with the two-phase design
-    * above. The primitive behind shard packing and sequence spans.
+    * The input is cached: it feeds the max-id scan, the bucket-sum
+    * collect, AND the returned frame — without the cache the entire
+    * upstream pipeline (scan, normalize, dedup shuffle, …) executes
+    * three times per run. The cache lives until the caller's session
+    * drops it (Bench clearCache()s between queries; Verify sessions
+    * are per-run) — the result frame still reads it lazily, so this
+    * helper cannot unpersist it itself.
     */
   private def withExclusivePrefixSum(in: DataFrame): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
-    val toks = in.select(col("doc_id"), col("n_tokens"),
-      floor(col("doc_id") / packBucketSize).cast(LongType).as("__bucket")).cache()
-    val bucketSums = toks.groupBy("__bucket")
+    val toks = in.select(col("doc_id"), col("n_tokens")).cache()
+    // materializes the cache; the two downstream passes read it back
+    val maxId = toks.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val bucketSize = math.max(minBucketSize, maxId / maxDriverBuckets + 1)
+    val bucketed = toks.withColumn("__bucket",
+      floor(col("doc_id") / bucketSize).cast(LongType))
+    val bucketSums = bucketed.groupBy("__bucket")
       .agg(sum("n_tokens").as("bsum"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = bucketSums.scanLeft((0L, 0L)) {
@@ -226,7 +239,7 @@ object PipelineQ {
     val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
     val w = Window.partitionBy("__bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.join(offsetDf, "__bucket")
+    bucketed.join(offsetDf, "__bucket")
       .withColumn("__start",
         (sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
           .cast(LongType))
@@ -590,6 +603,10 @@ object PipelineQ {
       .filter(size(col("tok")) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
+    // cache + broadcast live until the caller's session drops them
+    // (Bench clearCache()s between queries; Verify is per-run) — the
+    // returned frame reads both lazily, so unpersisting here would
+    // recompute the whole shingle pipeline at materialization
     val bench = sh.filter(col("doc_id") < 10).select("g").distinct().cache()
     val n = bench.count()
     val bloom = bench.stat.bloomFilter("g", math.max(n, 1000L), 0.01)

@@ -1,7 +1,6 @@
 package graft.sink
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -88,14 +87,7 @@ object UpsertSink {
     } finally df.unpersist()
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      // sorted() drains the walk before the first delete, so removing
-      // entries during iteration cannot invalidate the stream
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Strategy (b): PostgreSQL upsert statement generator
     * (storage.py:265-287). Every non-key column updates from EXCLUDED;

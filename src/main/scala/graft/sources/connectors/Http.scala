@@ -17,6 +17,17 @@ final case class HttpResponse(
     */
   def body: String = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   def isSuccess: Boolean = status >= 200 && status < 300
+
+  // case-class equality on an Array field is reference identity —
+  // compare payload by content so structurally-equal responses match
+  override def equals(other: Any): Boolean = other match {
+    case that: HttpResponse =>
+      status == that.status && headers == that.headers &&
+        java.util.Arrays.equals(bytes, that.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (status, java.util.Arrays.hashCode(bytes), headers).##
 }
 
 object HttpResponse {

@@ -74,4 +74,27 @@ class CompactorSpec extends SparkSpecBase {
     assert(after == 1)
     assert(spark.read.parquet(dir.toString).count() == 100)
   }
+
+  test("partitioned layout compacts per leaf: directories, column, and type survive") {
+    val base = Files.createTempDirectory("compact4")
+    val dir = base.resolve("t").toString
+    // ShardSink-style layout: shard_id=N/ leaves, fragmented files inside
+    spark.range(2000)
+      .select(col("id"), (col("id") % 4).as("shard_id"))
+      .repartition(16)
+      .write.partitionBy("shard_id").parquet(dir)
+    val beforeSchema = spark.read.parquet(dir).schema
+    val (before, after) = Compactor.compact(spark, dir)
+    assert(before > after, s"$before -> $after")
+    // the shard_id=N directories still exist (one compacted file each)
+    val leaves = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.contains("shard_id="))
+    assert(leaves.length == 4, leaves.mkString(", "))
+    // rows, partition column, and its inferred type are unchanged
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    assert(back.schema == beforeSchema,
+      s"schema drifted: $beforeSchema -> ${back.schema}")
+    assert(back.groupBy("shard_id").count().count() == 4)
+  }
 }

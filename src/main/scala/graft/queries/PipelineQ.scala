@@ -324,6 +324,61 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Overlapping document chunking
+  // -------------------------------------------------------------------
+
+  /** Split each document into overlapping `chunkLen`-token windows at
+    * `chunkStride` spacing — the chunker a retrieval/embedding pipeline
+    * runs before vectorizing (overlap keeps sentences that straddle a
+    * boundary retrievable from both sides). The last chunk is the one
+    * containing the final token; documents at or under one window stay
+    * whole.
+    *
+    * Scale shape: pure per-row generate (tokens → slice per window) —
+    * no shuffle at all before the output sort; the output is bounded
+    * by n_tokens/stride rows per doc. All chunk arithmetic is integer
+    * (ceil via (n−L+S−1) div S), so the oracle is exact.
+    */
+  val chunkLen = 50
+  val chunkStride = 40
+
+  val qChunk: Q = Q.sql(
+    "q_doc_chunk",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= 1),
+       |t3 AS (SELECT *, CASE WHEN n <= $chunkLen THEN 1
+       |  ELSE 1 + CAST((n - $chunkLen + ${chunkStride - 1}) // $chunkStride AS BIGINT)
+       |  END AS n_chunks FROM t2),
+       |c AS (SELECT doc_id, tok, n, unnest(range(0, n_chunks)) AS k FROM t3)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |  CAST(least($chunkLen, n - k * $chunkStride) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(list_slice(tok, k * $chunkStride + 1,
+       |    least(k * $chunkStride + $chunkLen, n)), ' ') AS chunk_text
+       |FROM c
+       |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .withColumn("n", size(col("tok")))
+      .filter(col("n") >= 1)
+      .withColumn("n_chunks",
+        when(col("n") <= chunkLen, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("n") - chunkLen + (chunkStride - 1)) / chunkStride)
+              .cast(LongType)))
+      .select(col("doc_id"), col("tok"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+    t.select(col("doc_id"), col("k").as("chunk_id"),
+        least(lit(chunkLen.toLong), col("n") - col("k") * chunkStride)
+          .cast(LongType).as("n_chunk_tokens"),
+        array_join(slice(col("tok"),
+          (col("k") * chunkStride + 1).cast(IntegerType), lit(chunkLen)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Stratified sampling
   // -------------------------------------------------------------------
 
@@ -937,7 +992,7 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qStratifiedSample, qNormalize,
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)

@@ -213,4 +213,24 @@ class PipelineQSpec extends SparkSpecBase {
       .collect().map(_.getString(0))
     assert(hashes(0) == hashes(1))
   }
+
+  test("chunking: overlapping windows tile the doc and the tail is covered") {
+    // 130 tokens, L=50, stride=40 -> chunks [1,50], [41,90], [81,130]
+    val words = (1 to 130).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words, "en", "t", 0L), (2L, "tiny doc", "en", "t", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._3).toSeq == Seq(50L, 50L, 50L))
+    assert(d1(0)._4.startsWith("w1 ") && d1(0)._4.endsWith(" w50"))
+    assert(d1(1)._4.startsWith("w41 ") && d1(1)._4.endsWith(" w90"))
+    assert(d1(2)._4.startsWith("w81 ") && d1(2)._4.endsWith(" w130"))
+    // short doc stays whole
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, 2L, "tiny doc")))
+  }
 }

@@ -37,11 +37,21 @@ final class UrlConnector(client: HttpClient, cacheDir: String) {
     target
   }
 
-  /** S4/S11 — extension-dispatched reader. */
+  /** S4/S11 — extension-dispatched reader. Malformed rows must never
+    * kill a 100 TB ingest: PERMISSIVE mode (made explicit, not left to
+    * the default) quarantines unparseable JSON lines into
+    * `_corrupt_record` so the job completes and the bad rows stay
+    * inspectable/countable downstream (the validator's concern, not
+    * the scan's).
+    */
   def read(spark: SparkSession, path: Path): DataFrame = {
     val p = path.toString
     if (p.endsWith(".csv")) spark.read.option("header", "true").csv(p)
-    else if (p.endsWith(".json")) spark.read.json(p)
+    else if (p.endsWith(".json"))
+      spark.read
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
     else spark.read.option("header", "true").csv(p) // try-CSV fallback
   }
 

@@ -224,4 +224,24 @@ class ConnectorsSpec extends SparkSpecBase {
     val shp = c.resolveShp(extracted, "tl_2020_us_zcta520.shp")
     assert(shp.getFileName.toString == "weird_name.shp")
   }
+
+  test("S11: malformed JSON lines quarantine into _corrupt_record, job completes") {
+    val dir = Files.createTempDirectory("graft-url3").toString
+    val body = Seq(
+      """{"zip":"10001","rent":3000}""",
+      """{not json at all""",
+      """{"zip":"10002","rent":3500}""").mkString("\n") + "\n"
+    val stub = new StubHttp(Seq(HttpResponse(200, body)))
+    val c = new UrlConnector(stub, dir)
+    val df = c.fetch(spark, "https://x/mixed.json")
+    // all three lines survive the scan; the bad one is quarantined,
+    // never a thrown exception (the 100 TB ingest contract)
+    assert(df.count() == 3)
+    assert(df.columns.contains("_corrupt_record"), df.columns.mkString(","))
+    val bad = df.filter(df("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("not json"))
+    val good = df.filter(df("_corrupt_record").isNull)
+    assert(good.select("zip").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("10001", "10002"))
+  }
 }

@@ -365,6 +365,21 @@ object EventsQ {
     * operands in both engines (sqrt is correctly rounded per IEEE 754,
     * so even it is bit-identical).
     */
+  /** Per-type (Σv, Σv², n) as decimal-exact doubles — the trained side
+    * of anomaly scoring, shared by the batch query and the streaming
+    * scorer (StreamingEvents.anomalyStream).
+    */
+  def anomalyStats(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy("event_type").agg(
+      sum(dec(col("value"))).cast(DoubleType).as("s"),
+      sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"),
+      count(lit(1)).cast(DoubleType).as("n"))
+
+  /** z of `value` against the (s, ss, n) stats columns. */
+  def zScore: org.apache.spark.sql.Column =
+    (col("value") - col("s") / col("n")) /
+      sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
+
   val qAnomaly: Q = Q.sql(
     "q_events_anomaly",
     """WITH st AS (
@@ -379,14 +394,8 @@ object EventsQ {
       |WHERE abs((e.value - s / n) / sqrt((ss - s * s / n) / n)) > 3.0
       |ORDER BY event_id ASC""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val stats = ev.groupBy("event_type").agg(
-      sum(dec(col("value"))).cast(DoubleType).as("s"),
-      sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"),
-      count(lit(1)).cast(DoubleType).as("n"))
-    val z = (col("value") - col("s") / col("n")) /
-      sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
-    ev.join(broadcast(stats), "event_type")
-      .withColumn("z", z)
+    ev.join(broadcast(anomalyStats(ev)), "event_type")
+      .withColumn("z", zScore)
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id").asc)

@@ -48,6 +48,23 @@ object StreamingEvents {
   final case class UserSessions(nextOrdinal: Long, startSec: Long,
                                 endSec: Long, n: Long)
 
+  /** Streaming form of q_events_anomaly — the train-batch /
+    * score-stream deployment: per-type stats come from a BATCH pass
+    * (EventsQ.anomalyStats; exact global stats cannot be known inside
+    * an unbounded stream) and broadcast onto the live stream, which
+    * scores and filters STATELESSLY — no watermark, no state store, no
+    * shuffle; each event is scored the moment it arrives with the
+    * identical z expression the batch query uses (parity pinned in
+    * StreamingEventsSpec). Periodic stats refresh = rerun the batch
+    * aggregate and restart the query with the new broadcast.
+    */
+  def anomalyStream(events: DataFrame, stats: DataFrame,
+                    threshold: Double = 3.0): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(stats), "event_type")
+      .withColumn("z", graft.queries.EventsQ.zScore)
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+
   /** Streaming exact deduplication on a content key with bounded state:
     * `dropDuplicatesWithinWatermark` keeps each key's state only until
     * the watermark passes it — the streaming form of the batch

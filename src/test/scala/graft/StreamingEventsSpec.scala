@@ -204,4 +204,29 @@ class StreamingEventsSpec extends SparkSpecBase {
     assert(sessions(1).n_events == 1 &&
       sessions(1).session_start_sec == t0 + 600 + 1800 + 1801)
   }
+
+  test("streaming anomaly scorer equals the batch query (train batch, score stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on the batch table (the deployment contract: stats are a
+    // batch artifact, the stream scores statelessly against them)
+    val stats = graft.queries.EventsQ.anomalyStats(Tables.events(spark, sfDir))
+    val stream = MemoryStream[Ev]
+    val out = StreamingEvents.anomalyStream(stream.toDF(), stats)
+    val q = out.writeStream.format("memory").queryName("anomaly_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("anomaly_parity").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val batch = SparkEntry.queries("q_events_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain anomalies")
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }

@@ -258,4 +258,21 @@ class PlanAuditSpec extends SparkSpecBase {
     // partial aggregation before the per-doc shuffle
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
+
+  test("chunking is a per-row generate — no shuffle before the output sort") {
+    val p = plan("q_doc_chunk")
+    assert(p.contains("Generate"), p.linesIterator.take(8).mkString("\n"))
+    // the only exchange allowed is the range partitioning for ORDER BY
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected shuffle in a per-row generate:\n${exchanges.mkString("\n")}")
+  }
+
+  test("snapshot diff joins on 16-byte hashes — text never crosses a shuffle") {
+    val p = plan("q_doc_snapshot_diff")
+    assert(p.toLowerCase.contains("fullouter"), p.linesIterator.take(8).mkString("\n"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text crossed a shuffle boundary:\n$exchanges")
+  }
 }

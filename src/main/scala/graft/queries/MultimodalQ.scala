@@ -36,5 +36,42 @@ object MultimodalQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qMultimodalDecode)
+  /** Frame sampling end-to-end: payload → `frameSampleStub(n=4)` →
+    * posexplode → per-frame byte length. The stub's chunk arithmetic
+    * is pure integer math on the payload length, so DuckDB reproduces
+    * every (doc_id, frame_idx, frame_len) exactly — proving the
+    * array<binary> frame column, the explode, and the byte slicing
+    * keep alignment (a real video decoder replaces the slicing, not
+    * the plumbing). Per-row generate; no shuffle before the sort.
+    */
+  val framesPerDoc = 4
+
+  val qMultimodalFrames: Q = Q.sql(
+    "q_multimodal_frames",
+    s"""WITH t AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS len
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |f AS (
+       |  SELECT doc_id, len, CAST(i AS BIGINT) AS frame_idx,
+       |    greatest(1, len // $framesPerDoc) AS sz
+       |  FROM t CROSS JOIN (SELECT unnest(range(0, $framesPerDoc)) AS i) u)
+       |SELECT doc_id, frame_idx,
+       |  CAST(least(least(frame_idx * sz, len - 1) + sz, len)
+       |     - least(frame_idx * sz, len - 1) AS BIGINT) AS frame_len
+       |FROM f
+       |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin) { (s, d) =>
+    val sampleFrames = udf { p: Array[Byte] =>
+      MultimodalFunctions.frameSampleStub(p, framesPerDoc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"),
+        posexplode(sampleFrames(col("payload"))).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+        octet_length(col("frame")).cast(LongType).as("frame_len"))
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames)
 }

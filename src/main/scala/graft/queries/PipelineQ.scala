@@ -410,6 +410,38 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Train / validation / test split
+  // -------------------------------------------------------------------
+
+  /** Deterministic 90/5/5 train/val/test assignment over the md5
+    * hash space — the split every training run needs, with the
+    * properties that matter at 100 TB: per-row and shuffle-free
+    * (assignment happens in the scan), reproducible across engines,
+    * runs, and partitionings (hash of doc_id, never RAND()), and
+    * STABLE UNDER CORPUS GROWTH — a document keeps its split when
+    * other documents are added or removed, so yesterday's held-out set
+    * never silently leaks into today's training set. Thresholds are
+    * hex prefixes of the 32-bit space (0xE6666666 ≈ 90%,
+    * 0xF3333333 ≈ 95%).
+    */
+  val qSplit: Q = Q.sql(
+    "q_doc_split",
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val h = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(h < "e6666666", "train")
+          .when(h < "f3333333", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Unicode normalization
   // -------------------------------------------------------------------
 
@@ -992,7 +1024,7 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qNormalize,
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)

@@ -351,20 +351,6 @@ object EventsQ {
       .orderBy(col("cohort_week").asc, col("week_offset").asc)
   }
 
-  /** Per-type z-score outlier detection — the monitoring query an event
-    * pipeline runs to flag anomalous values (|z| > 3 against the
-    * event_type's own distribution).
-    *
-    * Scale shape: the stats table is one tiny groupBy (a handful of
-    * event types, partial agg first) broadcast back onto the scan; the
-    * event stream filters in place, no second shuffle.
-    *
-    * Oracle determinism: mean and variance come from DECIMAL-exact
-    * sums (Σv, Σv² — order-independent in any engine); the z
-    * expression then runs the same IEEE double ops on those exact
-    * operands in both engines (sqrt is correctly rounded per IEEE 754,
-    * so even it is bit-identical).
-    */
   /** Per-type (Σv, Σv², n) as decimal-exact doubles — the trained side
     * of anomaly scoring, shared by the batch query and the streaming
     * scorer (StreamingEvents.anomalyStream).
@@ -380,6 +366,20 @@ object EventsQ {
     (col("value") - col("s") / col("n")) /
       sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
 
+  /** Per-type z-score outlier detection — the monitoring query an event
+    * pipeline runs to flag anomalous values (|z| > 3 against the
+    * event_type's own distribution).
+    *
+    * Scale shape: the stats table is one tiny groupBy (a handful of
+    * event types, partial agg first) broadcast back onto the scan; the
+    * event stream filters in place, no second shuffle.
+    *
+    * Oracle determinism: mean and variance come from DECIMAL-exact
+    * sums (Σv, Σv² — order-independent in any engine); the z
+    * expression then runs the same IEEE double ops on those exact
+    * operands in both engines (sqrt is correctly rounded per IEEE 754,
+    * so even it is bit-identical).
+    */
   val qAnomaly: Q = Q.sql(
     "q_events_anomaly",
     """WITH st AS (

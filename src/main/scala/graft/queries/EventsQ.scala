@@ -401,7 +401,53 @@ object EventsQ {
       .orderBy(col("event_id").asc)
   }
 
+  /** UTC epoch day — tz-independent integer day bucket (session-tz
+    * date functions would couple the result to cluster config).
+    */
+  private def epochDay(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(floor(unix_micros(ts).cast(DoubleType) / 1000000.0) / 86400.0).cast(LongType)
+
+  /** Exact daily active users — the per-day distinct that feeds every
+    * engagement dashboard. One shuffle keyed (day, user), partial agg
+    * first.
+    */
+  val qDau: Q = Q.sql(
+    "q_events_dau",
+    """SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(epochDay(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day").asc)
+  }
+
+  /** Rolling 7-day active users via MERGEABLE HLL sketches — the
+    * pattern that makes rolling distincts affordable at 100 TB: build
+    * one small sketch per day (a single scan of that day's events),
+    * then every rolling window is a MERGE of 7 daily sketches — raw
+    * events are never rescanned per window, and yesterday's sketches
+    * are reusable artifacts. Exact rolling distinct would re-shuffle
+    * every event into each of the 7 windows covering it.
+    *
+    * Sketch bytes are engine-specific → rows-only gate; SketchSpec
+    * bounds the estimate against the exact 7-day distinct.
+    */
+  val qWauSketch: Q = Q.rowsOnly("q_events_wau_sketch") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(epochDay(col("ts")).as("sk_day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val spine = daily.select(col("sk_day").as("day")).distinct()
+    spine.join(broadcast(daily),
+        col("sk_day").between(col("day") - 6, col("day")))
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_estimate"))
+      .orderBy(col("day").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
-    qRetention, qAnomaly)
+    qRetention, qAnomaly, qDau, qWauSketch)
 }

@@ -22,7 +22,8 @@ class CatalogContractSpec extends AnyFunSuite {
     "q_doc_langid" -> "graft.LangIdSpec",
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
     "q_doc_fingerprint_neardup" -> "graft.FingerprintNearDupSpec",
-    "q_events_sketch_stats" -> "graft.SketchSpec")
+    "q_events_sketch_stats" -> "graft.SketchSpec",
+    "q_events_wau_sketch" -> "graft.SketchSpec")
 
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).

@@ -50,4 +50,23 @@ class SketchSpec extends SparkSpecBase {
     val b = SparkEntry.queries("q_events_sketch_stats")(spark, sfDir).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("WAU sketch merge stays within HLL error of the exact rolling distinct") {
+    val est = SparkEntry.queries("q_events_wau_sketch")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact 7-day rolling distinct, recomputed from raw events
+    val days = graft.sources.Tables.events(spark, sfDir)
+      .select(floor(floor(unix_micros(col("ts")).cast("double") / 1000000.0) / 86400.0)
+        .cast("long").as("day"), col("user_id"))
+    val spine = days.select(col("day").as("d")).distinct()
+    val exact = spine.join(days, col("day").between(col("d") - 6, col("d")))
+      .groupBy("d").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && est.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val e = est(d)
+      val rel = math.abs(e - n).toDouble / n
+      assert(rel <= 0.05, s"day $d: estimate $e vs exact $n (rel err $rel)")
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -355,14 +356,14 @@ object EventsQ {
     * of anomaly scoring, shared by the batch query and the streaming
     * scorer (StreamingEvents.anomalyStream).
     */
-  def anomalyStats(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def anomalyStats(ev: DataFrame): DataFrame =
     ev.groupBy("event_type").agg(
       sum(dec(col("value"))).cast(DoubleType).as("s"),
       sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"),
       count(lit(1)).cast(DoubleType).as("n"))
 
   /** z of `value` against the (s, ss, n) stats columns. */
-  def zScore: org.apache.spark.sql.Column =
+  def zScore: Column =
     (col("value") - col("s") / col("n")) /
       sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
 
@@ -404,7 +405,7 @@ object EventsQ {
   /** UTC epoch day — tz-independent integer day bucket (session-tz
     * date functions would couple the result to cluster config).
     */
-  private def epochDay(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def epochDay(ts: Column): Column =
     floor(floor(unix_micros(ts).cast(DoubleType) / 1000000.0) / 86400.0).cast(LongType)
 
   /** Exact daily active users — the per-day distinct that feeds every

@@ -30,6 +30,25 @@ object SimilarityQ {
   private val nQueries = 5
   private val topK = 10
 
+  /** Shared ANN epilogue: per-query top-k by (score desc, id asc) —
+    * one definition so the three retrieval paths rank identically.
+    */
+  private def topKPerQuery(scored: DataFrame): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+
+  /** Per-dimension corpus min/max — the stats pass shared by the
+    * quantization query (joins it distributively) and the quantized
+    * ANN path (collects its 64 rows for a literal-array transform).
+    */
+  private def dimStats(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+
   private def oracleCosine(a: String, b: String): String =
     s"""(list_reduce(list_transform(range(1, 65),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
@@ -62,12 +81,7 @@ object SimilarityQ {
     val scored = emb.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         fastCosine(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    topKPerQuery(scored)
   }
 
   /** LSH-banded ANN: banded hyperplane keys generate candidates, exact
@@ -88,12 +102,7 @@ object SimilarityQ {
         col("q_emb"), col("embedding"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", fastCosine(col("q_emb"), col("embedding")))
-    cand.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    topKPerQuery(cand)
   }
 
   /** Embedding-cosine near-dup pairs over a deterministic sample of
@@ -218,9 +227,7 @@ object SimilarityQ {
       |ORDER BY vec_id ASC, dim ASC""".stripMargin) { (s, d) =>
     val exploded = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-    val stats = exploded.groupBy("dim")
-      .agg(min("x").as("mn"), max("x").as("mx"))
-    exploded.join(broadcast(stats), "dim")
+    exploded.join(broadcast(dimStats(Tables.embeddings(s, d))), "dim")
       .select(col("vec_id"), col("dim"),
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(least(lit(255.0), floor(
@@ -244,9 +251,7 @@ object SimilarityQ {
   val qAnnQuantized: Q = Q.rowsOnly("q_ann_quantized") { (s, d) =>
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
-    val stats = emb
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    val stats = dimStats(emb)
       .collect().map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
       .sortBy(_._1)
     val mnArr = stats.map(_._2)
@@ -265,12 +270,7 @@ object SimilarityQ {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         fastCosine(col("q_emb"), col("xhat")).as("score"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-      .orderBy(col("query_id").asc, col("rank").asc)
+    topKPerQuery(scored)
   }
 
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,

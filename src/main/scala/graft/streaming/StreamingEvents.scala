@@ -60,7 +60,7 @@ object StreamingEvents {
     */
   def anomalyStream(events: DataFrame, stats: DataFrame,
                     threshold: Double = 3.0): DataFrame =
-    events.join(org.apache.spark.sql.functions.broadcast(stats), "event_type")
+    events.join(broadcast(stats), "event_type")
       .withColumn("z", graft.queries.EventsQ.zScore)
       .filter(abs(col("z")) > threshold)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))

@@ -51,7 +51,7 @@ object TextFunctions {
   // ---------------------------------------------------------------------
   val minhashK = 16
   private val mersenne61 = (1L << 61) - 1
-  private val hashParams: Array[(Long, Long)] = {
+  private[graft] val hashParams: Array[(Long, Long)] = {
     val rng = new scala.util.Random(42)
     Array.fill(minhashK)((math.abs(rng.nextLong()) % (mersenne61 - 1) + 1,
       math.abs(rng.nextLong()) % mersenne61))
@@ -63,14 +63,14 @@ object TextFunctions {
     * universality isn't required for MinHash in practice; deterministic
     * good mixing is.
     */
-  private def permute(a: Long, b: Long, x: Long): Long = {
+  private[graft] def permute(a: Long, b: Long, x: Long): Long = {
     var z = a * x + b
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     (z ^ (z >>> 31)) & Long.MaxValue
   }
 
-  private def baseHash(s: String): Long = {
+  private[graft] def baseHash(s: String): Long = {
     val h1 = MurmurHash3.stringHash(s, 0xdeadbeef)
     val h2 = MurmurHash3.stringHash(s, 0x9747b28c)
     ((h1.toLong << 32) | (h2.toLong & 0xffffffffL)) & ((1L << 61) - 1)
@@ -96,6 +96,15 @@ object TextFunctions {
     }
     sig.toSeq
   }
+
+  /** Native codegen form of [[minhashSig]] (graft.expressions.MinhashSig):
+    * same signature math, no per-row boxing, stays inside
+    * WholeStageCodegen. Caller must have run
+    * MinhashSig.ensureRegistered(spark) (Sessions.local does via
+    * GraftFunctions.registerAll).
+    */
+  def fastMinhashSig(shingles: Column): Column =
+    call_function("minhash_sig", shingles)
 
   /** Band key for LSH: hash of signature slice [band*r, band*r+r). */
   val bandHash: UserDefinedFunction = udf { (sig: Seq[Long], band: Int, r: Int) =>

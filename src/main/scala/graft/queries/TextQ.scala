@@ -225,6 +225,7 @@ object TextQ {
     * for the rerank.
     */
   val qMinhashLsh: Q = Q.rowsOnly("q_doc_minhash_lsh") { (s, d) =>
+    graft.expressions.MinhashSig.ensureRegistered(s)
     val bands = 4
     val rowsPerBand = minhashK / bands
     // cached: feeds the signature pass and both payload re-joins
@@ -234,7 +235,7 @@ object TextQ {
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
       .cache()
     val banded = docs
-      .withColumn("sig", minhashSig(col("sh")))
+      .withColumn("sig", fastMinhashSig(col("sh")))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),

@@ -76,4 +76,26 @@ class TextFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((1L, 4L, 0L, 0.0), (2L, 2L, 2L, 1.0)))
   }
+
+  test("native minhash_sig is bit-identical to the UDF and stays in codegen") {
+    graft.expressions.MinhashSig.ensureRegistered(spark)
+    val docs = Seq("alpha beta gamma delta epsilon", "alpha beta gamma delta zeta",
+      "totally different words here now").toDF("t")
+      .select(shingles(tokens(col("t")), 3).as("sh"))
+    val viaUdf = docs.select(minhashSig(col("sh")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val viaNative = docs.select(fastMinhashSig(col("sh")).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaUdf.toSeq == viaNative.toSeq)
+    // NULL array -> NULL signature; empty array -> all MaxValue
+    val edge = Seq((1, Some(Seq.empty[String])), (2, None))
+      .toDF("id", "sh")
+      .select(col("id"), fastMinhashSig(col("sh")).as("sig")).orderBy("id").collect()
+    assert(edge(0).getSeq[Long](1).forall(_ == Long.MaxValue))
+    assert(edge(1).isNullAt(1))
+    // the native path must not break whole-stage codegen with a ScalaUDF
+    val df = docs.select(fastMinhashSig(col("sh")).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

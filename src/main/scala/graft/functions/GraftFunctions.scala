@@ -18,14 +18,15 @@ object GraftFunctions {
     // native expression, not the UDF: bit-identical output, no
     // boxing/codegen break on the SQL surface either
     graft.expressions.MinhashSig.ensureRegistered(spark)
+    graft.expressions.Simhash64.ensureRegistered(spark)
     val r = spark.udf
     // geometry codecs (§2.7)
     r.register("st_asgeojson", Geo.stAsGeoJson)
     r.register("geojson_to_wkt", Geo.geojsonToWkt)
     r.register("st_multi", Geo.promoteToMultiPolygon)
     r.register("st_envelope_box", Geo.envelopeOf)
-    // text / dedup primitives (minhash_sig is the native expression above)
-    r.register("simhash64", TextFunctions.simhash64)
+    // text / dedup primitives (minhash_sig and simhash64 are the
+    // native expressions above)
     r.register("lang_id", TextFunctions.langId)
     r.register("winnow_fingerprints", TextFunctions.fingerprints)
   }

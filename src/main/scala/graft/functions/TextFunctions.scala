@@ -132,6 +132,12 @@ object TextFunctions {
     out
   }
 
+  /** Native codegen form of [[simhash64]] (graft.expressions.Simhash64);
+    * same registration contract as [[fastMinhashSig]].
+    */
+  def fastSimhash64(toks: Column): Column =
+    call_function("simhash64", toks)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

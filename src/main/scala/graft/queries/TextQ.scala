@@ -262,8 +262,9 @@ object TextQ {
     * spec.
     */
   val qSimhash: Q = Q.rowsOnly("q_doc_simhash") { (s, d) =>
+    graft.expressions.Simhash64.ensureRegistered(s)
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))

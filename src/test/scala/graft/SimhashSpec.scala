@@ -58,4 +58,18 @@ class SimhashSpec extends SparkSpecBase {
       assert(pairSet.exists(_._3 == 0), "identical docs should appear at hamming 0")
     }
   }
+
+  test("native simhash64 is bit-identical to the UDF and stays in codegen") {
+    graft.expressions.Simhash64.ensureRegistered(spark)
+    import graft.functions.TextFunctions.fastSimhash64
+    val docs = Seq("alpha beta gamma delta", "alpha beta beta gamma",
+      "completely different tokens").toDF("t")
+      .select(tokens(col("t")).as("tok"))
+    val viaUdf = docs.select(simhash64(col("tok")).as("s")).collect().map(_.getLong(0))
+    val viaNative = docs.select(fastSimhash64(col("tok")).as("s")).collect().map(_.getLong(0))
+    assert(viaUdf.toSeq == viaNative.toSeq)
+    val plan = docs.select(fastSimhash64(col("tok")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

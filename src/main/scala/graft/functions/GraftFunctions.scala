@@ -19,6 +19,7 @@ object GraftFunctions {
     // boxing/codegen break on the SQL surface either
     graft.expressions.MinhashSig.ensureRegistered(spark)
     graft.expressions.Simhash64.ensureRegistered(spark)
+    graft.expressions.DeflateSize.ensureRegistered(spark)
     val r = spark.udf
     // geometry codecs (§2.7)
     r.register("st_asgeojson", Geo.stAsGeoJson)

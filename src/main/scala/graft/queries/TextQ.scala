@@ -138,6 +138,25 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Compression-ratio quality signal: DEFLATE size over byte length —
+    * the cheap entropy proxy (Gopher/MassiveText rules family):
+    * boilerplate and template spam compress far below natural prose.
+    * Per-row native expression, no shuffle. Compressed byte counts are
+    * zlib-build-specific → rows-only gate; TextFunctionsSpec pins the
+    * orderings (repetitive < prose < high-entropy) and determinism.
+    */
+  val qCompressRatio: Q = Q.rowsOnly("q_doc_compress_ratio") { (s, d) =>
+    graft.expressions.DeflateSize.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("byte_len"),
+        call_function("deflate_size", col("text")).cast(LongType).as("deflate_len"))
+      .filter(col("byte_len") > 0)
+      .withColumn("compress_ratio",
+        col("deflate_len").cast(DoubleType) / col("byte_len"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
     * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
     * Emits pairs(doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
@@ -375,7 +394,7 @@ object TextQ {
   }
 
   val all: Seq[Q] = Seq(
-    qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qNgramJaccard,
-    qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta, qTokensExploded,
-    qFingerprintNearDup)
+    qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
+    qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
+    qTokensExploded, qFingerprintNearDup)
 }

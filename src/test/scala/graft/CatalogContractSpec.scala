@@ -20,6 +20,7 @@ class CatalogContractSpec extends AnyFunSuite {
     "q_doc_minhash_lsh" -> "graft.MinhashRecallSpec",
     "q_doc_simhash" -> "graft.SimhashSpec",
     "q_doc_langid" -> "graft.LangIdSpec",
+    "q_doc_compress_ratio" -> "graft.TextFunctionsSpec",
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
     "q_doc_fingerprint_neardup" -> "graft.FingerprintNearDupSpec",
     "q_events_sketch_stats" -> "graft.SketchSpec",

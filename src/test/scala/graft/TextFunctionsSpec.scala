@@ -98,4 +98,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("compression ratio orders repetitive < prose < high-entropy, deterministically") {
+    graft.expressions.DeflateSize.ensureRegistered(spark)
+    val rep = "spam spam spam spam " * 50
+    val prose = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through fields of green grass toward distant hills " * 10
+    val noise = (1 to 200).map(i => (i * 2654435761L % 100000).toString).mkString(" ")
+    val docs = Seq((1L, rep), (2L, prose), (3L, noise)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cr_fix").toString
+    docs.selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source", "0L AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_compress_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L), out.toString)
+    assert(out.values.forall(r => r > 0 && r < 1.5), out.toString)
+    // deterministic across runs (fresh Deflater per call, fixed level)
+    val again = SparkEntry.queries("q_doc_compress_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == again)
+    val plan = SparkEntry.queries("q_doc_compress_ratio")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
 }

@@ -120,33 +120,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object CosineSimilarity {
 
-  val identifier: FunctionIdentifier = FunctionIdentifier("fast_cosine")
+  val fn: NativeFn = NativeFn("fast_cosine", classOf[CosineSimilarity], 2,
+    c => CosineSimilarity(c.head, c(1)))
 
-  val info: ExpressionInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getCanonicalName, null, "fast_cosine")
-
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 2, "fast_cosine takes exactly 2 arguments")
-    CosineSimilarity(children.head, children(1))
-  }
-
-  /** Idempotent per-session registration (for sessions not built via
-    * Sessions.builder / the extensions hook).
-    */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(identifier))
-      registry.registerFunction(identifier, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit = fn.ensure(spark)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((CosineSimilarity.identifier, CosineSimilarity.info,
-      CosineSimilarity.builder))
-    ext.injectFunction((LshBandKeys.identifier, LshBandKeys.info,
-      LshBandKeys.builder))
+    // every native expression, so extension-built sessions need no
+    // imperative ensureRegistered calls
+    Seq(CosineSimilarity.fn, LshBandKeys.fn, MinhashSig.fn, Simhash64.fn,
+      DeflateSize.fn).foreach(f => ext.injectFunction(f.injectable))
     ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
   }
 }

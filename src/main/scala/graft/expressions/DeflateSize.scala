@@ -1,9 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -47,37 +46,30 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object DeflateSize {
 
+  // one Deflater per task thread, reset() per row: deflateInit/End are
+  // native allocations that would otherwise dominate short documents
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
+
   /** Compressed size of the UTF-8 bytes — shared by interpreted eval
-    * and generated code. A fresh Deflater per call keeps the expression
-    * thread-safe across codegen'd tasks; BEST_SPEED because the signal
-    * needs relative ratios, not maximal compression.
+    * and generated code. BEST_SPEED because the signal needs relative
+    * ratios, not maximal compression; reset() restarts the stream so
+    * rows are independent and deterministic.
     */
   def sizeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
-  val identifier: FunctionIdentifier = FunctionIdentifier("deflate_size")
+  val fn: NativeFn = NativeFn("deflate_size", classOf[DeflateSize], 1,
+    c => DeflateSize(c.head))
 
-  val info: ExpressionInfo = new ExpressionInfo(
-    classOf[DeflateSize].getCanonicalName, null, "deflate_size")
-
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, "deflate_size takes exactly 1 argument")
-    DeflateSize(children.head)
-  }
-
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(identifier))
-      registry.registerFunction(identifier, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit = fn.ensure(spark)
 }

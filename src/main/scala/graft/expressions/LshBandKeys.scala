@@ -156,19 +156,8 @@ object LshBandKeys {
     Array.fill(maxPlanes, embeddingDim)(rng.nextGaussian())
   }
 
-  val identifier: FunctionIdentifier = FunctionIdentifier("lsh_band_keys")
+  val fn: NativeFn = NativeFn("lsh_band_keys", classOf[LshBandKeys], 3,
+    c => LshBandKeys(c.head, c(1), c(2)))
 
-  val info: ExpressionInfo = new ExpressionInfo(
-    classOf[LshBandKeys].getCanonicalName, null, "lsh_band_keys")
-
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 3, "lsh_band_keys takes exactly 3 arguments")
-    LshBandKeys(children.head, children(1), children(2))
-  }
-
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(identifier))
-      registry.registerFunction(identifier, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit = fn.ensure(spark)
 }

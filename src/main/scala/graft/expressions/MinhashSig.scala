@@ -1,9 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,8 +19,11 @@ import graft.functions.TextFunctions
   * straight out of ArrayData and returns the long[] wrapped once, and
   * nullSafeCodeGen keeps the stage fused. The signature math itself is
   * THE SAME JVM code (TextFunctions.baseHash/permute via [[sigOf]]), so
-  * bit-identity with the UDF is by construction, not by careful
-  * reimplementation (pinned anyway in TextFunctionsSpec).
+  * bit-identity with the UDF is by construction for non-null input
+  * (pinned in TextFunctionsSpec). NULL semantics DIFFER intentionally:
+  * a NULL shingle array yields a NULL signature (standard SQL null
+  * propagation) where the UDF returned the all-MaxValue sentinel — an
+  * accident of Seq decoding, also pinned by spec.
   *
   * This is the per-row cost of every MinHash-LSH dedup pass; the same
   * promotion was measured worthwhile for the hyperplane band keys
@@ -87,19 +89,8 @@ object MinhashSig {
     sig
   }
 
-  val identifier: FunctionIdentifier = FunctionIdentifier("minhash_sig")
+  val fn: NativeFn = NativeFn("minhash_sig", classOf[MinhashSig], 1,
+    c => MinhashSig(c.head))
 
-  val info: ExpressionInfo = new ExpressionInfo(
-    classOf[MinhashSig].getCanonicalName, null, "minhash_sig")
-
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, "minhash_sig takes exactly 1 argument")
-    MinhashSig(children.head)
-  }
-
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(identifier))
-      registry.registerFunction(identifier, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit = fn.ensure(spark)
 }

@@ -1,24 +1,28 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-import scala.util.hashing.MurmurHash3
+import graft.functions.TextFunctions
 
 /** `simhash64(array<string>) -> bigint` — native form of the
   * token-frequency-weighted 64-bit SimHash
   * (graft.functions.TextFunctions.simhash64). Same promotion rationale
   * as [[MinhashSig]]: the UDF boxes every token array to Seq[String]
   * and breaks whole-stage codegen; the expression reads tokens out of
-  * ArrayData and returns a primitive long. Hash math is unchanged
-  * (MurmurHash3 over the token, frequency-weighted bit votes), so
-  * bit-identity with the UDF holds by construction (pinned in
-  * SimhashSpec).
+  * ArrayData and returns a primitive long. Hash math is shared with
+  * the UDF (TextFunctions.simTokenHash), so bit-identity holds by
+  * construction for non-null input (pinned in SimhashSpec).
+  *
+  * NULL semantics DIFFER from the legacy UDF intentionally: a NULL
+  * token array yields a NULL signature (standard SQL null propagation)
+  * where the UDF returned 0L — the UDF's behavior was an accident of
+  * Seq decoding, and pairing all null-text documents at hamming 0 was
+  * never a meaningful result.
   */
 case class Simhash64(child: Expression) extends UnaryExpression {
 
@@ -57,10 +61,7 @@ object Simhash64 {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i).toString
-        val h1 = MurmurHash3.stringHash(t, 0x51ed270b)
-        val h2 = MurmurHash3.stringHash(t, 0x2545f491)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = TextFunctions.simTokenHash(arr.getUTF8String(i).toString)
         var bit = 0
         while (bit < 64) {
           if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
@@ -75,19 +76,8 @@ object Simhash64 {
     out
   }
 
-  val identifier: FunctionIdentifier = FunctionIdentifier("simhash64")
+  val fn: NativeFn = NativeFn("simhash64", classOf[Simhash64], 1,
+    c => Simhash64(c.head))
 
-  val info: ExpressionInfo = new ExpressionInfo(
-    classOf[Simhash64].getCanonicalName, null, "simhash64")
-
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.size == 1, "simhash64 takes exactly 1 argument")
-    Simhash64(children.head)
-  }
-
-  def ensureRegistered(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(identifier))
-      registry.registerFunction(identifier, info, builder)
-  }
+  def ensureRegistered(spark: SparkSession): Unit = fn.ensure(spark)
 }

@@ -114,12 +114,20 @@ object TextFunctions {
   // ---------------------------------------------------------------------
   // SimHash — 64-bit, token-frequency weighted.
   // ---------------------------------------------------------------------
+  /** 64-bit token hash for SimHash — the single definition the UDF and
+    * the native expression (graft.expressions.Simhash64) both call, so
+    * the two surfaces cannot drift.
+    */
+  private[graft] def simTokenHash(t: String): Long = {
+    val h1 = MurmurHash3.stringHash(t, 0x51ed270b)
+    val h2 = MurmurHash3.stringHash(t, 0x2545f491)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
   val simhash64: UserDefinedFunction = udf { toks: Seq[String] =>
     val acc = new Array[Int](64)
     if (toks != null) toks.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x51ed270b)
-      val h2 = MurmurHash3.stringHash(t, 0x2545f491)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val h = simTokenHash(t)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1

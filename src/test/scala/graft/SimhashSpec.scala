@@ -71,5 +71,10 @@ class SimhashSpec extends SparkSpecBase {
     val plan = docs.select(fastSimhash64(col("tok")).as("s"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
+    // NULL array -> NULL signature (intentional divergence from the
+    // legacy UDF's accidental 0L; see Simhash64 scaladoc)
+    val nullRow = Seq((1, Option.empty[Seq[String]])).toDF("id", "tok")
+      .select(fastSimhash64(col("tok")).as("s")).collect().head
+    assert(nullRow.isNullAt(0))
   }
 }

@@ -79,7 +79,11 @@ object Main {
     val packed = SparkEntry.queries("q_doc_curate")(spark, sfDir)
     val text = Tables.documents(spark, sfDir)
       .select(col("doc_id"), PipelineQ.normText(col("text")).as("text"))
-    ShardSink.writeShards(packed.join(text, "doc_id"), outDir)
+    val curated = packed.join(text, "doc_id")
+    ShardSink.writeShards(curated, outDir)
+    // the loader-side bookkeeping: per-shard counts, token mass, and a
+    // partitioning-independent content fingerprint (ShardSinkSpec)
+    ShardSink.writeManifest(curated, outDir)
     val back = spark.read.parquet(outDir)
     val r = back.agg(count(lit(1)), countDistinct(col("shard_id"))).head
     (r.getLong(0), r.getLong(1))

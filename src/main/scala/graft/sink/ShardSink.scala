@@ -31,4 +31,29 @@ object ShardSink {
       .partitionBy("shard_id")
       .mode("overwrite")
       .parquet(dir)
+
+  /** The manifest a data loader reads INSTEAD of listing and footer-
+    * probing every shard file: one row per shard with its document
+    * count, token mass, doc_id bounds, and a content fingerprint
+    * (xor of per-doc hashes — order-independent, so it is stable
+    * under any partitioning and lets a resumed run verify a shard
+    * was not rewritten since the epoch started). One aggregation over
+    * the curated frame; written as a single tiny parquet table next
+    * to the shards.
+    */
+  def writeManifest(curated: DataFrame, dir: String): Unit =
+    manifestOf(curated)
+      .coalesce(1) // one row per shard: the manifest IS driver-scale
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+
+  /** Manifest rows (shard_id, n_docs, n_tokens, min/max doc_id,
+    * content_hash), exposed for specs and for verification reads.
+    */
+  def manifestOf(curated: DataFrame): DataFrame =
+    curated.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      min("doc_id").as("min_doc_id"),
+      max("doc_id").as("max_doc_id"),
+      expr("bit_xor(xxhash64(doc_id, n_tokens))").as("content_hash"))
 }

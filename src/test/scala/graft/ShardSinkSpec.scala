@@ -41,4 +41,30 @@ class ShardSinkSpec extends SparkSpecBase {
       .count()
     assert(mismatch == 0)
   }
+
+  test("manifest rows agree with the written shards and fingerprint content") {
+    val curated = SparkEntry.queries("q_doc_curate")(spark, sfDir)
+    val dir = Files.createTempDirectory("shards_m").toString
+    ShardSink.writeShards(curated, dir)
+    ShardSink.writeManifest(curated, dir)
+
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(manifest.nonEmpty)
+    // every manifest row matches a recount of its written shard dir
+    manifest.foreach { case (sid, (nDocs, nToks, mn, mx)) =>
+      val rows = spark.read.parquet(s"$dir/shard_id=$sid")
+      assert(rows.count() == nDocs, s"shard $sid doc count")
+      val agg = rows.agg(sum("n_tokens"), min("doc_id"), max("doc_id")).head()
+      assert(agg.getLong(0) == nToks && agg.getLong(1) == mn && agg.getLong(2) == mx)
+    }
+    // the content hash is partitioning-independent: recompute from a
+    // differently-partitioned frame and compare
+    val recomputed = ShardSink.manifestOf(curated.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val original = ShardSink.manifestOf(curated)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(recomputed == original)
+  }
 }

@@ -77,6 +77,36 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_snapshot_diff")(spark, bigDir).count()
     }
 
+    // --- native signature kernels vs their legacy UDFs at 10x ----------
+    // (both paths still exist, so the speedup is measurable directly;
+    // materialize via aggregate so neither result is driver-collected)
+    {
+      import graft.functions.TextFunctions._
+      graft.expressions.MinhashSig.ensureRegistered(spark)
+      graft.expressions.Simhash64.ensureRegistered(spark)
+      val sh = spark.read.parquet(s"$bigDir/documents.parquet")
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"),
+          tokens(col("text")).as("tok"))
+      sh.cache().count()
+      // bit_xor materialization: signature values sit near Long.MaxValue
+      // and an ANSI sum() overflows
+      time("minhash_udf_10x") {
+        sh.select(element_at(minhashSig(col("sh")), 1).as("v"))
+          .agg(expr("bit_xor(v)")).head()
+      }
+      time("minhash_native_10x") {
+        sh.select(element_at(fastMinhashSig(col("sh")), 1).as("v"))
+          .agg(expr("bit_xor(v)")).head()
+      }
+      time("simhash_udf_10x") {
+        sh.select(simhash64(col("tok")).as("v")).agg(expr("bit_xor(v)")).head()
+      }
+      time("simhash_native_10x") {
+        sh.select(fastSimhash64(col("tok")).as("v")).agg(expr("bit_xor(v)")).head()
+      }
+      sh.unpersist()
+    }
+
     // --- incremental dedup against the persistent bucketed index ------
     val big = spark.read.parquet(s"$bigDir/documents.parquet")
     spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")

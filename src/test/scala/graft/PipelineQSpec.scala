@@ -233,4 +233,24 @@ class PipelineQSpec extends SparkSpecBase {
     val d2 = out.filter(_._1 == 2L)
     assert(d2.toSeq == Seq((2L, 0L, 2L, "tiny doc")))
   }
+
+  test("chunking boundary cases: exactly L, L+1, and an exact stride multiple") {
+    def doc(id: Long, n: Int) =
+      (id, (1 to n).map(i => s"t$i").mkString(" "), "en", "t", 0L)
+    // L=50, stride=40: n=50 -> 1 chunk; n=51 -> 2 (second covers 41..51);
+    // n=90 -> 2 (covers to 90, no empty third chunk despite 2*40 < 90)
+    val docs = Seq(doc(1, 50), doc(2, 51), doc(3, 90))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    assert(out(1L).length == 1 && out(1L).head._3 == 50L)
+    assert(out(2L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+    assert(out(2L).find(_._2 == 1L).get._4.endsWith(" t51"))
+    assert(out(3L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+    assert(out(3L).find(_._2 == 1L).get._3 == 50L) // tokens 41..90
+    assert(out(3L).find(_._2 == 1L).get._4.endsWith(" t90"))
+  }
 }

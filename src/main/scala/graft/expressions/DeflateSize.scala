@@ -46,8 +46,12 @@ case class DeflateSize(child: Expression) extends UnaryExpression {
 
 object DeflateSize {
 
-  // one Deflater per task thread, reset() per row: deflateInit/End are
-  // native allocations that would otherwise dominate short documents
+  // One Deflater per task thread: deflateInit/End are native
+  // allocations that would otherwise dominate short documents. Native
+  // retention is BOUNDED by the executor's task-thread pool (a few
+  // hundred KB of zlib state per thread, released when the thread
+  // dies); the input-buffer reference is dropped after every call so
+  // no row's bytes outlive its evaluation.
   private val deflater: ThreadLocal[java.util.zip.Deflater] =
     ThreadLocal.withInitial(() =>
       new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED))
@@ -59,12 +63,13 @@ object DeflateSize {
     */
   def sizeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
     val d = deflater.get()
-    d.reset()
     d.setInput(s.getBytes)
     d.finish()
     val buf = new Array[Byte](8192)
     var total = 0
     while (!d.finished()) total += d.deflate(buf)
+    d.reset()
+    d.setInput(Array.emptyByteArray) // drop the row's buffer reference
     total
   }
 

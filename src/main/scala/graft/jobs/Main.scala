@@ -81,10 +81,11 @@ object Main {
       .select(col("doc_id"), PipelineQ.normText(col("text")).as("text"))
     val curated = packed.join(text, "doc_id")
     ShardSink.writeShards(curated, outDir)
-    // the loader-side bookkeeping: per-shard counts, token mass, and a
-    // partitioning-independent content fingerprint (ShardSinkSpec)
-    ShardSink.writeManifest(curated, outDir)
+    // the loader-side bookkeeping, computed from the READ-BACK of the
+    // written tree: the fingerprint certifies the files on disk, not a
+    // recomputation of the (uncached) pipeline (ShardSinkSpec)
     val back = spark.read.parquet(outDir)
+    ShardSink.writeManifest(back, outDir)
     val r = back.agg(count(lit(1)), countDistinct(col("shard_id"))).head
     (r.getLong(0), r.getLong(1))
   }

@@ -35,25 +35,31 @@ object ShardSink {
   /** The manifest a data loader reads INSTEAD of listing and footer-
     * probing every shard file: one row per shard with its document
     * count, token mass, doc_id bounds, and a content fingerprint
-    * (xor of per-doc hashes — order-independent, so it is stable
-    * under any partitioning and lets a resumed run verify a shard
-    * was not rewritten since the epoch started). One aggregation over
-    * the curated frame; written as a single tiny parquet table next
-    * to the shards.
+    * (xor of per-row hashes over EVERY column, payload text included —
+    * order-independent, so it is stable under any partitioning, and
+    * sensitive to any rewrite of the rows a shard holds). Pass the
+    * READ-BACK of the written shard tree (as the curate CLI does) so
+    * the fingerprint certifies the files on disk, not the plan that
+    * produced them. Written as a single tiny parquet table next to
+    * the shards.
     */
-  def writeManifest(curated: DataFrame, dir: String): Unit =
-    manifestOf(curated)
+  def writeManifest(shards: DataFrame, dir: String): Unit =
+    manifestOf(shards)
       .coalesce(1) // one row per shard: the manifest IS driver-scale
       .write.mode("overwrite").parquet(s"$dir/_manifest")
 
   /** Manifest rows (shard_id, n_docs, n_tokens, min/max doc_id,
     * content_hash), exposed for specs and for verification reads.
     */
-  def manifestOf(curated: DataFrame): DataFrame =
-    curated.groupBy("shard_id").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tokens").as("n_tokens"),
-      min("doc_id").as("min_doc_id"),
-      max("doc_id").as("max_doc_id"),
-      expr("bit_xor(xxhash64(doc_id, n_tokens))").as("content_hash"))
+  def manifestOf(shards: DataFrame): DataFrame = {
+    val allCols = shards.columns.map(col).toIndexedSeq
+    shards
+      .withColumn("__h", xxhash64(allCols: _*))
+      .groupBy("shard_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        expr("bit_xor(__h)").as("content_hash"))
+  }
 }

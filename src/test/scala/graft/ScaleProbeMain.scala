@@ -89,19 +89,28 @@ object ScaleProbeMain {
           tokens(col("text")).as("tok"))
       sh.cache().count()
       // bit_xor materialization: signature values sit near Long.MaxValue
-      // and an ANSI sum() overflows
-      time("minhash_udf_10x") {
+      // and an ANSI sum() overflows. Each variant runs twice interleaved
+      // and reports the MIN, so first-touch/JIT warm-up cannot bias the
+      // comparison toward whichever path runs second.
+      def minOf2(label: String)(f: => Unit): Unit = {
+        def once(): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up
+        println(f"PROBE $label: ${math.min(once(), once())}%.2f s (min of 2 warm)")
+      }
+      minOf2("minhash_udf_10x") {
         sh.select(element_at(minhashSig(col("sh")), 1).as("v"))
           .agg(expr("bit_xor(v)")).head()
       }
-      time("minhash_native_10x") {
+      minOf2("minhash_native_10x") {
         sh.select(element_at(fastMinhashSig(col("sh")), 1).as("v"))
           .agg(expr("bit_xor(v)")).head()
       }
-      time("simhash_udf_10x") {
+      minOf2("simhash_udf_10x") {
         sh.select(simhash64(col("tok")).as("v")).agg(expr("bit_xor(v)")).head()
       }
-      time("simhash_native_10x") {
+      minOf2("simhash_native_10x") {
         sh.select(fastSimhash64(col("tok")).as("v")).agg(expr("bit_xor(v)")).head()
       }
       sh.unpersist()

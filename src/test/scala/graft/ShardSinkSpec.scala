@@ -42,29 +42,41 @@ class ShardSinkSpec extends SparkSpecBase {
     assert(mismatch == 0)
   }
 
-  test("manifest rows agree with the written shards and fingerprint content") {
-    val curated = SparkEntry.queries("q_doc_curate")(spark, sfDir)
+  test("manifest certifies the files on disk: counts, bounds, and content hash") {
     val dir = Files.createTempDirectory("shards_m").toString
-    ShardSink.writeShards(curated, dir)
-    ShardSink.writeManifest(curated, dir)
+    // the real CLI path: writes shards WITH the normalized text payload
+    // and computes the manifest from the read-back of the written tree
+    graft.jobs.Main.curate(spark, sfDir, dir)
+    val back = spark.read.parquet(dir)
 
     val manifest = spark.read.parquet(s"$dir/_manifest")
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .collect().map(r => r.get(0).toString.toLong ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(manifest.nonEmpty)
-    // every manifest row matches a recount of its written shard dir
-    manifest.foreach { case (sid, (nDocs, nToks, mn, mx)) =>
+    // every manifest row — INCLUDING the content hash — matches an
+    // independent recount of its written shard directory
+    manifest.foreach { case (sid, (nDocs, nToks, mn, mx, h)) =>
       val rows = spark.read.parquet(s"$dir/shard_id=$sid")
+        .withColumn("shard_id", lit(sid).cast(back.schema("shard_id").dataType))
+        .select(back.columns.map(col).toIndexedSeq: _*)
       assert(rows.count() == nDocs, s"shard $sid doc count")
       val agg = rows.agg(sum("n_tokens"), min("doc_id"), max("doc_id")).head()
       assert(agg.getLong(0) == nToks && agg.getLong(1) == mn && agg.getLong(2) == mx)
+      val rehash = ShardSink.manifestOf(rows).collect()
+      assert(rehash.length == 1 && rehash.head.getLong(5) == h,
+        s"shard $sid content hash mismatch")
     }
-    // the content hash is partitioning-independent: recompute from a
-    // differently-partitioned frame and compare
-    val recomputed = ShardSink.manifestOf(curated.repartition(7))
-      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
-    val original = ShardSink.manifestOf(curated)
-      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
-    assert(recomputed == original)
+    // partitioning independence of the fingerprint
+    val recomputed = ShardSink.manifestOf(back.repartition(7))
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(5)).toMap
+    assert(recomputed == manifest.map { case (k, v) => k -> v._5 })
+    // and the hash is content-sensitive: altering one text flips it
+    val tampered = ShardSink.manifestOf(
+      back.withColumn("text",
+        when(col("doc_id") === back.agg(min("doc_id")).head.getLong(0),
+          concat(col("text"), lit(" tampered"))).otherwise(col("text"))))
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(5)).toMap
+    assert(tampered != manifest.map { case (k, v) => k -> v._5 },
+      "rewriting document text must change the fingerprint")
   }
 }

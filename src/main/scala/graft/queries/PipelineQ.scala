@@ -410,6 +410,39 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Deterministic k-per-group sampling
+  // -------------------------------------------------------------------
+
+  /** k random-but-reproducible documents per language — the "pull a
+    * few eval examples per class" operation. Randomness is the md5
+    * order of doc_id (run-, engine-, and partitioning-independent;
+    * adding documents only perturbs a group's sample where new hashes
+    * sort into its top k), rank is a per-group window — one shuffle on
+    * the group key, bounded state per group.
+    */
+  val samplePerGroupK = 5
+
+  val qSamplePerGroup: Q = Q.sql(
+    "q_doc_sample_per_group",
+    s"""WITH ranked AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT lang, CAST(rk AS INT) AS rk, doc_id
+       |FROM ranked WHERE rk <= $samplePerGroupK
+       |ORDER BY lang ASC, rk ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)).asc,
+        col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= samplePerGroupK)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang").asc, col("rk").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Train / validation / test split
   // -------------------------------------------------------------------
 
@@ -1024,7 +1057,7 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qNormalize,
+  val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)

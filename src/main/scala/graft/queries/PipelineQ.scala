@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 import graft.functions.TextFunctions.tokens
 
-/** Training-data pipeline operators beyond pairwise dedup: duplicate
-  * CLUSTERING (pairs → groups), token-budget shard packing, stratified
-  * sampling, and unicode normalization — the operations that turn a
-  * cleaned corpus into training shards at 100 TB.
+/** Training-data pipeline operators beyond pairwise dedup — the
+  * operations that turn a cleaned corpus into training shards at
+  * 100 TB: duplicate CLUSTERING (pairs → groups via star contraction),
+  * token-budget shard packing and fixed-context sequence spans (one
+  * shared two-phase prefix sum), overlapping chunking, deterministic
+  * sampling (stratified, train/val/test split, k-per-group),
+  * normalization, repetition metrics, decontamination (broadcast +
+  * bloom), PII redaction, TF-IDF, source mixture balancing,
+  * incremental dedup, snapshot diff, corpus profiling, quantile
+  * quality cuts, and the end-to-end curation flagship (q_doc_curate).
   */
 object PipelineQ {
 

@@ -448,7 +448,45 @@ object EventsQ {
       .orderBy(col("day").asc)
   }
 
+  /** Trailing 5-minute per-type rollup with a RANGE window frame —
+    * "events and value mass in the last N seconds, as of each event" —
+    * the event-time trailing aggregate a monitoring view computes,
+    * and the catalog's RANGE-frame coverage (every other window here
+    * is ROWS-framed). RANGE semantics matter for correctness under
+    * ties: all ts peers enter the frame together, so the result is
+    * deterministic no matter how equal-timestamp events are ordered.
+    *
+    * Scale shape: partitioned by event_type (never a global ordered
+    * window); per-partition frame state is bounded by the 300-second
+    * horizon.
+    */
+  val qTrailingRange: Q = Q.sql(
+    "q_events_trailing_range",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events)
+      |SELECT event_id, event_type,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+      |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_trailing
+      |FROM e
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec
+      |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type").orderBy("ts_sec")
+      .rangeBetween(-300, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(unix_micros(col("ts")) / lit(1000000L)).cast(LongType).as("ts_sec"),
+        dec(col("value")).as("v"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("v")).over(w).cast(DoubleType).as("sum_trailing"))
+      .orderBy(col("event_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
-    qRetention, qAnomaly, qDau, qWauSketch)
+    qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.text.Normalizer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -402,18 +402,34 @@ object PipelineQ {
 
   val qStratifiedSample: Q = Q.sql(
     "q_doc_stratified_sample",
-    """SELECT doc_id, lang
-      |FROM documents
-      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
-      |  CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END
-      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    val h = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8)
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE $sqlDocHashPrefix <
+       |  CASE WHEN lang = 'en' THEN '80000000' ELSE '33333333' END
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .filter(h < when(col("lang") === "en", lit(langThreshold("en")))
+      .filter(docHashPrefix < when(col("lang") === "en", lit(langThreshold("en")))
         .otherwise(lit(langThreshold("other"))))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc)
   }
+
+  // -------------------------------------------------------------------
+  // Deterministic hashing for sampling / splits
+  // -------------------------------------------------------------------
+
+  /** md5 of doc_id rendered as a decimal string — THE deterministic
+    * per-document hash every sampling/split operator cuts on, defined
+    * once per surface so the Spark and oracle forms cannot drift (the
+    * VARCHAR render step is load-bearing: hashing the raw int64 bytes
+    * would produce different digests). Same shape as Num's dec/sqlDsum
+    * helper pair.
+    */
+  private def docHash: Column =
+    md5(col("doc_id").cast(StringType).cast(BinaryType))
+  private def docHashPrefix: Column = substring(docHash, 1, 8)
+  private def sqlDocHash: String = "md5(CAST(doc_id AS VARCHAR))"
+  private def sqlDocHashPrefix: String = s"substring($sqlDocHash, 1, 8)"
 
   // -------------------------------------------------------------------
   // Deterministic k-per-group sampling
@@ -433,14 +449,13 @@ object PipelineQ {
     s"""WITH ranked AS (
        |  SELECT lang, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY lang
-       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+       |      ORDER BY $sqlDocHash ASC, doc_id ASC) AS rk
        |  FROM documents)
        |SELECT lang, CAST(rk AS INT) AS rk, doc_id
        |FROM ranked WHERE rk <= $samplePerGroupK
        |ORDER BY lang ASC, rk ASC""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)).asc,
-        col("doc_id").asc)
+      .orderBy(docHash.asc, col("doc_id").asc)
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
       .filter(col("rk") <= samplePerGroupK)
@@ -465,17 +480,16 @@ object PipelineQ {
     */
   val qSplit: Q = Q.sql(
     "q_doc_split",
-    """SELECT doc_id,
-      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
-      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
-      |       ELSE 'test' END AS split
-      |FROM documents
-      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    val h = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8)
+    s"""SELECT doc_id,
+       |  CASE WHEN $sqlDocHashPrefix < 'e6666666' THEN 'train'
+       |       WHEN $sqlDocHashPrefix < 'f3333333' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        when(h < "e6666666", "train")
-          .when(h < "f3333333", "val")
+        when(docHashPrefix < "e6666666", "train")
+          .when(docHashPrefix < "f3333333", "val")
           .otherwise("test").as("split"))
       .orderBy(col("doc_id").asc)
   }
@@ -896,7 +910,7 @@ object PipelineQ {
         least(lit(1.0), (col("total_chars") / col("nsrc")) / col("src_chars")).as("rate"))
     docs.join(broadcast(rates), "source")
       .filter(col("rate") >= 1.0 ||
-        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 8) <
+        docHashPrefix <
           lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast(LongType))), 8, "0"))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id").asc)

@@ -73,6 +73,25 @@ object IvfFunctions {
       best
     }
 
+  /** Nearest-centroid id plus the squared L2 distance to it — the
+    * assignment SemDeDup ranks within (distance to centroid is its
+    * keep-priority signal), computed in the same single pass as the
+    * list id so clustering consumers don't run the argmin twice.
+    */
+  def assignWithDistUdf(bc: Broadcast[Array[Array[Double]]]): UserDefinedFunction =
+    udf { v: Seq[Float] =>
+      val centroids = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = l2sq(v, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+
   /** The `nProbe` nearest centroid ids for a query vector. */
   def probeUdf(bc: Broadcast[Array[Array[Double]]], nProbe: Int): UserDefinedFunction =
     udf { v: Seq[Float] =>

@@ -587,6 +587,65 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Corpus-level duplicate-span profile (exact-substring dedup)
+  // -------------------------------------------------------------------
+
+  /** Exact-substring duplication profile (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every positional `dupSpanN`-token window in a document, is that
+    * exact span repeated anywhere else in the corpus (any doc,
+    * including elsewhere in the same doc)? Per document: total spans,
+    * duplicated spans, and the duplicated fraction — the signal that
+    * paper's suffix-array pass produces, here as two shingle-keyed
+    * aggregations. Unlike q_doc_repetition (per-doc Gopher rules) this
+    * is a CORPUS-level frequency test; unlike q_doc_ngram_jaccard it
+    * profiles spans, not document pairs, so it needs no pair join.
+    *
+    * Scale shape: positional spans explode once (cached — the frame
+    * feeds the frequency count and the join back), the corpus-wide
+    * count is one map-side-combining shuffle on the span key, and the
+    * re-join is the same key — at 100 TB both run over xxhash64(span)
+    * instead of the raw string (8-byte shuffle keys; collisions only
+    * ever merge counts, never lose spans). The string form is kept here
+    * because the DuckDB oracle must group on identical keys.
+    */
+  val dupSpanN = 5
+
+  val qDupSpans: Q = Q.sql(
+    "q_doc_dup_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tok) - 3),
+       |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS span
+       |  FROM t WHERE len(tok) >= $dupSpanN),
+       |freq AS (SELECT span, COUNT(*) AS occ FROM spans GROUP BY span)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       |  CAST(SUM(CASE WHEN f.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+       |FROM spans s JOIN freq f ON s.span = f.span
+       |GROUP BY s.doc_id
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.shingles
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= dupSpanN)
+      .select(col("doc_id"), explode(shingles(col("tok"), dupSpanN)).as("span"))
+      .cache()
+    val freq = spans.groupBy("span").agg(count(lit(1)).as("occ"))
+    val isDup = when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))
+    spans.join(freq, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(isDup).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------
 
@@ -1078,7 +1137,7 @@ object PipelineQ {
   }
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
-    qRepetition, qContamination, qRedact,
+    qRepetition, qDupSpans, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
 }

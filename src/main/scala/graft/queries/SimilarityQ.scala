@@ -273,6 +273,63 @@ object SimilarityQ {
     topKPerQuery(scored)
   }
 
+  // -------------------------------------------------------------------
+  // SemDeDup — semantic deduplication via k-means + within-cluster
+  // cosine (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication")
+  // -------------------------------------------------------------------
+
+  /** SemDeDup over any (vec_id, embedding) frame: cluster with the IVF
+    * coarse quantizer, then inside each cluster drop every vector that
+    * has cosine > `tau` with an earlier-ranked cluster member — rank is
+    * (distance to centroid DESC, vec_id ASC), the paper's
+    * keep-the-example-farthest-from-the-centroid rule. Matches the
+    * released pseudo-code: the pairwise test is against ALL
+    * earlier-ranked members (upper-triangular max-sim), not just
+    * surviving ones, which is what makes every drop decision
+    * independent and the whole pass two joins instead of a sequential
+    * greedy sweep.
+    *
+    * Scale shape: this is the point of SemDeDup — clustering first cuts
+    * the pair space from O(N²) to O(Σ s_c²); k grows with the corpus so
+    * cluster sizes stay bounded (the paper runs k=50k on LAION), the
+    * pair join is an equi-join on the int cluster id, and the drop set
+    * is an anti-join. Centroids ride a TorrentBroadcast.
+    */
+  def semDedup(emb: DataFrame, k: Int, tau: Double, seed: Long = 42): DataFrame = {
+    import graft.functions.IvfFunctions
+    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    val centroids = IvfFunctions.broadcastCentroids(
+      emb, IvfFunctions.trainCentroids(emb, "embedding", k, seed))
+    val assigned = emb
+      .withColumn("__a", IvfFunctions.assignWithDistUdf(centroids)(col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("__a._1").as("cid"), col("__a._2").as("cdist"))
+    val ranked = assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("cdist").desc, col("vec_id").asc)))
+      .cache()
+    val dropped = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk"))
+      .filter(fastCosine(col("a.embedding"), col("b.embedding")) > tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    ranked.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** Catalog entry: SemDeDup survivors over the embeddings table.
+    * Rows-only (k-means centroids are not oracle-reproducible in
+    * DuckDB); ground truth in SemDedupSpec — planted duplicate groups
+    * collapse to exactly one survivor, isolated vectors all survive.
+    */
+  val qEmbSemDedup: Q = Q.rowsOnly("q_emb_semdedup") { (s, d) =>
+    semDedup(Tables.embeddings(s, d), k = 16, tau = 0.95)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
-    qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized)
+    qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup)
 }

@@ -24,7 +24,8 @@ class CatalogContractSpec extends AnyFunSuite {
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
     "q_doc_fingerprint_neardup" -> "graft.FingerprintNearDupSpec",
     "q_events_sketch_stats" -> "graft.SketchSpec",
-    "q_events_wau_sketch" -> "graft.SketchSpec")
+    "q_events_wau_sketch" -> "graft.SketchSpec",
+    "q_emb_semdedup" -> "graft.SemDedupSpec")
 
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).

@@ -1,0 +1,351 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+import graft.functions.MultimodalFunctions.MediaMeta
+
+/** Pure-Scala media *container* codec — the real replacement for the
+  * round-3 metadata stub (the reference treats media as opaque blobs;
+  * this gives the engine honest byte-level decode, the same way
+  * ShapefileReader parses ESRI binary without a geo library).
+  *
+  * Decode side: [[decodeMeta]] sniffs the magic bytes and parses the
+  * published container header layouts —
+  *
+  *   - PNG (RFC 2083 / W3C PNG spec): 8-byte signature, then chunked
+  *     layout `len(4 BE) type(4) data crc(4)`; IHDR carries width/height
+  *     (4-byte BE each); an `acTL` chunk (APNG extension) carries
+  *     num_frames.
+  *   - JPEG (ITU T.81): `FF D8` SOI, then marker segments
+  *     `FF xx len(2 BE, incl. itself)`; the frame header SOFn
+  *     (C0-CF minus C4/C8/CC) carries precision(1) height(2 BE)
+  *     width(2 BE).
+  *   - GIF (GIF89a spec): 6-byte version signature, logical screen
+  *     descriptor width/height (2-byte LE each), optional global color
+  *     table (size from the packed byte), then a block walk — 0x21
+  *     extensions (label + length-prefixed sub-blocks), 0x2C image
+  *     descriptors (counted as frames), 0x3B trailer.
+  *   - WAV (RIFF spec): `RIFF size WAVE`, then `id(4) size(4 LE) data`
+  *     chunks; `fmt ` carries channels(2 LE) sampleRate(4 LE)
+  *     blockAlign(2 LE); the `data` chunk size over blockAlign is the
+  *     sample-frame count.
+  *
+  * The [[MediaMeta]] mapping for audio: width = sample rate,
+  * height = channel count, n_frames = PCM sample frames — "frames" in
+  * the audio sense, documented here once.
+  *
+  * Anything unrecognized or truncated decodes to `("bin", 0, 0, 0)`
+  * rather than throwing: at 100 TB a corrupt payload must downgrade to
+  * a filterable row, not kill the stage.
+  *
+  * Encode side: [[pngBytes]]/[[jpegBytes]]/[[gifBytes]]/[[wavBytes]]
+  * synthesize structurally valid containers (PNG gets real CRC32s and a
+  * real deflate IDAT; WAV gets a real PCM data chunk) so the decode
+  * path is exercised on genuine container bytes — the
+  * q_multimodal_decode gate round-trips encode→decode and the DuckDB
+  * oracle replays the parameter arithmetic.
+  */
+object MediaContainers {
+
+  // ------------------------------------------------------------------
+  // byte-order helpers
+  // ------------------------------------------------------------------
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    ((b(off + 1) & 0xff) << 8) | (b(off) & 0xff)
+
+  private def ascii(b: Array[Byte], off: Int, n: Int): String =
+    new String(b, off, n, "US-ASCII")
+
+  private val unknown = MediaMeta("bin", 0, 0, 0)
+
+  // ------------------------------------------------------------------
+  // decode
+  // ------------------------------------------------------------------
+
+  /** Parse container-level metadata from raw payload bytes. Total:
+    * unknown/corrupt/truncated input yields `("bin", 0, 0, 0)`.
+    */
+  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+    if (payload == null || payload.length < 4) return unknown
+    try {
+      if (isPng(payload)) decodePng(payload)
+      else if (isJpeg(payload)) decodeJpeg(payload)
+      else if (isGif(payload)) decodeGif(payload)
+      else if (isWav(payload)) decodeWav(payload)
+      else unknown
+    } catch {
+      // truncated header mid-field — same downgrade as a bad magic
+      case _: ArrayIndexOutOfBoundsException => unknown
+    }
+  }
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && pngSig.indices.forall(i => b(i) == pngSig(i))
+
+  /** Chunk walk: IHDR for dimensions, acTL (APNG) for frame count. */
+  private def decodePng(b: Array[Byte]): MediaMeta = {
+    var off = 8
+    var w = 0L
+    var h = 0L
+    var frames = 1L
+    var sawIhdr = false
+    while (off + 8 <= b.length) {
+      val len = be32(b, off)
+      val typ = ascii(b, off + 4, 4)
+      if (typ == "IHDR" && len >= 8 && off + 16 <= b.length) {
+        w = be32(b, off + 8); h = be32(b, off + 12); sawIhdr = true
+      } else if (typ == "acTL" && len >= 4 && off + 12 <= b.length) {
+        frames = be32(b, off + 8)
+      } else if (typ == "IEND") {
+        off = b.length // stop
+      }
+      // a corrupt length claiming more bytes than exist would wrap
+      // negative on toInt and loop forever — stop at what we have
+      if (len > b.length) off = b.length
+      else off += 12 + len.toInt // len + type + data + crc
+    }
+    if (sawIhdr) MediaMeta("png", w.toInt, h.toInt, frames.toInt) else unknown
+  }
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** Marker-segment walk to the first SOFn frame header. */
+  private def decodeJpeg(b: Array[Byte]): MediaMeta = {
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return unknown
+      val marker = b(off + 1) & 0xff
+      marker match {
+        case 0xd8 | 0x01 => off += 2 // standalone, no length
+        case m if m >= 0xd0 && m <= 0xd7 => off += 2 // RSTn
+        case 0xd9 => return unknown // EOI before any SOF
+        case m if isSof(m) =>
+          // len(2) precision(1) height(2) width(2)
+          if (off + 9 > b.length) return unknown
+          val h = be16(b, off + 5)
+          val w = be16(b, off + 7)
+          return MediaMeta("jpeg", w, h, 1)
+        case 0xda => return unknown // SOS with no prior SOF: malformed
+        case _ =>
+          val len = be16(b, off + 2)
+          if (len < 2) return unknown
+          off += 2 + len
+      }
+    }
+    unknown
+  }
+
+  /** SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC), per T.81 Table B.1. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a")
+
+  /** Logical screen descriptor + block walk counting image descriptors. */
+  private def decodeGif(b: Array[Byte]): MediaMeta = {
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    val packed = b(10) & 0xff
+    var off = 13
+    if ((packed & 0x80) != 0) off += 3 * (1 << ((packed & 0x07) + 1)) // global color table
+    var frames = 0
+    var done = false
+    while (!done && off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: label byte then sub-blocks
+          off += 2
+          off = skipSubBlocks(b, off)
+        case 0x2c => // image descriptor: 9 bytes after the separator
+          frames += 1
+          val ipacked = b(off + 9) & 0xff
+          off += 10
+          if ((ipacked & 0x80) != 0) off += 3 * (1 << ((ipacked & 0x07) + 1))
+          off += 1 // LZW minimum code size
+          off = skipSubBlocks(b, off)
+        case _ => done = true // corrupt block stream: stop at what we have
+      }
+    }
+    MediaMeta("gif", w, h, frames)
+  }
+
+  /** Skip length-prefixed sub-blocks through the 0x00 terminator. */
+  private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+    var off = start
+    while (off < b.length && (b(off) & 0xff) != 0) off += 1 + (b(off) & 0xff)
+    off + 1
+  }
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE"
+
+  /** RIFF chunk walk: `fmt ` for rate/channels/blockAlign, `data` for
+    * the sample-frame count. Chunks pad to even offsets per the spec.
+    */
+  private def decodeWav(b: Array[Byte]): MediaMeta = {
+    var off = 12
+    var rate = 0L
+    var channels = 0
+    var blockAlign = 0
+    var dataSize = -1L
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off, 4)
+      val size = le32(b, off + 4)
+      if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      // same corrupt-length stop as the PNG walk
+      if (size > b.length) off = b.length
+      else off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate == 0 || dataSize < 0) unknown
+    else {
+      val frames = if (blockAlign > 0) dataSize / blockAlign else 0L
+      MediaMeta("wav", rate.toInt, channels, frames.toInt)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // encode (fixture synthesis: structurally valid containers)
+  // ------------------------------------------------------------------
+
+  private def pngChunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+      (len >>> 8).toByte, len.toByte))
+    val typBytes = typ.getBytes("US-ASCII")
+    out.write(typBytes)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(typBytes)
+    crc.update(data)
+    val c = crc.getValue
+    out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+      (c >>> 8).toByte, c.toByte))
+  }
+
+  /** Valid 8-bit grayscale PNG: signature, IHDR, deflate-compressed
+    * zero-filled IDAT (one filter byte per scanline, per the spec),
+    * IEND — every chunk CRC32'd for real.
+    */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"png dims must be positive: ${w}x$h")
+    val out = new ByteArrayOutputStream()
+    out.write(pngSig)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    // compression 0, filter 0, interlace 0 already zeroed
+    pngChunk(out, "IHDR", ihdr)
+    val raw = new Array[Byte](h * (w + 1)) // filter byte + w gray pixels per row
+    val deflater = new Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    pngChunk(out, "IDAT", idat.toByteArray)
+    pngChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** JPEG header chain: SOI, APP0/JFIF, SOF0 (8-bit, one grayscale
+    * component), EOI — the marker syntax a header scan must walk.
+    */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"jpeg dims out of range: ${w}x$h")
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+    // APP0 JFIF v1.02, no thumbnail
+    val app0 = Array[Byte]('J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0)
+    out.write(Array[Byte](0xff.toByte, 0xe0.toByte,
+      ((app0.length + 2) >>> 8).toByte, (app0.length + 2).toByte))
+    out.write(app0)
+    // SOF0: precision 8, h, w, 1 component (id 1, sampling 0x11, qtable 0)
+    val sof = Array[Byte](8,
+      (h >>> 8).toByte, h.toByte, (w >>> 8).toByte, w.toByte,
+      1, 1, 0x11, 0)
+    out.write(Array[Byte](0xff.toByte, 0xc0.toByte,
+      ((sof.length + 2) >>> 8).toByte, (sof.length + 2).toByte))
+    out.write(sof)
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** GIF89a with `frames` image descriptors (no color tables; one dummy
+    * LZW sub-block per frame) and a trailer.
+    */
+  def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0, s"gif params out of range: ${w}x$h x$frames")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](w.toByte, (w >>> 8).toByte, h.toByte, (h >>> 8).toByte,
+      0, 0, 0)) // packed (no GCT), bg color, aspect
+    var f = 0
+    while (f < frames) {
+      out.write(0x2c) // image separator
+      out.write(Array[Byte](0, 0, 0, 0, // left, top
+        w.toByte, (w >>> 8).toByte, h.toByte, (h >>> 8).toByte,
+        0)) // packed: no local color table
+      out.write(2) // LZW minimum code size
+      out.write(Array[Byte](1, 0x44, 0)) // one 1-byte sub-block + terminator
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** PCM 16-bit WAV: RIFF/WAVE, fmt chunk, zero-filled data chunk of
+    * `frames` sample frames.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frames >= 0,
+      s"wav params out of range: $sampleRate/$channels/$frames")
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val out = new ByteArrayOutputStream()
+    def w32(v: Long): Unit = out.write(Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte))
+    def w16(v: Int): Unit = out.write(Array[Byte](v.toByte, (v >>> 8).toByte))
+    out.write("RIFF".getBytes("US-ASCII"))
+    w32(36L + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    w32(16) // PCM fmt chunk size
+    w16(1) // audio format: PCM
+    w16(channels)
+    w32(sampleRate.toLong)
+    w32(sampleRate.toLong * blockAlign) // byte rate
+    w16(blockAlign)
+    w16(16) // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    w32(dataSize.toLong)
+    out.write(new Array[Byte](dataSize))
+    out.toByteArray
+  }
+}

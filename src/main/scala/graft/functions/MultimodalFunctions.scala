@@ -10,14 +10,14 @@ import org.apache.spark.sql.types._
   * feature-extraction / resize / frame-sampling run batched inside
   * partitions.
   *
-  * The Spark-side plumbing here — binary columns, metadata schema,
-  * fixed-size intra-partition batching, array-of-binary frame output —
-  * is real and tested. The DECODE BODY IS A STUB by necessity: no
-  * image/audio codec library ships in this container, so `decodeMeta`
-  * derives deterministic pseudo-metadata from the payload bytes
-  * (making it oracle-checkable) where a production build would call a
-  * real codec (e.g. javax.imageio / ffmpeg bindings) on the same
-  * byte[] in the same batched loop.
+  * Metadata decode is REAL byte-level container parsing
+  * ([[graft.functions.MediaContainers]]: PNG IHDR/acTL, JPEG SOFn, GIF
+  * logical screen descriptor + frame walk, RIFF/WAV fmt+data), pure
+  * Scala against the published layouts — no codec library needed for
+  * header-level metadata. Pixel/sample DECODE (resize) remains a stub:
+  * decompressing IDAT pixel data or JPEG entropy streams is codec
+  * work; the schema contract and batching seam are what downstream
+  * code depends on.
   *
   * Scale design: everything is per-row/per-partition — no shuffle.
   * [[mapBinaryBatches]] is the Scala analog of Python's
@@ -28,7 +28,10 @@ import org.apache.spark.sql.types._
   */
 object MultimodalFunctions {
 
-  /** Typed metadata for one media payload. */
+  /** Typed metadata for one media payload. For audio (wav):
+    * width = sample rate, height = channels, n_frames = PCM sample
+    * frames (see MediaContainers scaladoc).
+    */
   final case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
 
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -37,18 +40,9 @@ object MultimodalFunctions {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** STUB decode — deterministic pseudo-metadata from payload size
-    * (a real build parses the container header from the same bytes).
-    */
-  def decodeMetaStub(payload: Array[Byte]): MediaMeta = {
-    val len = if (payload == null) 0 else payload.length
-    val format = (len % 3) match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webm"
-    }
-    MediaMeta(format, 16 * (1 + len % 64), 9 * (1 + len % 48), 1 + len % 24)
-  }
+  /** Real container-header decode — see [[MediaContainers.decodeMeta]]. */
+  def decodeMeta(payload: Array[Byte]): MediaMeta =
+    MediaContainers.decodeMeta(payload)
 
   /** STUB resize — returns a deterministically truncated/padded payload
     * with the target "dimensions" baked into the length (a real build

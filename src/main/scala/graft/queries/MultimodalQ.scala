@@ -3,36 +3,56 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.MultimodalFunctions
+import graft.functions.{MediaContainers, MultimodalFunctions}
 import graft.sources.Tables
 
 /** Multimodal-column queries: real BinaryType payloads + the batched
-  * decode plumbing, oracle-checked end-to-end (the stub decoder derives
-  * metadata deterministically from payload bytes, so DuckDB reproduces
-  * it from octet_length — proving the batching machinery preserves
-  * row alignment and values; see MultimodalFunctions for what's stub
-  * vs real).
+  * decode plumbing, oracle-checked end-to-end.
+  *
+  * The decode gate round-trips REAL container bytes: per document a
+  * structurally valid PNG / JPEG / GIF / WAV is synthesized with
+  * doc_id-derived parameters (MediaContainers encoders — real CRC32s,
+  * real deflate IDAT, real RIFF chunk layout), then parsed back by the
+  * pure-Scala header decoder in batched mapBinaryBatches form. The
+  * DuckDB oracle replays the parameter arithmetic, so a hash match
+  * proves decodeMeta recovered every width/height/rate/frame-count
+  * from the bytes themselves.
   */
 object MultimodalQ {
 
-  /** Binary payload → batched decode → typed metadata columns. */
+  /** doc_id → synthesized container payload (real bytes, deterministic
+    * parameters — the encode half of the decode gate's round trip).
+    */
+  private[graft] def fixturePayload(i: Long): Array[Byte] = (i % 4) match {
+    case 0 => MediaContainers.pngBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
+    case 1 => MediaContainers.jpegBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
+    case 2 => MediaContainers.gifBytes((1 + i % 64).toInt, (1 + i % 48).toInt,
+      (1 + i % 5).toInt)
+    case _ => MediaContainers.wavBytes((8000 + 100 * (i % 80)).toInt,
+      (1 + i % 2).toInt, (1 + i % 997).toInt)
+  }
+
+  /** Binary payload → batched REAL header decode → typed metadata. */
   val qMultimodalDecode: Q = Q.sql(
     "q_multimodal_decode",
-    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
-      |    WHEN 1 THEN 'jpeg' ELSE 'webm' END AS format,
-      |  CAST(16 * (1 + octet_length(encode(text)) % 64) AS INT) AS width,
-      |  CAST(9 * (1 + octet_length(encode(text)) % 48) AS INT) AS height,
-      |  CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
+    """SELECT doc_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + 100 * (doc_id % 80)
+      |    ELSE 1 + doc_id % 64 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
+      |    ELSE 1 + doc_id % 48 END AS INT) AS height,
+      |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 5
+      |    WHEN 3 THEN 1 + doc_id % 997 ELSE 1 END AS INT) AS n_frames
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val payload = udf((i: Long) => fixturePayload(i))
     val media = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"), payload(col("doc_id")).as("payload"))
     MultimodalFunctions
-      .mapBinaryBatches(media, "payload")(_.map(MultimodalFunctions.decodeMetaStub))
-      .select(col("doc_id"),
-        octet_length(col("payload")).cast(LongType).as("byte_len"),
-        col("format"), col("width"), col("height"), col("n_frames"))
+      .mapBinaryBatches(media, "payload")(_.map(MultimodalFunctions.decodeMeta))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("n_frames"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -1,0 +1,223 @@
+package graft
+
+import java.util.zip.Inflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MediaContainers
+import graft.functions.MultimodalFunctions.MediaMeta
+
+/** Golden tests for the pure-Scala container codec: hand-pinned REAL
+  * file bytes (not round-trips of our own encoder) prove the decoder
+  * reads the published layouts; round-trip properties then cover the
+  * parameter space; malformed-input cases pin the downgrade-to-bin
+  * contract.
+  */
+class MediaContainersSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ------------------------------------------------------------------
+  // golden fixtures — literal bytes of real files
+  // ------------------------------------------------------------------
+
+  test("golden PNG: the canonical 1x1 image decodes to 1x1") {
+    // the widely-published smallest transparent PNG (RGBA 1x1)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    assert(MediaContainers.decodeMeta(png) == MediaMeta("png", 1, 1, 1))
+  }
+
+  test("golden JPEG: SOI + APP0(JFIF) + COM + SOF0 marker chain") {
+    // hand-assembled per ITU T.81: height 7, width 9; the COM segment
+    // before SOF0 forces the walk to skip by segment length
+    val jpeg = bytes(
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // APP0, len 16
+      0x01, 0x02, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xfe, 0x00, 0x05, 'h', 'i', '!', // COM, len 5
+      0xff, 0xc0, 0x00, 0x0b, // SOF0, len 11
+      0x08, 0x00, 0x07, 0x00, 0x09, 0x01, 0x01, 0x11, 0x00,
+      0xff, 0xd9) // EOI
+    assert(MediaContainers.decodeMeta(jpeg) == MediaMeta("jpeg", 9, 7, 1))
+  }
+
+  test("golden JPEG: progressive SOF2 is recognized too") {
+    val jpeg = bytes(
+      0xff, 0xd8,
+      0xff, 0xc2, 0x00, 0x0b, // SOF2 (progressive)
+      0x08, 0x01, 0x00, 0x02, 0x00, 0x01, 0x01, 0x11, 0x00,
+      0xff, 0xd9)
+    assert(MediaContainers.decodeMeta(jpeg) == MediaMeta("jpeg", 512, 256, 1))
+  }
+
+  test("golden GIF: LSD dims + two image descriptors behind a GCE extension") {
+    val gif = bytes(
+      'G', 'I', 'F', '8', '9', 'a',
+      0x03, 0x00, 0x02, 0x00, // 3 x 2 logical screen, little-endian
+      0x00, 0x00, 0x00, // no global color table
+      0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, // graphic control ext
+      0x2c, 0x00, 0x00, 0x00, 0x00, 0x03, 0x00, 0x02, 0x00, 0x00, // frame 1
+      0x02, 0x01, 0x44, 0x00, // lzw min + 1 sub-block + terminator
+      0x2c, 0x00, 0x00, 0x00, 0x00, 0x03, 0x00, 0x02, 0x00, 0x00, // frame 2
+      0x02, 0x01, 0x44, 0x00,
+      0x3b) // trailer
+    assert(MediaContainers.decodeMeta(gif) == MediaMeta("gif", 3, 2, 2))
+  }
+
+  test("golden GIF: global color table offset is honored") {
+    // packed 0x80 | size 0 -> 2-entry GCT = 6 bytes before the frame walk
+    val gif = bytes(
+      'G', 'I', 'F', '8', '7', 'a',
+      0x05, 0x00, 0x04, 0x00,
+      0x80, 0x00, 0x00,
+      0x11, 0x22, 0x33, 0x44, 0x55, 0x66, // GCT
+      0x2c, 0x00, 0x00, 0x00, 0x00, 0x05, 0x00, 0x04, 0x00, 0x00,
+      0x02, 0x01, 0x44, 0x00,
+      0x3b)
+    assert(MediaContainers.decodeMeta(gif) == MediaMeta("gif", 5, 4, 1))
+  }
+
+  test("golden WAV: 44.1kHz stereo 16-bit, 2 sample frames") {
+    val wav = bytes(
+      'R', 'I', 'F', 'F', 0x2c, 0x00, 0x00, 0x00, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 0x10, 0x00, 0x00, 0x00, // fmt, 16 bytes
+      0x01, 0x00, // PCM
+      0x02, 0x00, // 2 channels
+      0x44, 0xac, 0x00, 0x00, // 44100
+      0x10, 0xb1, 0x02, 0x00, // byte rate 176400
+      0x04, 0x00, // block align 4
+      0x10, 0x00, // 16 bits
+      'd', 'a', 't', 'a', 0x08, 0x00, 0x00, 0x00, // 8 data bytes = 2 frames
+      0, 0, 0, 0, 0, 0, 0, 0)
+    assert(MediaContainers.decodeMeta(wav) == MediaMeta("wav", 44100, 2, 2))
+  }
+
+  test("golden WAV: LIST chunk before fmt is skipped (with odd-size padding)") {
+    val wav = bytes(
+      'R', 'I', 'F', 'F', 0x33, 0x00, 0x00, 0x00, 'W', 'A', 'V', 'E',
+      'L', 'I', 'S', 'T', 0x03, 0x00, 0x00, 0x00, 'I', 'N', 'F', 0x00, // odd size -> pad
+      'f', 'm', 't', ' ', 0x10, 0x00, 0x00, 0x00,
+      0x01, 0x00, 0x01, 0x00,
+      0x40, 0x1f, 0x00, 0x00, // 8000
+      0x80, 0x3e, 0x00, 0x00,
+      0x02, 0x00, 0x10, 0x00,
+      'd', 'a', 't', 'a', 0x04, 0x00, 0x00, 0x00, 0, 0, 0, 0)
+    assert(MediaContainers.decodeMeta(wav) == MediaMeta("wav", 8000, 1, 2))
+  }
+
+  // ------------------------------------------------------------------
+  // encoder honesty: the synthesized containers are structurally real
+  // ------------------------------------------------------------------
+
+  test("pngBytes carries a REAL deflate IDAT that inflates to the scanline bytes") {
+    val png = MediaContainers.pngBytes(5, 3)
+    // walk chunks to find IDAT
+    var off = 8
+    var idat: Array[Byte] = null
+    while (off + 8 <= png.length && idat == null) {
+      val len = (((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff))
+      if (new String(png, off + 4, 4, "US-ASCII") == "IDAT")
+        idat = java.util.Arrays.copyOfRange(png, off + 8, off + 8 + len)
+      off += 12 + len
+    }
+    assert(idat != null, "no IDAT chunk found")
+    val inflater = new Inflater()
+    inflater.setInput(idat)
+    val out = new Array[Byte](3 * (5 + 1) + 16)
+    val n = inflater.inflate(out)
+    inflater.end()
+    assert(n == 3 * (5 + 1), "IDAT must inflate to h*(w+1) filter+pixel bytes")
+    assert(out.take(n).forall(_ == 0))
+  }
+
+  test("pngBytes chunk CRCs verify against an independent CRC32 pass") {
+    val png = MediaContainers.pngBytes(9, 4)
+    var off = 8
+    var checked = 0
+    while (off + 8 <= png.length) {
+      val len = (((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff))
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, off + 4, 4 + len)
+      val stored = (((png(off + 8 + len) & 0xffL) << 24) |
+        ((png(off + 9 + len) & 0xffL) << 16) |
+        ((png(off + 10 + len) & 0xffL) << 8) | (png(off + 11 + len) & 0xffL))
+      assert(crc.getValue == stored, s"CRC mismatch at chunk offset $off")
+      checked += 1
+      off += 12 + len
+    }
+    assert(checked == 3, "expected IHDR + IDAT + IEND")
+  }
+
+  // ------------------------------------------------------------------
+  // round-trip properties over the parameter space
+  // ------------------------------------------------------------------
+
+  test("encode->decode round-trips across the full fixture parameter space") {
+    for (i <- 0L until 400L) {
+      val w = (1 + i % 64).toInt
+      val h = (1 + i % 48).toInt
+      assert(MediaContainers.decodeMeta(MediaContainers.pngBytes(w, h)) ==
+        MediaMeta("png", w, h, 1))
+      assert(MediaContainers.decodeMeta(MediaContainers.jpegBytes(w, h)) ==
+        MediaMeta("jpeg", w, h, 1))
+      val frames = (1 + i % 5).toInt
+      assert(MediaContainers.decodeMeta(MediaContainers.gifBytes(w, h, frames)) ==
+        MediaMeta("gif", w, h, frames))
+      val rate = (8000 + 100 * (i % 80)).toInt
+      val ch = (1 + i % 2).toInt
+      val n = (1 + i % 997).toInt
+      assert(MediaContainers.decodeMeta(MediaContainers.wavBytes(rate, ch, n)) ==
+        MediaMeta("wav", rate, ch, n))
+    }
+  }
+
+  test("large dimensions survive the byte-level round trip") {
+    assert(MediaContainers.decodeMeta(MediaContainers.pngBytes(4096, 2160)) ==
+      MediaMeta("png", 4096, 2160, 1))
+    assert(MediaContainers.decodeMeta(MediaContainers.jpegBytes(65535, 65535)) ==
+      MediaMeta("jpeg", 65535, 65535, 1))
+    assert(MediaContainers.decodeMeta(MediaContainers.wavBytes(192000, 8, 100000)) ==
+      MediaMeta("wav", 192000, 8, 100000))
+  }
+
+  // ------------------------------------------------------------------
+  // malformed input: downgrade, never throw
+  // ------------------------------------------------------------------
+
+  test("truncated containers downgrade to bin instead of throwing") {
+    val fulls = Seq(
+      MediaContainers.pngBytes(10, 10),
+      MediaContainers.jpegBytes(10, 10),
+      MediaContainers.wavBytes(8000, 1, 10))
+    for (full <- fulls; cut <- Seq(4, 10, 14)) {
+      if (cut < full.length) {
+        val t = java.util.Arrays.copyOf(full, cut)
+        val m = MediaContainers.decodeMeta(t)
+        // a cut inside the magic -> bin; a cut after the header may still
+        // decode — either way, no exception escapes
+        assert(m.format == "bin" || m.width >= 0)
+      }
+    }
+    // gif cut mid-LSD is shorter than the 13-byte minimum -> bin
+    assert(MediaContainers.decodeMeta(
+      java.util.Arrays.copyOf(MediaContainers.gifBytes(3, 3, 1), 9)) ==
+      MediaMeta("bin", 0, 0, 0))
+  }
+
+  test("JPEG with EOI before any SOF is malformed -> bin") {
+    assert(MediaContainers.decodeMeta(bytes(0xff, 0xd8, 0xff, 0xd9)) ==
+      MediaMeta("bin", 0, 0, 0))
+  }
+
+  test("random garbage never throws") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rng.nextInt(64))
+      rng.nextBytes(b)
+      MediaContainers.decodeMeta(b) // must not throw
+    }
+  }
+}

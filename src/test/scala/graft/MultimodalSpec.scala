@@ -3,38 +3,43 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.MultimodalFunctions
+import graft.functions.{MediaContainers, MultimodalFunctions}
 import graft.functions.MultimodalFunctions.MediaMeta
 
 /** Multimodal plumbing: binary columns stay binary through the batched
-  * decode path, batch boundaries never break row alignment, and the
-  * resize/frame-sample stubs keep their schema contracts.
+  * decode path, batch boundaries never break row alignment (verified
+  * with the REAL container decoder on real PNG bytes), and the
+  * resize/frame-sample helpers keep their schema contracts.
   */
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // real PNG payloads with id-derived dimensions: alignment bugs show
+  // up as a width decoded from some other row's bytes
   private lazy val media = (0 until 100)
-    .map(i => (i.toLong, Array.fill[Byte](10 + i)(i.toByte)))
+    .map(i => (i.toLong, MediaContainers.pngBytes(1 + i % 37, 1 + i % 23)))
     .toDF("id", "payload")
 
   test("payload column is genuine BinaryType and survives the batch decode") {
     assert(media.schema("payload").dataType == BinaryType)
     val out = MultimodalFunctions.mapBinaryBatches(media, "payload", batchSize = 7)(
-      _.map(MultimodalFunctions.decodeMetaStub))
+      _.map(MultimodalFunctions.decodeMeta))
     assert(out.schema("payload").dataType == BinaryType)
     assert(out.count() == 100)
   }
 
   test("batched decode preserves row alignment across uneven batch boundaries") {
     // batchSize 7 over 100 rows -> 15 batches, last partial; every row's
-    // meta must still be derived from ITS OWN payload
+    // meta must still be parsed from ITS OWN payload bytes
     val out = MultimodalFunctions.mapBinaryBatches(media, "payload", batchSize = 7)(
-      _.map(MultimodalFunctions.decodeMetaStub))
-      .select(col("id"), length(col("payload")).as("len"), col("width"))
+      _.map(MultimodalFunctions.decodeMeta))
+      .select(col("id"), col("format"), col("width"), col("height"))
       .collect()
     out.foreach { r =>
-      val expected = 16 * (1 + r.getAs[Int]("len") % 64)
-      assert(r.getAs[Int]("width") == expected, s"row ${r.getLong(0)} misaligned")
+      val i = r.getLong(0)
+      assert(r.getAs[String]("format") == "png")
+      assert(r.getAs[Int]("width") == 1 + i % 37, s"row $i misaligned width")
+      assert(r.getAs[Int]("height") == 1 + i % 23, s"row $i misaligned height")
     }
   }
 
@@ -53,7 +58,7 @@ class MultimodalSpec extends SparkSpecBase {
   test("misbehaving decoder (wrong cardinality) fails loudly, not silently") {
     val bad = intercept[org.apache.spark.SparkException] {
       MultimodalFunctions.mapBinaryBatches(media, "payload")(
-        batch => batch.drop(1).map(MultimodalFunctions.decodeMetaStub)).count()
+        batch => batch.drop(1).map(MultimodalFunctions.decodeMeta)).count()
     }
     assert(bad.getMessage != null)
   }
@@ -77,8 +82,10 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MultimodalFunctions.frameSampleStub(Array.empty[Byte], 4).isEmpty)
   }
 
-  test("decodeMetaStub is total: null and empty payloads get sane metadata") {
-    assert(MultimodalFunctions.decodeMetaStub(null) == MediaMeta("png", 16, 9, 1))
-    assert(MultimodalFunctions.decodeMetaStub(Array.empty) == MediaMeta("png", 16, 9, 1))
+  test("decodeMeta is total: null/empty/garbage payloads downgrade to bin") {
+    assert(MultimodalFunctions.decodeMeta(null) == MediaMeta("bin", 0, 0, 0))
+    assert(MultimodalFunctions.decodeMeta(Array.empty) == MediaMeta("bin", 0, 0, 0))
+    assert(MultimodalFunctions.decodeMeta(Array[Byte](1, 2, 3, 4, 5)) ==
+      MediaMeta("bin", 0, 0, 0))
   }
 }

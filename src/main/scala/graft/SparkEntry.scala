@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, EventsQ, GeoQ, JoinsQ, MultimodalQ, OlapQ, PipelineQ, Q, Relational, SimilarityQ, TextQ, TransformQ}
+import graft.queries.{Analytics, BpeQ, EventsQ, GeoQ, JoinsQ, MultimodalQ, OlapQ, PipelineQ, Q, Relational, SimilarityQ, TextQ, TransformQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
   val catalog: Seq[Q] = {
     val qs = Relational.all ++ Analytics.all ++ EventsQ.all ++ TextQ.all ++
       SimilarityQ.all ++ GeoQ.all ++ TransformQ.all ++ MultimodalQ.all ++ JoinsQ.all ++
-      OlapQ.all ++ PipelineQ.all
+      OlapQ.all ++ PipelineQ.all ++ BpeQ.all
     val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

@@ -20,6 +20,7 @@ object GraftFunctions {
     graft.expressions.MinhashSig.ensureRegistered(spark)
     graft.expressions.Simhash64.ensureRegistered(spark)
     graft.expressions.DeflateSize.ensureRegistered(spark)
+    graft.expressions.BpeTokenCount.ensureRegistered(spark)
     val r = spark.udf
     // geometry codecs (§2.7)
     r.register("st_asgeojson", Geo.stAsGeoJson)

@@ -1,0 +1,21 @@
+package graft.queries
+
+/** Fixed filesystem root for ORACLE-REPLAY side tables.
+  *
+  * Some operators derive small model artifacts from the corpus itself
+  * (BPE merge/word-token tables, k-means centroids) that ANSI SQL
+  * cannot re-derive. To keep those queries hash-verified instead of
+  * rows-only, the engine materializes the artifact to this path and
+  * the DuckDB oracle `read_parquet`s it back, replaying the
+  * DOWNSTREAM computation (assignment, join, aggregation) exactly —
+  * the artifact itself is then pinned by a golden ScalaTest spec.
+  *
+  * The path must be a compile-time constant because oracle SQL strings
+  * are static; every aux table therefore carries a corpus_key column
+  * (a content fingerprint the oracle recomputes from the base tables,
+  * e.g. SUM(n_chars)) so a stale or concurrent write for a DIFFERENT
+  * scale factor can never satisfy the oracle's filter.
+  */
+object OracleAux {
+  val root: String = "/tmp/graft_oracle_aux"
+}

@@ -4,25 +4,32 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Sessions, SparkEntry}
 import graft.catalog.Registry
-import graft.queries.PipelineQ
-import graft.sink.ShardSink
+import graft.queries.{NycQueries, PipelineQ}
+import graft.sink.{JsonFeatureSink, ShardSink}
 import graft.sources.Tables
+import graft.sources.connectors.{HttpClient, RetryingClient, SodaConnector}
+import graft.sources.soda.SodaHttp
 import graft.transform.Transformers
 
-/** CLI entry points mirroring the reference's two scripts
-  * (scripts/ingest_data.py --dataset <key> [--dry-run];
-  * scripts/export_static_data.py):
+/** CLI entry points mirroring the reference's scripts AND its serving
+  * layer (scripts/ingest_data.py --dataset <key> [--filter <json>]
+  * [--dry-run]; scripts/export_static_data.py; src/api/routes.py):
   *
   * {{{
   * runMain graft.jobs.Main ingest <key> <rawParquet> <warehouseDir> [--dry-run] [--zips <file>]
+  * runMain graft.jobs.Main ingest-soda <key> <warehouseDir> [--filter <json>] [--dry-run] [--zips <file>]
   * runMain graft.jobs.Main ingest-all <rawDir> <warehouseDir> [--zips <file>]
   * runMain graft.jobs.Main export <warehouseDir> <outDir>
   * runMain graft.jobs.Main curate <sfDir> <shardOutDir>
+  * runMain graft.jobs.Main sql <warehouseDir> "<statement>"
+  * runMain graft.jobs.Main query <warehouseDir> <food-gaps|poverty-by-zip|rent-by-zip>
   * }}}
   *
   * The reference's reflection-loaded transformer classes
@@ -33,6 +40,14 @@ import graft.transform.Transformers
   * `ingest-all` loops every enabled dataset with per-dataset failure
   * isolation (ingest_data.py:180-210): one dataset's error doesn't
   * stop the others.
+  *
+  * `sql` / `query` are the interactive counterpart to the FastAPI
+  * serving layer (SURVEY §3.2 "Interactive mode = spark.sql on cached
+  * temp views"): every warehouse table registers as a temp view and
+  * ad-hoc SQL runs against them; `query` serves the three named
+  * endpoint queries (routes.py:23-46, 63-87, 109-129) as a
+  * FeatureCollection on stdout, exactly the payload the HTTP routes
+  * return.
   */
 object Main {
 
@@ -67,6 +82,93 @@ object Main {
     IngestJob.run(spark, spec, raw, transformerFor(key, zips), warehouse, dryRun)
   }
 
+  /** `--filter '{"col": value, …}'` — the reference's filter contract
+    * (ingest_data.py:271-277: a flat JSON object, json.loads'd, handed
+    * to the fetcher which compiles it to a SoQL WHERE). Scalars only;
+    * nested values are rejected the way invalid JSON is.
+    */
+  def parseFilterJson(json: String): Map[String, Any] = {
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"invalid filter JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, s"filter must be a JSON object, got: $json")
+    root.fields().asScala.map { e =>
+      val v = e.getValue
+      val value: Any =
+        if (v.isTextual) v.asText()
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isFloatingPointNumber) v.asDouble()
+        else if (v.isBoolean) v.asBoolean()
+        else throw new IllegalArgumentException(
+          s"filter values must be scalars; '${e.getKey}' is ${v.getNodeType}")
+      e.getKey -> value
+    }.toMap
+  }
+
+  /** Live-API ingest (ingest_data.py's real path): fetch the dataset's
+    * pages through the SODA connector — `filters` compiles to the SoQL
+    * WHERE (S2 pushdown, SodaConnector.buildSoql) so filtering happens
+    * server-side, not post-download — then the same transform →
+    * validate → upsert pipeline as file ingest. The HTTP client is
+    * injectable for tests (per-JVM binding, SodaHttp.client).
+    */
+  def ingestSoda(spark: SparkSession, key: String, warehouse: String,
+                 dryRun: Boolean, zips: Seq[String], filters: Map[String, Any],
+                 client: HttpClient = SodaHttp.client): IngestJob.Result = {
+    val spec = Registry.all.getOrElse(key,
+      throw new IllegalArgumentException(s"unknown dataset '$key'"))
+    require(spec.sourceType == "socrata",
+      s"--filter/ingest-soda applies to socrata datasets; '$key' is ${spec.sourceType}")
+    val connector = new SodaConnector(new RetryingClient(client))
+    val raw = connector.fetch(spark, spec.datasetId, filters)
+    IngestJob.run(spark, spec, raw, transformerFor(key, zips), warehouse, dryRun)
+  }
+
+  /** Register every warehouse table directory as a temp view (the
+    * serving layer's session setup); returns the view names.
+    */
+  def registerWarehouse(spark: SparkSession, warehouseDir: String): Seq[String] = {
+    val dir = new java.io.File(warehouseDir)
+    require(dir.isDirectory, s"warehouse dir not found: $warehouseDir")
+    val tables = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    tables.foreach { t =>
+      spark.read.parquet(s"$warehouseDir/$t").createOrReplaceTempView(t)
+    }
+    tables
+  }
+
+  /** Ad-hoc SQL over the warehouse (the FastAPI layer's per-request
+    * `conn.execute(text(sql))`, SURVEY §3.2): plain `spark.sql` against
+    * the registered views — Catalyst plans it, so pushdown/pruning over
+    * the parquet tables apply as usual.
+    */
+  def sqlOverWarehouse(spark: SparkSession, warehouseDir: String,
+                       statement: String): DataFrame = {
+    registerWarehouse(spark, warehouseDir)
+    spark.sql(statement)
+  }
+
+  /** The three named serving queries (routes.py endpoints) over a
+    * warehouse — returns the per-feature frame; the CLI wraps it into
+    * the FeatureCollection payload the HTTP route returns.
+    */
+  def namedQuery(spark: SparkSession, warehouseDir: String, name: String): DataFrame = {
+    def table(n: String): DataFrame = spark.read.parquet(s"$warehouseDir/$n")
+    name match {
+      case "food-gaps" =>
+        NycQueries.foodGaps(table("ntas_2020"), table("food_supply_gaps"))
+      case "poverty-by-zip" =>
+        NycQueries.povertyByZip(table("census_zctas_2020"),
+          table("census_acs_income_poverty"))
+      case "rent-by-zip" =>
+        NycQueries.rentByZip(table("census_zctas_2020"), table("zillow_zori"))
+      case other => throw new IllegalArgumentException(
+        s"unknown query '$other' (known: food-gaps, poverty-by-zip, rent-by-zip)")
+    }
+  }
+
   /** End-to-end curation deliverable: run the oracle-gated
     * normalize→quality→dedup→pack pipeline (q_doc_curate) over
     * `sfDir/documents.parquet`, re-attach the NORMALIZED text payload
@@ -93,6 +195,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     var dryRun = false
     var zips: Seq[String] = Nil
+    var filters: Map[String, Any] = Map.empty
     val positional = List.newBuilder[String]
     var i = 0
     while (i < args.length) {
@@ -101,6 +204,9 @@ object Main {
         case "--zips" =>
           zips = Files.readAllLines(Paths.get(args(i + 1))).asScala.toSeq
             .map(_.trim).filter(_.nonEmpty)
+          i += 2
+        case "--filter" =>
+          filters = parseFilterJson(args(i + 1))
           i += 2
         case a => positional += a; i += 1
       }
@@ -111,6 +217,10 @@ object Main {
       case "ingest" :: key :: rawPath :: warehouse :: Nil =>
         val r = ingest(spark, key, rawPath, warehouse, dryRun, zips)
         println(s"[ingest] ${r.datasetKey}: ${r.recordCount} rows -> ${r.tableDir} " +
+          s"(validation ok=${r.report.ok})")
+      case "ingest-soda" :: key :: warehouse :: Nil =>
+        val r = ingestSoda(spark, key, warehouse, dryRun, zips, filters)
+        println(s"[ingest-soda] ${r.datasetKey}: ${r.recordCount} rows -> ${r.tableDir} " +
           s"(validation ok=${r.report.ok})")
       case "ingest-all" :: rawDir :: warehouse :: Nil =>
         Registry.all.keys.toSeq.sorted.foreach { key =>
@@ -131,12 +241,28 @@ object Main {
       case "curate" :: sfDir :: outDir :: Nil =>
         val (docs, shards) = curate(spark, sfDir, outDir)
         println(s"[curate] $docs documents -> $shards shards in $outDir")
+      case "sql" :: warehouse :: statement :: Nil =>
+        // ad-hoc serving: rows stream out as JSON lines, capped like
+        // any sane API page; the cap is visible so nothing truncates
+        // silently
+        val df = sqlOverWarehouse(spark, warehouse, statement)
+        val maxRows = 1000
+        val rows = df.toJSON.take(maxRows + 1)
+        rows.take(maxRows).foreach(println)
+        if (rows.length > maxRows)
+          System.err.println(s"[sql] output truncated at $maxRows rows")
+      case "query" :: warehouse :: name :: Nil =>
+        // the HTTP endpoint payload, verbatim: one FeatureCollection
+        println(JsonFeatureSink.featureCollection(namedQuery(spark, warehouse, name)))
       case other =>
         System.err.println(
           s"""usage: ingest <key> <rawPath> <warehouseDir> [--dry-run] [--zips <file>]
+             |       ingest-soda <key> <warehouseDir> [--filter <json>] [--dry-run] [--zips <file>]
              |       ingest-all <rawDir> <warehouseDir> [--zips <file>]
              |       export <warehouseDir> <outDir>
              |       curate <sfDir> <shardOutDir>
+             |       sql <warehouseDir> "<statement>"
+             |       query <warehouseDir> <food-gaps|poverty-by-zip|rent-by-zip>
              |got: ${other.mkString(" ")}""".stripMargin)
         sys.exit(2)
     } finally spark.stop()

@@ -2,16 +2,30 @@ package graft
 
 import java.nio.file.Files
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.functions._
 
 import graft.jobs.{Main => JobsMain}
+import graft.sources.connectors.{HttpClient, HttpResponse}
 
 /** The CLI job layer (ingest_data.py / export_static_data.py parity):
   * key dispatch, raw-file ingestion, dry-run, zip-list requirement,
-  * unknown-dataset errors.
+  * unknown-dataset errors, --filter SoQL passthrough.
   */
 class JobsCliSpec extends SparkSpecBase {
   import spark.implicits._
+
+  private class RecordingHttp(script: Seq[HttpResponse]) extends HttpClient {
+    private val queue = mutable.Queue(script: _*)
+    val posts: mutable.Buffer[(String, String)] = mutable.Buffer()
+    override def get(url: String, params: Map[String, String]): HttpResponse =
+      queue.dequeue()
+    override def post(url: String, jsonBody: String): HttpResponse = {
+      posts += ((url, jsonBody))
+      queue.dequeue()
+    }
+  }
 
   test("ingest dispatches by key and lands the transformed table") {
     val rawDir = Files.createTempDirectory("graft-cli-raw")
@@ -66,6 +80,43 @@ class JobsCliSpec extends SparkSpecBase {
     assert(out.count() == 1)
     assert(out.head.getAs[Double]("food_insecure_pct") == 99.0,
       "keep-last must retain the later arrival")
+  }
+
+  test("--filter JSON parses to the fetcher's filter map (ingest_data.py:271-277)") {
+    val f = JobsMain.parseFilterJson(
+      """{"year": 2023, "nta_code": "BK01", "pct": 1.5, "flag": true}""")
+    assert(f == Map("year" -> 2023L, "nta_code" -> "BK01", "pct" -> 1.5,
+      "flag" -> true))
+    // the reference exits on json.loads failure; we reject the same inputs
+    intercept[IllegalArgumentException](JobsMain.parseFilterJson("not json"))
+    intercept[IllegalArgumentException](JobsMain.parseFilterJson("[1, 2]"))
+    intercept[IllegalArgumentException](JobsMain.parseFilterJson("""{"a": {"b": 1}}"""))
+  }
+
+  test("ingest-soda pushes --filter down as the recorded SoQL WHERE (S2 passthrough)") {
+    val warehouse = Files.createTempDirectory("graft-cli-soda").toString
+    val page =
+      """[{"Year":"2023","NTA":"BK01","Food Insecure Percentage":"12","Rank":"1",
+        |"supply_gap_lbs":"100","unemployment_rate":"5","Vulnerable Population":"3"}]"""
+        .stripMargin.replace("\n", "")
+    val stub = new RecordingHttp(Seq(HttpResponse(200, page)))
+    val r = JobsMain.ingestSoda(spark, "food_supply_gap", warehouse,
+      dryRun = true, zips = Nil,
+      filters = Map("year" -> 2023L, "nta_code" -> "BK01"), client = stub)
+    assert(r.recordCount == 1)
+    assert(stub.posts.size == 1, "one short page terminates the page loop")
+    val (url, body) = stub.posts.head
+    assert(url.endsWith("/4kc9-zrs2/query.json"),
+      "dataset id must come from the registry spec")
+    // the WHERE travels server-side: numerics bare, strings quoted
+    assert(body.contains("SELECT * WHERE"))
+    assert(body.contains("year = 2023"))
+    assert(body.contains("nta_code = 'BK01'"))
+    // filter on a non-socrata dataset is a contract error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      JobsMain.ingestSoda(spark, "census_acs", warehouse, dryRun = true,
+        zips = Nil, filters = Map.empty, client = stub)
+    }
   }
 
   test("curate command lands sharded parquet carrying the normalized text payload") {

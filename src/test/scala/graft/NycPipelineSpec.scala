@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Registry
-import graft.jobs.{ExportJob, IngestJob}
+import graft.jobs.{ExportJob, IngestJob, Main => JobsMain}
+import graft.sink.JsonFeatureSink
 import graft.transform.Transformers
 
 /** The reference pipeline end-to-end on NYC-shaped fixtures: five raw
@@ -112,6 +113,38 @@ class NycPipelineSpec extends SparkSpecBase {
     // zctas promotion: every rent feature's geometry is a MultiPolygon
     assert(rent.selectExpr("explode(features.geometry.type) AS t")
       .filter(col("t") =!= "MultiPolygon").count() == 0)
+  }
+
+  test("interactive sql: ad-hoc statements run over the registered warehouse views") {
+    // the serving counterpart to routes.py's per-request conn.execute
+    // (SURVEY §3.2): every warehouse table becomes a temp view, then
+    // plain spark.sql — here the food-gaps endpoint statement itself
+    val views = JobsMain.registerWarehouse(spark, warehouse)
+    assert(Set("ntas_2020", "food_supply_gaps", "census_zctas_2020",
+      "census_acs_income_poverty", "zillow_zori").subsetOf(views.toSet))
+    val df = JobsMain.sqlOverWarehouse(spark, warehouse,
+      """SELECT n.nta2020 AS nta_code, n.nta_name, f.year, f.food_insecure_pct
+        |FROM ntas_2020 n
+        |LEFT JOIN food_supply_gaps f ON n.nta2020 = f.nta_code
+        |WHERE f.year = (SELECT MAX(year) FROM food_supply_gaps)""".stripMargin)
+    assert(df.count() == 197, "ad-hoc food-gaps statement must serve the snapshot")
+    assert(df.filter(col("year") =!= 2023).count() == 0)
+  }
+
+  test("interactive query: named endpoints serve the HTTP payload shape") {
+    // same cardinalities as the static export — the two serving paths
+    // (ad-hoc `query` and batch ExportJob) must agree
+    assert(JobsMain.namedQuery(spark, warehouse, "food-gaps").count() == 197)
+    assert(JobsMain.namedQuery(spark, warehouse, "poverty-by-zip").count() == 177)
+    assert(JobsMain.namedQuery(spark, warehouse, "rent-by-zip").count() == 155)
+    val fc = JsonFeatureSink.featureCollection(
+      JobsMain.namedQuery(spark, warehouse, "food-gaps"))
+    assert(fc.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(org.apache.commons.lang3.StringUtils.countMatches(
+      fc, """{"type":"Feature","geometry":""") == 197)
+    intercept[IllegalArgumentException] {
+      JobsMain.namedQuery(spark, warehouse, "not-an-endpoint")
+    }
   }
 
   test("fact tables land partitioned by year and snapshot reads prune partitions") {

@@ -64,8 +64,10 @@ case class LshBandKeys(vec: Expression, bands: Expression, rowsPerBand: Expressi
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def nullable: Boolean = vec.nullable
-
+  // default nullability (any child nullable): TernaryExpression's
+  // eval/codegen returns NULL when bands/rows_per_band is NULL too, so
+  // narrowing to vec.nullable would declare non-null for columns that
+  // can in fact be NULL and mislead optimizer null-pruning
   override def prettyName: String = "lsh_band_keys"
 
   override protected def withNewChildrenInternal(

@@ -22,6 +22,21 @@ object TextQ {
   /** DF cap for candidate generation: shingles seen in more docs than
     * this are non-discriminative and dropped (scale guard, no-op at
     * test SF).
+    *
+    * CAVEAT — the cap bounds what "exact" means: a pair of documents
+    * whose ONLY shared shingles are hotter than the cap generates no
+    * candidate, so it is invisible to q_doc_ngram_jaccard, to its
+    * DuckDB oracle (same HAVING clause — consistent by construction),
+    * and to every consumer that treats those pairs as ground truth
+    * (MinhashRecallSpec's recall denominator, q_doc_dup_clusters'
+    * edge set). Such a pair needs ≥ J/(1+J) of its shingles hot
+    * (≥ 1/3 at the 0.5 threshold) — rare for true near-dups, but not
+    * impossible for boilerplate-heavy corpora. JaccardCapSpec pins the
+    * semantics: capped pairs ⊆ uncapped pairs, equality at test SF,
+    * and a cap of 1 demonstrably hides planted pairs. The production
+    * near-dup paths (MinHash-LSH, fingerprint winnowing) do not share
+    * this blind spot — their candidate keys are signatures, not raw
+    * shingles.
     */
   val maxShingleDf = 1000
 
@@ -191,8 +206,15 @@ object TextQ {
   /** Spark side of [[jaccardPairsSql]]: exact n-gram Jaccard near-dup
     * pairs (doc_a, doc_b, jaccard ≥ 0.5), candidates from shared
     * DF-capped shingles. Unordered — callers add their own ORDER BY.
+    *
+    * "Exact" is relative to the candidate cap: pairs sharing only
+    * shingles hotter than `dfCap` are not emitted (see the
+    * [[maxShingleDf]] caveat). `dfCap` is a parameter so JaccardCapSpec
+    * can measure that sensitivity; the catalog entry always runs the
+    * production [[maxShingleDf]].
     */
-  def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                        dfCap: Long = maxShingleDf): DataFrame = {
     // cached: feeds sizes, the DF filter, and both sides of the pair
     // join — without it the tokenize+explode+distinct runs three times
     // (at 100 TB you would persist or checkpoint this table the same way)
@@ -204,7 +226,7 @@ object TextQ {
       .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("shingle")
+      .filter(col("df") <= dfCap).select("shingle")
     val shRare = sh.join(rare, "shingle")
     val pairs = shRare.as("a")
       .join(sh.as("b"),
@@ -222,7 +244,9 @@ object TextQ {
 
   /** Exact n-gram Jaccard near-dup pairs, candidates from shared
     * shingles (with DF cap), verified exactly. Fully SQL-expressible →
-    * strong oracle for the whole near-dup family.
+    * strong oracle for the whole near-dup family — strong UP TO the
+    * DF cap: pairs sharing only hotter-than-cap shingles are invisible
+    * to engine and oracle alike (see [[maxShingleDf]]).
     */
   val qNgramJaccard: Q = Q.sql(
     "q_doc_ngram_jaccard",

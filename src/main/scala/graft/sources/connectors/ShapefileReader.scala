@@ -87,12 +87,18 @@ object ShapefileReader {
         s"unsupported shape type $t (supported: 0 null, 1 point, 5 polygon)")
   }
 
-  /** Shoelace signed area; counter-clockwise rings are positive. */
+  /** Shoelace signed area; counter-clockwise rings are positive.
+    * Includes the wrap-around last→first edge: zero for the
+    * explicitly-closed rings the ESRI spec mandates (last == first),
+    * but keeps orientation correct for a malformed unclosed ring
+    * instead of silently misclassifying outer vs hole.
+    */
   private[connectors] def signedArea(r: Ring): Double = {
     var s = 0.0
     var i = 0
-    while (i < r.length - 1) {
-      s += r(i)._1 * r(i + 1)._2 - r(i + 1)._1 * r(i)._2
+    while (i < r.length) {
+      val j = if (i + 1 < r.length) i + 1 else 0
+      s += r(i)._1 * r(j)._2 - r(j)._1 * r(i)._2
       i += 1
     }
     s / 2.0

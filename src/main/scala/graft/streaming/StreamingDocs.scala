@@ -21,6 +21,15 @@ import graft.functions.TextFunctions.tokens
   * span against state size. Shard packing stays batch-side: shard ids
   * depend on a global prefix sum, which is meaningless on an unbounded
   * stream (at ingest you'd pack per micro-batch epoch instead).
+  *
+  * Batch-parity caveat: `dropDuplicatesWithinWatermark` keeps the
+  * FIRST-ARRIVING document per text_hash, while batch q_doc_curate
+  * keeps MIN(doc_id). The two agree only when replay order matches
+  * doc_id order (which StreamingDocsSpec's fixture replay guarantees
+  * by construction); out-of-order ingest of a duplicate group may
+  * retain a different — equally valid — representative than the batch
+  * run. Callers needing batch-identical survivors must either ingest
+  * in doc_id order or reconcile representatives in a batch compaction.
   */
 object StreamingDocs {
 

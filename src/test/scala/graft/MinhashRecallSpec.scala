@@ -4,6 +4,13 @@ package graft
   * checked against q_doc_ngram_jaccard — the oracle-verified *exact*
   * Jaccard≥0.5 pairs over the identical shingle definition (the
   * contract stated in TextQ's doc).
+  *
+  * CAP CAVEAT: "exact" is relative to TextQ.maxShingleDf — a pair
+  * whose shared shingles are ALL hotter than the cap appears in
+  * neither the baseline nor (by the same candidate construction) the
+  * LSH result, so the recall denominator here is the capped pair set.
+  * JaccardCapSpec verifies the cap is a no-op at test SF, so these
+  * recall numbers are against the truly-exact pair set on this corpus.
   */
 class MinhashRecallSpec extends SparkSpecBase {
 

@@ -105,10 +105,20 @@ object IvfFunctions {
     * embedding) with exact-cosine rerank over the probed lists.
     */
   def annTopK(emb: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
-              topK: Int, seed: Long = 42): DataFrame = {
+              topK: Int, seed: Long = 42): DataFrame =
+    annTopKWith(emb, queries, trainCentroids(emb, "embedding", k, seed),
+      nProbe, topK)
+
+  /** [[annTopK]] with a pre-trained centroid table — lets the catalog
+    * entry materialize the exact centroids it retrieves with for the
+    * DuckDB oracle replay (assignment + probe + rerank re-run in SQL).
+    */
+  def annTopKWith(emb: DataFrame, queries: DataFrame,
+                  centroidRows: Array[Array[Double]], nProbe: Int,
+                  topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val centroids = broadcastCentroids(emb, trainCentroids(emb, "embedding", k, seed))
+    val centroids = broadcastCentroids(emb, centroidRows)
     val lists = emb.withColumn("cid", assignUdf(centroids)(col("embedding")))
     val probed = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -30,6 +30,59 @@ object SimilarityQ {
   private val nQueries = 5
   private val topK = 10
 
+  // ---------------------------------------------------------------
+  // Centroid materialization for oracle replay (the BPE word-token
+  // pattern, OracleAux): k-means centroids are not re-derivable in
+  // ANSI SQL, but once the engine writes the EXACT centroid table it
+  // retrieved with, every downstream step — nearest-centroid
+  // assignment, probe ranking, within-cluster cosine, anti-join — is
+  // plain arithmetic DuckDB replays bit-identically (sequential
+  // double folds, same operand order as the UDF loops).
+  // ---------------------------------------------------------------
+
+  private[graft] val ivfAuxDir = s"${OracleAux.root}/ivf_centroids"
+  private[graft] val semdedupAuxDir = s"${OracleAux.root}/semdedup_centroids"
+
+  /** Corpus fingerprint the oracle recomputes from the base table, so
+    * stale aux writes for a different scale factor never match.
+    */
+  private def corpusKey(emb: DataFrame): Long =
+    emb.agg(sum("vec_id")).head.getLong(0)
+
+  /** Materialize (cid, c: array<double>, corpus_key) — k rows. */
+  private def writeCentroids(emb: DataFrame, centroids: Array[Array[Double]],
+                             dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val key = corpusKey(emb)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, key) }.toSeq
+      .toDF("cid", "c", "corpus_key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/k$key")
+  }
+
+  /** Squared-L2 distance in DuckDB, matching IvfFunctions.l2sq's
+    * sequential double fold (float widened to double per element,
+    * d*d accumulated left-to-right).
+    */
+  private def oracleL2sq(v: String, c: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |    i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Shared oracle CTE prefix: centroid table → per-vector distances.
+    * `rel` filters which vectors get distances (always the full corpus
+    * here). Assignment/probe CTEs then rank over `dist`.
+    */
+  private def centroidDistCte(auxDir: String): String =
+    s"""WITH cents AS (
+       |  SELECT cid, c FROM read_parquet('$auxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |dist AS (
+       |  SELECT e.vec_id, ct.cid,
+       |    ${oracleL2sq("e.embedding", "ct.c")} AS d
+       |  FROM embeddings e CROSS JOIN cents ct)""".stripMargin
+
   /** Shared ANN epilogue: per-query top-k by (score desc, id asc) —
     * one definition so the three retrieval paths rank identically.
     */
@@ -180,16 +233,55 @@ object SimilarityQ {
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
+  private val ivfK = 16
+  private val ivfNProbe = 6
+
   /** IVF-indexed ANN (k-means coarse quantizer + probed inverted
     * lists + exact rerank) — the second scale path beside the LSH
-    * banding. Rows-only gate; IvfAnnSpec measures recall against
-    * q_ann_bruteforce.
+    * banding. HASH-VERIFIED: the engine materializes its trained
+    * centroids (OracleAux) and DuckDB replays assignment, probe
+    * ranking, candidate join, and the exact-cosine rerank; IvfAnnSpec
+    * additionally measures recall against q_ann_bruteforce and pins
+    * the k-means kernel on planted clusters.
     */
-  val qAnnIvf: Q = Q.rowsOnly("q_ann_ivf") { (s, d) =>
+  val qAnnIvf: Q = Q.sql(
+    "q_ann_ivf",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist WHERE vec_id < $nQueries) WHERE rn <= $ivfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN assigned a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings v ON v.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    import graft.functions.IvfFunctions
     val emb = Tables.embeddings(s, d)
-    graft.functions.IvfFunctions.annTopK(
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", ivfK, seed = 42)
+    writeCentroids(emb, centroids, ivfAuxDir)
+    IvfFunctions.annTopKWith(
       emb, emb.filter(col("vec_id") < nQueries),
-      k = 16, nProbe = 6, topK = topK)
+      centroids, nProbe = ivfNProbe, topK = topK)
   }
 
   /** Int8 scalar quantization of the embedding column — the memory
@@ -245,10 +337,52 @@ object SimilarityQ {
     * `transform` over the scan (no code table materialized, no extra
     * shuffle); the per-dim (mn, bucket-width) vectors are a 64-scalar
     * driver collect, the same size class as the shard-pack bucket sums.
-    * Rows-only gate; AnnRecallSpec measures recall@10 against the
-    * exact brute-force path.
+    *
+    * HASH-VERIFIED with a pure-SQL oracle (no aux table): the per-dim
+    * stats are MIN/MAX (exact float comparisons DuckDB re-derives),
+    * and the dequantization replays the engine's exact operand order
+    * and types — (x−mn) in FLOAT, widened to DOUBLE for ·255/rng,
+    * floor, midpoint reconstruction in DOUBLE, final round-to-FLOAT —
+    * so dequantized vectors and cosine scores are bit-identical.
+    * AnnRecallSpec still measures recall@10 against the exact
+    * brute-force path.
     */
-  val qAnnQuantized: Q = Q.rowsOnly("q_ann_quantized") { (s, d) =>
+  val qAnnQuantized: Q = Q.sql(
+    "q_ann_quantized",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(i AS INT) AS dim1,
+       |    embedding[CAST(i AS INT)] AS x
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+       |st AS (
+       |  SELECT dim1, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim1),
+       |st2 AS (
+       |  SELECT dim1, mn,
+       |    CASE WHEN mx > mn THEN mx - mn ELSE CAST(1.0 AS REAL) END AS rng
+       |  FROM st),
+       |deq AS (
+       |  SELECT e.vec_id, e.dim1,
+       |    CAST(CAST(st2.mn AS DOUBLE)
+       |      + (floor(least(255.0,
+       |           CAST(e.x - st2.mn AS DOUBLE) * 255.0
+       |             / CAST(st2.rng AS DOUBLE))) + 0.5)
+       |        * CAST(st2.rng AS DOUBLE) / 255.0 AS REAL) AS xh
+       |  FROM e JOIN st2 USING (dim1)),
+       |corpus AS (
+       |  SELECT vec_id, list(xh ORDER BY dim1 ASC) AS xhat
+       |  FROM deq GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.xhat")} AS score
+       |  FROM embeddings q JOIN corpus v ON q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
     val stats = dimStats(emb)
@@ -296,11 +430,19 @@ object SimilarityQ {
     * pair join is an equi-join on the int cluster id, and the drop set
     * is an anti-join. Centroids ride a TorrentBroadcast.
     */
-  def semDedup(emb: DataFrame, k: Int, tau: Double, seed: Long = 42): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int, tau: Double, seed: Long = 42): DataFrame =
+    semDedupWith(emb,
+      graft.functions.IvfFunctions.trainCentroids(emb, "embedding", k, seed), tau)
+
+  /** [[semDedup]] with a pre-trained centroid table (see
+    * [[graft.functions.IvfFunctions.annTopKWith]] for why: the catalog
+    * entry materializes exactly these centroids for the oracle replay).
+    */
+  def semDedupWith(emb: DataFrame, centroidRows: Array[Array[Double]],
+                   tau: Double): DataFrame = {
     import graft.functions.IvfFunctions
     graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
-    val centroids = IvfFunctions.broadcastCentroids(
-      emb, IvfFunctions.trainCentroids(emb, "embedding", k, seed))
+    val centroids = IvfFunctions.broadcastCentroids(emb, centroidRows)
     val assigned = emb
       .withColumn("__a", IvfFunctions.assignWithDistUdf(centroids)(col("embedding")))
       .select(col("vec_id"), col("embedding"),
@@ -321,13 +463,43 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }
 
+  private val semDedupK = 16
+  private val semDedupTau = 0.95
+
   /** Catalog entry: SemDeDup survivors over the embeddings table.
-    * Rows-only (k-means centroids are not oracle-reproducible in
-    * DuckDB); ground truth in SemDedupSpec — planted duplicate groups
-    * collapse to exactly one survivor, isolated vectors all survive.
+    * HASH-VERIFIED via the materialized-centroid replay: DuckDB
+    * re-runs assignment (argmin L2), the farthest-from-centroid
+    * ranking, the upper-triangular within-cluster cosine test, and
+    * the anti-join, all from the engine-written centroid parquet.
+    * SemDedupSpec remains the kernel ground truth — planted duplicate
+    * groups collapse to exactly one survivor, isolated vectors all
+    * survive.
     */
-  val qEmbSemDedup: Q = Q.rowsOnly("q_emb_semdedup") { (s, d) =>
-    semDedup(Tables.embeddings(s, d), k = 16, tau = 0.95)
+  val qEmbSemDedup: Q = Q.sql(
+    "q_emb_semdedup",
+    s"""${centroidDistCte(semdedupAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid, d AS cdist FROM (
+       |    SELECT vec_id, cid, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT a.vec_id, a.cid, e.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY a.cid
+       |      ORDER BY a.cdist DESC, a.vec_id ASC) AS rk
+       |  FROM assigned a JOIN embeddings e USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rk < b.rk
+       |  WHERE ${oracleCosine("a.embedding", "b.embedding")} > $semDedupTau)
+       |SELECT vec_id, cid FROM ranked
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    import graft.functions.IvfFunctions
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", semDedupK, seed = 42)
+    writeCentroids(emb, centroids, semdedupAuxDir)
+    semDedupWith(emb, centroids, semDedupTau)
   }
 
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,

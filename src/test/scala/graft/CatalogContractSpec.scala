@@ -14,8 +14,6 @@ class CatalogContractSpec extends AnyFunSuite {
   /** rows-only query → its ground-truth spec class (must exist). */
   private val rowsOnlySpecs: Map[String, String] = Map(
     "q_ann_lsh" -> "graft.AnnRecallSpec",
-    "q_ann_quantized" -> "graft.AnnRecallSpec",
-    "q_ann_ivf" -> "graft.IvfAnnSpec",
     "q_embedding_neardup_lsh" -> "graft.EmbeddingNearDupSpec",
     "q_doc_minhash_lsh" -> "graft.MinhashRecallSpec",
     "q_doc_simhash" -> "graft.SimhashSpec",
@@ -24,8 +22,7 @@ class CatalogContractSpec extends AnyFunSuite {
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
     "q_doc_fingerprint_neardup" -> "graft.FingerprintNearDupSpec",
     "q_events_sketch_stats" -> "graft.SketchSpec",
-    "q_events_wau_sketch" -> "graft.SketchSpec",
-    "q_emb_semdedup" -> "graft.SemDedupSpec")
+    "q_events_wau_sketch" -> "graft.SketchSpec")
 
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).

@@ -188,7 +188,9 @@ object Main {
     // recomputation of the (uncached) pipeline (ShardSinkSpec)
     val back = spark.read.parquet(outDir)
     ShardSink.writeManifest(back, outDir)
-    val r = back.agg(count(lit(1)), countDistinct(col("shard_id"))).head
+    // shard key is (split, shard_id): shard sequences restart per split
+    val r = back.agg(count(lit(1)),
+      countDistinct(col("split"), col("shard_id"))).head
     (r.getLong(0), r.getLong(1))
   }
 

@@ -224,10 +224,12 @@ object PipelineQ {
     * are per-run) — the result frame still reads it lazily, so this
     * helper cannot unpersist it itself.
     */
-  private def withExclusivePrefixSum(in: DataFrame): DataFrame = {
+  private def withExclusivePrefixSum(in: DataFrame,
+                                     partCol: Option[String] = None): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
-    val toks = in.select(col("doc_id"), col("n_tokens")).cache()
+    val baseCols = Seq(col("doc_id"), col("n_tokens")) ++ partCol.map(col)
+    val toks = in.select(baseCols: _*).cache()
     // materializes the cache; the two downstream passes read it back
     val maxId = toks.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 0L
@@ -236,25 +238,65 @@ object PipelineQ {
     val bucketSize = math.max(minBucketSize, maxId / maxDriverBuckets + 1)
     val bucketed = toks.withColumn("__bucket",
       floor(col("doc_id") / bucketSize).cast(LongType))
-    val bucketSums = bucketed.groupBy("__bucket")
-      .agg(sum("n_tokens").as("bsum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = bucketSums.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, bs)) => (b, acc + bs)
-    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
-    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
-    val w = Window.partitionBy("__bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(offsetDf, "__bucket")
-      .withColumn("__start",
-        (sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
-          .cast(LongType))
-      .select(col("doc_id"), col("n_tokens"), col("__start"))
+    partCol match {
+      case None =>
+        val bucketSums = bucketed.groupBy("__bucket")
+          .agg(sum("n_tokens").as("bsum"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val offsets = prefixOffsets(bucketSums)
+        val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+        val w = Window.partitionBy("__bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(offsetDf, "__bucket")
+          .withColumn("__start",
+            (sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+              .cast(LongType))
+          .select(col("doc_id"), col("n_tokens"), col("__start"))
+      case Some(p) =>
+        // independent prefix sum per partition value (e.g. one shard
+        // sequence per train/val/test split): bucket sums key on
+        // (partition, bucket) — the driver holds ≤ maxDriverBuckets ×
+        // |partitions| scalars, same size class as before for the
+        // handful of split values this is used with
+        val bucketSums = bucketed.groupBy(col(p), col("__bucket"))
+          .agg(sum("n_tokens").as("bsum"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val offsets = bucketSums.groupBy(_._1).toSeq.flatMap { case (pv, rows) =>
+          prefixOffsets(rows.map(r => (r._2, r._3)).sortBy(_._1))
+            .map { case (b, off) => (pv, b, off) }
+        }
+        val offsetDf = broadcast(offsets.toDF(p, "__bucket", "__offset"))
+        val w = Window.partitionBy(col(p), col("__bucket")).orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bucketed.join(offsetDf, Seq(p, "__bucket"))
+          .withColumn("__start",
+            (sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+              .cast(LongType))
+          .select(col("doc_id"), col(p), col("n_tokens"), col("__start"))
+    }
   }
+
+  /** Exclusive prefix over sorted (bucket, sum) rows → per-bucket start
+    * offsets — the driver-side step of the two-phase prefix sum.
+    */
+  private def prefixOffsets(bucketSums: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    bucketSums.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, bs)) => (b, acc + bs)
+    }.sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
 
   private[graft] def packIntoShards(in: DataFrame, budget: Long): DataFrame =
     withExclusivePrefixSum(in)
       .select(col("doc_id"), col("n_tokens"),
+        floor(col("__start") / lit(budget.toDouble)).cast(LongType).as("shard_id"))
+      .orderBy(col("doc_id").asc)
+
+  /** [[packIntoShards]] with an independent shard sequence per value of
+    * `partCol` (shard_id restarts at 0 within each split).
+    */
+  private[graft] def packIntoShardsBy(in: DataFrame, budget: Long,
+                                      partCol: String): DataFrame =
+    withExclusivePrefixSum(in, Some(partCol))
+      .select(col("doc_id"), col(partCol), col("n_tokens"),
         floor(col("__start") / lit(budget.toDouble)).cast(LongType).as("shard_id"))
       .orderBy(col("doc_id").asc)
 
@@ -866,16 +908,75 @@ object PipelineQ {
 
   /** The whole curation pipeline in ONE oracle-gated query:
     * normalize → quality gate → exact dedup on normalized text (keep
-    * min doc_id) → token-budget shard packing of the survivors. This is
-    * the composition a training run actually executes; every stage is
-    * the operator proven individually elsewhere in the catalog, and the
-    * pipeline stays oracle-checkable end to end because each stage is
-    * deterministic. Scale shape: per-row stages fuse into the scan,
-    * dedup is one hash shuffle on md5(norm_text), packing is the
-    * two-phase prefix sum (no global window).
+    * min doc_id) → benchmark decontamination → train/val/test split →
+    * per-split token-budget shard packing. This is the full production
+    * sequence a training run executes; every stage is the operator
+    * proven individually elsewhere in the catalog
+    * (q_doc_normalize/quality_cut/exact_dedup/contamination/split/
+    * shard_pack), and the pipeline stays oracle-checkable end to end
+    * because each stage is deterministic.
+    *
+    * Stage semantics: decontamination reuses q_doc_contamination's
+    * exact definition — bench 5-grams from the doc_id < 10 stand-in
+    * set over RAW text, flagged docs (doc_id ≥ 10 sharing any bench
+    * 5-gram) are anti-joined out; the stand-in docs themselves remain
+    * corpus members. The split is the same stable md5 cut as
+    * q_doc_split, assigned AFTER dedup+decontam so survivors keep
+    * their split under corpus growth; shards pack independently per
+    * split (a val shard never mixes into train).
+    *
+    * Scale shape: per-row stages fuse into the scan, dedup is one
+    * hash shuffle on md5(norm_text), the decontam probe is a
+    * broadcast semi-join (the bench n-gram table is tiny), the split
+    * is per-row in the scan, and packing is the two-phase prefix sum
+    * keyed by (split, bucket) — no global window anywhere
+    * (PlanAuditSpec).
     */
   val curateMinTokens = 5L
   val curateMaxPunctRatio = 0.3
+  /** Stand-in benchmark boundary shared with q_doc_contamination. */
+  val curateBenchMaxDocId = 10L
+
+  /** The curation pipeline over any documents frame (doc_id, text) —
+    * factored out so CurateStagesSpec can force every stage to fire on
+    * a planted fixture. Output: (doc_id, split, n_tokens, shard_id).
+    */
+  def curateDocs(docs: DataFrame): DataFrame = {
+    val norm = docs
+      .select(col("doc_id"), normText(col("text")).as("norm_text"))
+    val scored = norm
+      .filter(length(col("norm_text")) > 0)
+      .select(col("doc_id"), col("norm_text"),
+        size(tokens(col("norm_text"))).cast(LongType).as("n_tokens"),
+        (length(col("norm_text")) -
+          length(regexp_replace(col("norm_text"), "[^\\w\\s]", "")))
+          .cast(LongType).as("n_punct"),
+        length(col("norm_text")).cast(LongType).as("n_chars"))
+    val kept = scored.filter(col("n_tokens") >= curateMinTokens &&
+      col("n_punct").cast(DoubleType) / col("n_chars") <= curateMaxPunctRatio)
+    val dedup = kept
+      .groupBy(md5(col("norm_text").cast(BinaryType)))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"))
+    // decontamination: q_doc_contamination's exact shape (raw-text
+    // 5-grams, broadcast bench probe, corpus never shuffles)
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
+    val bench = sh.filter(col("doc_id") < curateBenchMaxDocId)
+      .select("g").distinct()
+    val contaminated = sh.filter(col("doc_id") >= curateBenchMaxDocId)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+    val withSplit = clean.select(col("doc_id"), col("n_tokens"),
+      when(docHashPrefix < "e6666666", "train")
+        .when(docHashPrefix < "f3333333", "val")
+        .otherwise("test").as("split"))
+    packIntoShardsBy(withSplit, shardTokenBudget, "split")
+  }
 
   val qCurate: Q = Q.sql(
     "q_doc_curate",
@@ -897,31 +998,33 @@ object PipelineQ {
        |    AND CAST(n_punct AS DOUBLE) / n_chars <= $curateMaxPunctRatio),
        |dedup AS (
        |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
-       |  FROM kept GROUP BY md5(norm_text))
-       |SELECT doc_id, n_tokens,
-       |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+       |  FROM kept GROUP BY md5(norm_text)),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tok) - 3),
+       |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS g
+       |  FROM t WHERE len(tok) >= 5),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < $curateBenchMaxDocId),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+       |  WHERE s.doc_id >= $curateBenchMaxDocId),
+       |clean AS (
+       |  SELECT d.doc_id, d.n_tokens,
+       |    CASE WHEN $sqlDocHashPrefix < 'e6666666' THEN 'train'
+       |         WHEN $sqlDocHashPrefix < 'f3333333' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM dedup d
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT doc_id, split, n_tokens,
+       |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
        |    / $shardTokenBudget.0) AS BIGINT) AS shard_id
-       |FROM dedup
+       |FROM clean
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val norm = Tables.documents(s, d)
-      .select(col("doc_id"), normText(col("text")).as("norm_text"))
-    val scored = norm
-      .filter(length(col("norm_text")) > 0)
-      .select(col("doc_id"), col("norm_text"),
-        size(tokens(col("norm_text"))).cast(LongType).as("n_tokens"),
-        (length(col("norm_text")) -
-          length(regexp_replace(col("norm_text"), "[^\\w\\s]", "")))
-          .cast(LongType).as("n_punct"),
-        length(col("norm_text")).cast(LongType).as("n_chars"))
-    val kept = scored.filter(col("n_tokens") >= curateMinTokens &&
-      col("n_punct").cast(DoubleType) / col("n_chars") <= curateMaxPunctRatio)
-    val dedup = kept
-      .groupBy(md5(col("norm_text").cast(BinaryType)))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("n_tokens")).as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"))
-    packIntoShards(dedup, shardTokenBudget)
+    curateDocs(Tables.documents(s, d))
   }
 
   // -------------------------------------------------------------------

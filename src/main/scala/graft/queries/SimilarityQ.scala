@@ -233,7 +233,19 @@ object SimilarityQ {
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
-  private val ivfK = 16
+  /** Cluster count growing with corpus size, for both the IVF coarse
+    * quantizer and SemDeDup: ~125 vectors per cluster keeps the
+    * within-cluster pair space O(Σ s_c²) linear in N (the SemDeDup
+    * scale premise — the paper runs k=50k on LAION) and the probed
+    * IVF fraction constant. Floored at 16 (the correctness-gate SFs:
+    * sf0.01 and sf0.1 both resolve to 16, so gate results are
+    * unchanged), capped at 4096 for this library's single-node
+    * training path. Oracle-safe by construction: the replay reads
+    * whatever centroid table the engine wrote, never a literal k.
+    */
+  private def adaptiveK(n: Long): Int =
+    math.max(16L, math.min(4096L, n / 125L)).toInt
+
   private val ivfNProbe = 6
 
   /** IVF-indexed ANN (k-means coarse quantizer + probed inverted
@@ -277,7 +289,8 @@ object SimilarityQ {
        |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
     import graft.functions.IvfFunctions
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfFunctions.trainCentroids(emb, "embedding", ivfK, seed = 42)
+    val k = adaptiveK(emb.count())
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k, seed = 42)
     writeCentroids(emb, centroids, ivfAuxDir)
     IvfFunctions.annTopKWith(
       emb, emb.filter(col("vec_id") < nQueries),
@@ -463,7 +476,6 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }
 
-  private val semDedupK = 16
   private val semDedupTau = 0.95
 
   /** Catalog entry: SemDeDup survivors over the embeddings table.
@@ -497,7 +509,8 @@ object SimilarityQ {
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
     import graft.functions.IvfFunctions
     val emb = Tables.embeddings(s, d)
-    val centroids = IvfFunctions.trainCentroids(emb, "embedding", semDedupK, seed = 42)
+    val k = adaptiveK(emb.count())
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k, seed = 42)
     writeCentroids(emb, centroids, semdedupAuxDir)
     semDedupWith(emb, centroids, semDedupTau)
   }

@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
 object ShardSink {
 
   /** Write `curated` (doc_id, n_tokens, shard_id, payload columns…) as
-    * partitioned shard directories under `dir`. Overwrites.
+    * partitioned shard directories under `dir`. When a `split` column
+    * is present (the curate pipeline's train/val/test assignment, with
+    * per-split shard sequences), the layout nests it first —
+    * `split=train/shard_id=N/` — since (split, shard_id) is the shard
+    * key there, not shard_id alone. Overwrites.
     */
-  def writeShards(curated: DataFrame, dir: String): Unit =
+  def writeShards(curated: DataFrame, dir: String): Unit = {
+    val partCols =
+      if (curated.columns.contains("split")) Seq("split", "shard_id")
+      else Seq("shard_id")
     curated
-      .repartitionByRange(col("shard_id"))
-      .sortWithinPartitions(col("shard_id"), col("doc_id"))
+      .repartitionByRange(partCols.map(col): _*)
+      .sortWithinPartitions((partCols :+ "doc_id").map(col): _*)
       .write
-      .partitionBy("shard_id")
+      .partitionBy(partCols: _*)
       .mode("overwrite")
       .parquet(dir)
+  }
 
   /** The manifest a data loader reads INSTEAD of listing and footer-
     * probing every shard file: one row per shard with its document
@@ -53,9 +61,12 @@ object ShardSink {
     */
   def manifestOf(shards: DataFrame): DataFrame = {
     val allCols = shards.columns.map(col).toIndexedSeq
+    val keyCols =
+      if (shards.columns.contains("split")) Seq("split", "shard_id")
+      else Seq("shard_id")
     shards
       .withColumn("__h", xxhash64(allCols: _*))
-      .groupBy("shard_id").agg(
+      .groupBy(keyCols.map(col): _*).agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         min("doc_id").as("min_doc_id"),

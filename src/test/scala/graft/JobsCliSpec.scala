@@ -128,7 +128,7 @@ class JobsCliSpec extends SparkSpecBase {
     assert(shards >= 1)
 
     val back = spark.read.parquet(outDir)
-    assert(back.columns.toSet == Set("doc_id", "n_tokens", "text", "shard_id"))
+    assert(back.columns.toSet == Set("doc_id", "split", "n_tokens", "text", "shard_id"))
     // payload is the normalized form: no control chars, no doubled spaces
     val dirty = back.filter(col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]") ||
       col("text").contains("  ")).count()

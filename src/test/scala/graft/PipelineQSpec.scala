@@ -162,13 +162,17 @@ class PipelineQSpec extends SparkSpecBase {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("curate_fix").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // output: (doc_id, split, n_tokens, shard_id)
     val out = SparkEntry.queries("q_doc_curate")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.map(_._1).toSeq == Seq(1L, 5L, 6L, 7L),
       s"expected docs {1,5,6,7} to survive, got ${out.toSeq}")
-    assert(out.forall(_._2 == 6L)) // all survivors are 6-token docs
-    // budget=1000 → 24 total tokens fit in shard 0
-    assert(out.forall(_._3 == 0L))
+    assert(out.forall(_._3 == 6L)) // all survivors are 6-token docs
+    // budget=1000 → each split's 6-24 tokens fit in that split's shard 0
+    assert(out.forall(_._4 == 0L))
+    // all fixture ids are < curateBenchMaxDocId (bench stand-ins are
+    // corpus members) — decontamination must not drop any of them;
+    // CurateStagesSpec plants real contamination
   }
 
   test("bloom decontamination equals the exact sweep on a contamination-heavy corpus") {

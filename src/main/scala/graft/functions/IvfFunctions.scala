@@ -33,12 +33,33 @@ import org.apache.spark.sql.functions._
   */
 object IvfFunctions {
 
-  /** Train the coarse quantizer; returns k centroid vectors. */
+  /** Training-sample bound: ~256 vectors per centroid (the FAISS
+    * guideline band is 39–256/centroid). With adaptiveK ≈ N/125 this
+    * only binds once the k cap does (N ≳ 5×10^5 with cap 4096) — but
+    * at 100 TB it is THE difference between a bounded training job
+    * (≤ ~1M vectors regardless of corpus size) and k-means over the
+    * whole corpus.
+    */
+  def trainSampleSize(k: Int): Long = 256L * k
+
+  /** Train the coarse quantizer; returns k centroid vectors. Training
+    * runs on a deterministic hash-cut sample of ≤ [[trainSampleSize]]
+    * vectors (corpus-order- and partitioning-independent, stable under
+    * appends like every other sampling surface here); corpora at the
+    * fixture SFs are below the bound and train on everything, so gate
+    * results are unchanged.
+    */
   def trainCentroids(emb: DataFrame, embeddingCol: String, k: Int,
                      seed: Long = 42, maxIter: Int = 10): Array[Array[Double]] = {
+    val cap = trainSampleSize(k)
+    val n = emb.count()
+    val train =
+      if (n <= cap) emb
+      else emb.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(n / cap + 1)) === 0)
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
-    val feats = emb.select(toVec(col(embeddingCol)).as("features"))
+    val feats = train.select(toVec(col(embeddingCol)).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(feats)

@@ -230,27 +230,106 @@ object Geo {
     minx >= -180 && maxx <= 180 && miny >= -90 && maxy <= 90
   }
 
-  /** `to_crs("EPSG:4326")` parity guard (zctas transformer.py:39-40).
-    * TIGER input is NAD83 *geographic* lat/lon — identical to EPSG:4326
-    * at NYC precision — so reprojection is a validating identity. But a
-    * PROJECTED input (e.g. EPSG:2263 state-plane feet, coordinates in
-    * the 10^5–10^6 range) must fail loudly rather than flow through as
-    * silently wrong "degrees": this engine carries no CRS math, so it
-    * refuses what it cannot convert. NULL/unparseable pass through for
-    * downstream null handling.
+  // -------------------------------------------------------------------
+  // CRS reprojection (to_crs parity, zctas transformer.py:39-40)
+  // -------------------------------------------------------------------
+
+  /** R·π for the WGS84 spherical radius R = 6378137 m — the Web
+    * Mercator world half-width. Written as the literal (not computed
+    * as 6378137.0 * Pi) so oracle SQL can reproduce x-axis arithmetic
+    * bit-identically with the same constant.
     */
-  val requireGeographicCrs: UserDefinedFunction = udf { s: String =>
-    parseWkt(s) match {
-      case Some(g) if !isGeographic(g) =>
-        val (minx, miny, maxx, maxy) = envelope(g)
-        throw new IllegalArgumentException(
-          s"geometry coordinates [$minx,$miny,$maxx,$maxy] fall outside the " +
-            "geographic lon/lat domain [-180,180]x[-90,90] — input looks like a " +
-            "projected CRS (e.g. EPSG:2263 state-plane); reproject to EPSG:4326 " +
-            "before ingestion, this engine carries no CRS transform")
-      case _ => s
+  val mercHalfWidth: Double = 20037508.342789244
+
+  /** Web Mercator's latitude domain: |φ| ≤ atan(sinh(π)) ≈ 85.0511°. */
+  val mercMaxLat: Double = 85.06
+
+  /** Structural coordinate transform preserving geometry shape. */
+  def mapCoords(g: Geom)(f: Pt => Pt): Geom = g match {
+    case GPoint(x, y) => val (nx, ny) = f((x, y)); GPoint(nx, ny)
+    case GPolygon(rings) => GPolygon(rings.map(_.map(f)))
+    case GMultiPolygon(polys) => GMultiPolygon(polys.map(_.map(_.map(f))))
+  }
+
+  /** Round every coordinate to `digits` decimals (HALF_UP, the
+    * GeoJSON-precision convention) — the float-noise absorber after a
+    * projection round trip.
+    */
+  def roundCoords(g: Geom, digits: Int): Geom = {
+    val scale = math.pow(10, digits)
+    mapCoords(g) { case (x, y) =>
+      (math.round(x * scale) / scale, math.round(y * scale) / scale)
     }
-  }.withName("requireGeographicCrs")
+  }
+
+  /** One-point CRS transform for the supported EPSG pairs:
+    *
+    *   - 4269 → 4326: NAD83 geographic lat/lon ≈ WGS84 (< 1 m over
+    *     CONUS; the reference's only to_crs call) — a validating
+    *     identity, the domain check happens in [[reprojectGeom]];
+    *   - 4326 → 3857: spherical Web Mercator forward,
+    *     x = λ°·(R·π)/180, y = ln(tan((90+φ°)·π/360))·(R·π)/π;
+    *   - 3857 → 4326: the exact inverse.
+    *
+    * Anything else throws — silently wrong coordinates are worse than
+    * no conversion.
+    */
+  def reprojectPt(from: Int, to: Int)(p: Pt): Pt = (from, to) match {
+    case (a, b) if a == b => p
+    case (4269, 4326) | (4326, 4269) => p
+    case (4326, 3857) =>
+      val (lon, lat) = p
+      if (math.abs(lat) > mercMaxLat)
+        throw new IllegalArgumentException(
+          s"latitude $lat outside Web Mercator domain ±$mercMaxLat")
+      (lon * mercHalfWidth / 180.0,
+        math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) * mercHalfWidth / math.Pi)
+    case (3857, 4326) =>
+      val (x, y) = p
+      (x / mercHalfWidth * 180.0,
+        (2.0 * math.atan(math.exp(y * math.Pi / mercHalfWidth)) - math.Pi / 2.0)
+          * 180.0 / math.Pi)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"unsupported CRS pair EPSG:$from -> EPSG:$to " +
+          "(supported: 4269->4326, 4326<->3857)")
+  }
+
+  /** Geometry-wide reprojection with the domain guard a geographic
+    * source demands: converting FROM a geographic CRS first validates
+    * coordinates are in lon/lat range, so a projected input (e.g.
+    * EPSG:2263 state-plane feet, coordinates in the 10^5–10^6 range)
+    * fails loudly rather than flowing through as silently wrong
+    * "degrees".
+    */
+  def reprojectGeom(g: Geom, from: Int, to: Int): Geom = {
+    if ((from == 4326 || from == 4269) && !isGeographic(g)) {
+      val (minx, miny, maxx, maxy) = envelope(g)
+      throw new IllegalArgumentException(
+        s"geometry coordinates [$minx,$miny,$maxx,$maxy] fall outside the " +
+          s"geographic lon/lat domain [-180,180]x[-90,90] but were declared " +
+          s"EPSG:$from — input looks like a projected CRS (e.g. EPSG:2263 " +
+          "state-plane); declare the true source CRS")
+    }
+    mapCoords(g)(reprojectPt(from, to))
+  }
+
+  /** WKT-level reprojection UDF (NULL/unparseable pass through for
+    * downstream null handling, like the other codecs).
+    */
+  def reprojectUdf(from: Int, to: Int): UserDefinedFunction = udf { s: String =>
+    parseWkt(s) match {
+      case Some(g) => toWkt(reprojectGeom(g, from, to))
+      case None => s
+    }
+  }.withName(s"reproject_${from}_$to")
+
+  /** `to_crs("EPSG:4326")` parity guard (zctas transformer.py:39-40):
+    * the NAD83→WGS84 validating identity, now expressed through the
+    * real reprojection dispatch so the guard and the CRS math cannot
+    * drift.
+    */
+  val requireGeographicCrs: UserDefinedFunction = reprojectUdf(4269, 4326)
 
   // -------------------------------------------------------------------
   // Containment (spatial join support)

@@ -100,6 +100,54 @@ object GeoQ {
       .orderBy(col("n_nationkey").asc)
   }
 
+  /** §2.7 — real CRS reprojection (to_crs parity): forward Web
+    * Mercator (EPSG:4326 → 3857) then back, on the synthesized
+    * integral squares.
+    *
+    * What the oracle hash-verifies without transcendental-bitwise
+    * risk: (a) `merc_minx`, the projected x of the west edge — the
+    * x-axis is pure multiply/divide with a shared literal constant, so
+    * IEEE doubles match DuckDB exactly; (b) `wkt_rt`, the full
+    * round-trip geometry rounded to 9 decimals — the true coordinates
+    * are INTEGERS, forward+inverse error is ~1e-12, so the rounded
+    * round-trip reproduces the input WKT byte-for-byte and the oracle
+    * rebuilds it from the generating keys. The y-axis forward values
+    * (ln/tan — last-ulp-dependent across libm implementations, so
+    * deliberately not hash-gated) are pinned against published
+    * EPSG:3857 coordinates in GeoReprojectSpec.
+    */
+  val qGeoReproject: Q = Q.sql(
+    "q_geo_reproject",
+    s"""WITH g AS (SELECT n_nationkey, n_nationkey AS k, n_nationkey % 5 AS m FROM nation)
+       |SELECT n_nationkey,
+       |  CAST(k AS DOUBLE) * 20037508.342789244 / 180.0 AS merc_minx,
+       |  $oracleSquareWkt AS wkt_rt
+       |FROM g
+       |ORDER BY n_nationkey ASC""".stripMargin) { (s, d) =>
+    val k = col("n_nationkey")
+    val m = col("n_nationkey") % 5
+    val wkt = squareWkt(k, m)
+    Tables.nation(s, d)
+      .select(col("n_nationkey"),
+        Geo.envelopeOf(Geo.reprojectUdf(4326, 3857)(wkt)).getField("minx")
+          .as("merc_minx"),
+        mercRoundTrip(wkt).as("wkt_rt"))
+      .orderBy(col("n_nationkey").asc)
+  }
+
+  /** 4326 → 3857 → 4326 with 9-decimal rounding (float-noise absorber;
+    * GeoJSON precision). One UDF so the WKT parses once per leg.
+    */
+  private val mercRoundTrip: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { s: String =>
+      Geo.parseWkt(s) match {
+        case Some(g) =>
+          Geo.toWkt(Geo.roundCoords(
+            Geo.reprojectGeom(Geo.reprojectGeom(g, 4326, 3857), 3857, 4326), 9))
+        case None => s
+      }
+    }.withName("mercRoundTrip")
+
   /** §2.6 #1 — the food-gaps query end-to-end with geometry: geometry
     * dim LEFT JOIN fact rollup, max-year snapshot filter (quirk: the
     * year predicate turns the left join inner — preserved), per-row
@@ -224,6 +272,6 @@ object GeoQ {
       .orderBy(col("c_custkey").asc, col("n_nationkey").asc)
   }
 
-  val all: Seq[Q] = Seq(qGeoEnvelope, qGeoRoundtrip, qGeoPromote, qFoodGapsGeo,
-    qPointInPoly)
+  val all: Seq[Q] = Seq(qGeoEnvelope, qGeoRoundtrip, qGeoPromote, qGeoReproject,
+    qFoodGapsGeo, qPointInPoly)
 }

@@ -18,4 +18,13 @@ package graft.queries
   */
 object OracleAux {
   val root: String = "/tmp/graft_oracle_aux"
+
+  /** Write an aux table for oracle replay: stamps the corpus_key and
+    * lands one parquet file under `dir/k<key>` (aux tables are
+    * vocabulary/signature-sized, not corpus-payload-sized — one file
+    * keeps the oracle's glob read trivial).
+    */
+  def write(df: org.apache.spark.sql.DataFrame, dir: String, key: Long): Unit =
+    df.withColumn("corpus_key", org.apache.spark.sql.functions.lit(key))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/k$key")
 }

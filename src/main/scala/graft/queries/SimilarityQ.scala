@@ -137,15 +137,45 @@ object SimilarityQ {
     topKPerQuery(scored)
   }
 
+  private[graft] val annLshAuxDir = s"${OracleAux.root}/ann_lsh_keys"
+
   /** LSH-banded ANN: banded hyperplane keys generate candidates, exact
-    * cosine reranks. Rows-only gate; AnnRecallSpec measures recall
-    * against q_ann_bruteforce.
+    * cosine reranks. ORACLE REPLAY: the engine materializes its
+    * exploded (vec_id, bk) band-key table (kernel spec-pinned by
+    * LshBandKeysFastSpec bit-identity); DuckDB replays the candidate
+    * equi-join, dedup, the exact-cosine rerank, and the top-k ranking.
+    * AnnRecallSpec additionally measures recall against
+    * q_ann_bruteforce.
     */
-  val qAnnLsh: Q = Q.rowsOnly("q_ann_lsh") { (s, d) =>
+  val qAnnLsh: Q = Q.sql(
+    "q_ann_lsh",
+    s"""WITH keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+       |  FROM keyed q JOIN keyed v ON q.bk = v.bk
+       |  WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("qe.embedding", "ve.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ve ON ve.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     graft.expressions.LshBandKeys.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
       .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
+    OracleAux.write(emb.select(col("vec_id"), col("bk")), annLshAuxDir,
+      corpusKey(Tables.embeddings(s, d)))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bk"))
@@ -180,15 +210,42 @@ object SimilarityQ {
     embeddingNearDupExact(Tables.embeddings(s, d), 0.40)
   }
 
+  private[graft] val neardupLshAuxDir = s"${OracleAux.root}/neardup_lsh_keys"
+
   /** Production near-dup path: LSH band keys generate candidate pairs
     * via a plain equi-join (keys only — embeddings re-joined once for
     * the exact rerank); at 100 TB the bucketed join replaces the
     * all-pairs scan. Approximate-by-construction (a true pair colliding
-    * in no band is missed) → rows-only gate + EmbeddingNearDupSpec
-    * planted-pair recall.
+    * in no band is missed) — which is exactly why the ORACLE REPLAYS
+    * the engine's materialized (vec_id, bk) table rather than an exact
+    * pair set: recall is EmbeddingNearDupSpec's job, while the oracle
+    * hash-verifies everything downstream of the (spec-pinned) band
+    * keys — anchor selection, candidate join, dedup, rerank, threshold.
     */
-  val qEmbeddingNearDupLsh: Q = Q.rowsOnly("q_embedding_neardup_lsh") { (s, d) =>
-    embeddingNearDupLsh(Tables.embeddings(s, d), 0.55)
+  val qEmbeddingNearDupLsh: Q = Q.sql(
+    "q_embedding_neardup_lsh",
+    s"""WITH keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$neardupLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, v.vec_id AS vec_b
+       |  FROM keyed a JOIN keyed v ON a.bk = v.bk
+       |  WHERE a.vec_id % 20 = 0 AND a.vec_id < v.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${oracleCosine("ea.embedding", "eb.embedding")} AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos_sim FROM scored
+       |WHERE cos_sim >= 0.55
+       |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val keyed = emb.select(col("vec_id"),
+      explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
+    graft.expressions.LshBandKeys.ensureRegistered(s)
+    OracleAux.write(keyed, neardupLshAuxDir, corpusKey(emb))
+    embeddingNearDupLsh(emb, 0.55)
   }
 
   /** LSH-candidate + exact-rerank near-dup over any (vec_id, embedding)

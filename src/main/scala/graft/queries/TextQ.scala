@@ -267,7 +267,54 @@ object TextQ {
     * first, then the doc_id→shingles table is joined back exactly twice
     * for the rerank.
     */
-  val qMinhashLsh: Q = Q.rowsOnly("q_doc_minhash_lsh") { (s, d) =>
+  /** Corpus fingerprint for documents-table aux writes (same contract
+    * as BpeQ: the oracle recomputes SUM(n_chars), so stale aux for a
+    * different SF can never satisfy the filter).
+    */
+  private def docsKey(docs: DataFrame): Long =
+    docs.agg(sum("n_chars")).head.getLong(0)
+
+  private[graft] val minhashBandsAuxDir = s"${OracleAux.root}/minhash_bands"
+
+  val qMinhashLsh: Q = Q.sql(
+    "q_doc_minhash_lsh",
+    s"""WITH banded AS (
+       |  SELECT doc_id, band, bh
+       |  FROM read_parquet('$minhashBandsAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS shr
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT s.doc_a, s.doc_b,
+       |  CAST(s.shr AS DOUBLE) / (sa.n + sb.n - s.shr) AS jaccard
+       |FROM shared s
+       |JOIN sizes sa ON s.doc_a = sa.doc_id
+       |JOIN sizes sb ON s.doc_b = sb.doc_id
+       |WHERE CAST(s.shr AS DOUBLE) / (sa.n + sb.n - s.shr) >= 0.5
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    doc = "ORACLE REPLAY: the engine materializes its (doc_id, band, bh) " +
+      "MinHash band table (kernel spec-pinned by MinhashRecallSpec + " +
+      "TextFunctionsSpec bit-identity); DuckDB replays candidate " +
+      "generation, pair dedup, and the exact-Jaccard rerank from raw " +
+      "documents — every relational step downstream of the seeded hash " +
+      "is hash-verified.") { (s, d) =>
     graft.expressions.MinhashSig.ensureRegistered(s)
     val bands = 4
     val rowsPerBand = minhashK / bands
@@ -284,6 +331,7 @@ object TextQ {
           b => struct(b.as("band"),
             bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    OracleAux.write(banded, minhashBandsAuxDir, docsKey(Tables.documents(s, d)))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -300,14 +348,39 @@ object TextQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  private[graft] val simhashSigAuxDir = s"${OracleAux.root}/simhash_sig"
+
   /** SimHash near-dup: 64-bit signatures, candidates via 16-bit band
-    * equality (any of 4 bands), hamming ≤ 6 verified. Rows-only gate +
-    * spec.
+    * equality (any of 4 bands), hamming ≤ 6 verified.
+    *
+    * ORACLE REPLAY: the engine materializes its (doc_id, sim)
+    * signature table (kernel spec-pinned by SimhashSpec golden
+    * cases); DuckDB replays the 16-bit banding with plain bit
+    * arithmetic ((sim >> 16b) & 0xFFFF — the mask makes arithmetic vs
+    * logical shift irrelevant), the band self-join, pair dedup, and
+    * the XOR-popcount hamming filter.
     */
-  val qSimhash: Q = Q.rowsOnly("q_doc_simhash") { (s, d) =>
+  val qSimhash: Q = Q.sql(
+    "q_doc_simhash",
+    s"""WITH sig AS (
+       |  SELECT doc_id, sim FROM read_parquet('$simhashSigAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |banded AS (
+       |  SELECT doc_id, sim, b.band,
+       |    (sim >> (b.band * 16)) & 65535 AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 6
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     graft.expressions.Simhash64.ensureRegistered(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
+    OracleAux.write(docs, simhashSigAuxDir, docsKey(Tables.documents(s, d)))
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
@@ -385,20 +458,53 @@ object TextQ {
     * Seeded hashes → rows-only; FingerprintNearDupSpec grades recall
     * of exact-duplicate pairs.
     */
-  val qFingerprintNearDup: Q = Q.rowsOnly("q_doc_fingerprint_neardup") { (s, d) =>
-    fingerprintNearDup(Tables.documents(s, d), minShared = 3)
+  private[graft] val fingerprintAuxDir = s"${OracleAux.root}/doc_fingerprints"
+
+  /** The shared ≥3-fingerprints threshold (engine + oracle). */
+  val fingerprintMinShared = 3
+
+  /** Tighter DF cap for fingerprint candidates: character windows are
+    * far less discriminative than 3-word shingles, so a fingerprint
+    * seen in more than this many docs contributes quadratic candidate
+    * pairs with near-zero signal. (Declared BEFORE the query val that
+    * interpolates it — object vals initialize in declaration order and
+    * a forward reference silently reads 0.)
+    */
+  val maxFingerprintDf = 100
+
+  /** ORACLE REPLAY: the engine materializes its distinct (doc_id, fp)
+    * winnowed-fingerprint table (kernel spec-pinned by FingerprintSpec
+    * golden windows); DuckDB replays the DF cap, the fingerprint
+    * self-join, and the shared-count threshold.
+    */
+  val qFingerprintNearDup: Q = Q.sql(
+    "q_doc_fingerprint_neardup",
+    s"""WITH fps AS (
+       |  SELECT doc_id, fp FROM read_parquet('$fingerprintAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |rare AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= $maxFingerprintDf),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    COUNT(*) AS shared_fps
+       |  FROM fps a
+       |  JOIN rare r ON a.fp = r.fp
+       |  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, shared_fps FROM pairs
+       |WHERE shared_fps >= $fingerprintMinShared
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fp = docs
+      .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
+      .distinct()
+    OracleAux.write(fp, fingerprintAuxDir, docsKey(docs))
+    fingerprintNearDup(docs, minShared = fingerprintMinShared)
   }
 
   /** The fingerprint-overlap pipeline over any (doc_id, text) frame —
     * factored out so the spec can grade recall on planted duplicates.
     */
-  /** Tighter DF cap for fingerprint candidates: character windows are
-    * far less discriminative than 3-word shingles, so a fingerprint
-    * seen in more than this many docs contributes quadratic candidate
-    * pairs with near-zero signal.
-    */
-  val maxFingerprintDf = 100
-
   def fingerprintNearDup(docs: org.apache.spark.sql.DataFrame,
                          minShared: Int): org.apache.spark.sql.DataFrame = {
     val fp = docs

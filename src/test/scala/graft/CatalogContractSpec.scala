@@ -13,14 +13,14 @@ class CatalogContractSpec extends AnyFunSuite {
 
   /** rows-only query → its ground-truth spec class (must exist). */
   private val rowsOnlySpecs: Map[String, String] = Map(
-    "q_ann_lsh" -> "graft.AnnRecallSpec",
-    "q_embedding_neardup_lsh" -> "graft.EmbeddingNearDupSpec",
-    "q_doc_minhash_lsh" -> "graft.MinhashRecallSpec",
-    "q_doc_simhash" -> "graft.SimhashSpec",
+    // q_doc_fingerprint's output IS the signature — materializing it
+    // for a replay would make the oracle read back its own answer, so
+    // it stays rows-only with the golden-window spec as ground truth.
+    // langid/compress_ratio need kernels DuckDB lacks (char-ngram
+    // model, deflate); sketches are approximate by definition.
     "q_doc_langid" -> "graft.LangIdSpec",
     "q_doc_compress_ratio" -> "graft.TextFunctionsSpec",
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
-    "q_doc_fingerprint_neardup" -> "graft.FingerprintNearDupSpec",
     "q_events_sketch_stats" -> "graft.SketchSpec",
     "q_events_wau_sketch" -> "graft.SketchSpec")
 

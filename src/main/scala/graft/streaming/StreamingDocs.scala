@@ -33,16 +33,52 @@ import graft.functions.TextFunctions.tokens
   */
 object StreamingDocs {
 
+  /** Build the benchmark 5-gram set for ingest-time decontamination
+    * from a static corpus (same derivation as the batch curate stage:
+    * raw-text whitespace tokens, doc_id < maxDocId stand-ins). Bench
+    * sets are eval-suite-sized — a driver collect by design; at a
+    * 10^8-gram benchmark suite swap the Set for the bloom filter
+    * (PipelineQ's contamination_bloom path) with the same per-row
+    * filter shape.
+    */
+  def benchGramSet(staticDocs: DataFrame,
+                   maxDocId: Long = PipelineQ.curateBenchMaxDocId): Set[String] =
+    staticDocs.filter(col("doc_id") < maxDocId)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.shingles(tokens(col("text")), 5)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSet
+
   /** Curate a document stream. Input columns: doc_id, text, and
     * `ingest_ts` (TimestampType event time). Emits
     * (doc_id, ingest_ts, norm_text, n_tokens) for documents that pass
     * the quality gate, first-arrival-wins per normalized text.
+    *
+    * `benchGrams` (when non-empty) adds the batch pipeline's
+    * decontamination stage in its streaming-correct shape: a per-row
+    * STATELESS filter against the broadcast benchmark 5-gram set —
+    * no stream-side aggregation, no extra state, matching the batch
+    * stage's raw-text gram definition exactly. One scoping
+    * difference, by design: the stream treats the bench as EXTERNAL,
+    * so any arriving document overlapping it is dropped — the batch
+    * stage exempts its doc_id < 10 rows only because its bench is
+    * drawn from corpus rows standing in for the eval suite.
     */
   def curateStream(docs: DataFrame,
                    minTokens: Long = PipelineQ.curateMinTokens,
                    maxPunctRatio: Double = PipelineQ.curateMaxPunctRatio,
-                   watermarkDelay: String = "1 hour"): DataFrame = {
-    val scored = docs
+                   watermarkDelay: String = "1 hour",
+                   benchGrams: Set[String] = Set.empty): DataFrame = {
+    val clean =
+      if (benchGrams.isEmpty) docs
+      else {
+        val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
+        val contaminated = udf { toks: Seq[String] =>
+          toks.iterator.sliding(5).withPartial(false)
+            .exists(w => bc.value.contains(w.mkString(" ")))
+        }
+        docs.filter(!contaminated(tokens(col("text"))))
+      }
+    val scored = clean
       .select(col("doc_id"), col("ingest_ts"),
         PipelineQ.normText(col("text")).as("norm_text"))
       .filter(length(col("norm_text")) > 0)

@@ -57,6 +57,35 @@ class CatalogContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle interpolates an uninitialized constant (forward-reference guard)") {
+    // Scala object vals initialize in declaration order: an oracle
+    // string interpolating a val declared BELOW it silently reads
+    // 0/null — this disabled q_doc_fingerprint_neardup's DF cap once
+    // ("HAVING COUNT(*) <= 0"). DF caps are never legitimately zero,
+    // and aux paths never legitimately contain "null", so both read as
+    // init bugs; the interpolated caps/thresholds are additionally
+    // pinned to their intended values by name.
+    SparkEntry.catalog.foreach { q =>
+      q.oracle.foreach { sql =>
+        assert(!sql.matches("(?s).*HAVING\\s+COUNT\\(\\*\\)\\s*<=\\s*0\\D.*"),
+          s"${q.name}: zero DF cap in oracle — forward-referenced val?")
+        assert(!sql.contains("null"),
+          s"${q.name}: null-interpolated value in oracle")
+      }
+    }
+    val pins = Map(
+      "q_doc_fingerprint_neardup" -> Seq("COUNT(*) <= 100", ">= 3"),
+      "q_doc_ngram_jaccard" -> Seq("COUNT(*) <= 1000"),
+      "q_doc_minhash_lsh" -> Seq(">= 0.5"),
+      "q_doc_curate" -> Seq(">= 5", "< 10", "/ 1000.0"))
+    val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
+    pins.foreach { case (name, subs) =>
+      val sql = byName(name).oracle.get
+      subs.foreach(sub => assert(sql.contains(sub),
+        s"$name: expected interpolated constant '$sub' missing from oracle"))
+    }
+  }
+
   test("oracle and Spark column-name agreement is testable (SQL aliases present)") {
     // the driver hash-compares columns sorted BY NAME — a missing alias
     // surfaces as DuckDB's default name (contains '(' or '*')

@@ -152,6 +152,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"window must partition by __bucket: $windowLine")
   }
 
+  test("curate flagship: per-split packing windows stay bucket-partitioned, decontam broadcasts") {
+    val p = plan("q_doc_curate")
+    // the (split, bucket)-keyed two-phase prefix sum must never plan a
+    // single-partition window, same contract as q_doc_shard_pack
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"global window detected — per-split two-phase prefix sum regressed:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__bucket") && windowLine.contains("split"),
+      s"window must partition by (split, __bucket): $windowLine")
+    // the folded-in decontamination stage keeps its broadcast semi-join
+    assert(p.toLowerCase.contains("leftsemi") && p.contains("BroadcastHashJoin"),
+      "curate's decontamination stage must broadcast the bench n-gram probe")
+  }
+
   test("decontamination semi-join broadcasts the benchmark n-grams — corpus never shuffles") {
     val p = plan("q_doc_contamination")
     assert(p.toLowerCase.contains("leftsemi"), p.linesIterator.take(8).mkString("\n"))

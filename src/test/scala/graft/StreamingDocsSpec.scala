@@ -48,4 +48,35 @@ class StreamingDocsSpec extends SparkSpecBase {
     assert(rows.head._2 == "café one two three four five")
     assert(rows.forall(_._3 == 6L))
   }
+
+  test("streaming decontamination: bench-gram overlap drops at ingest, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    // bench set derived exactly like the batch stage, from a static frame
+    val benchDocs = Seq((0L, bench), (1L, s"$bench zero one two"))
+      .toDF("doc_id", "text")
+    val grams = StreamingDocs.benchGramSet(benchDocs, maxDocId = 10L)
+    assert(grams.contains("alpha beta gamma delta epsilon"))
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val out = StreamingDocs.curateStream(
+      stream.toDF().toDF("doc_id", "text", "ts_sec")
+        .withColumn("ingest_ts", timestamp_seconds(col("ts_sec"))),
+      benchGrams = grams)
+    val q = out.writeStream.format("memory").queryName("curate_decontam")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (20L, s"prefix words $bench suffix words here", t0), // bench 5-gram -> dropped
+        (21L, "beta gamma delta epsilon zeta trailing tail", t0 + 1), // shifted gram -> dropped
+        (22L, "completely clean document with many distinct tokens", t0 + 2),
+        (23L, "alpha beta gamma clean three gram only survives fine", t0 + 3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("curate_decontam").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(22L, 23L),
+      s"expected contaminated 20/21 dropped, clean 22/23 kept; got $ids")
+  }
 }

@@ -20,11 +20,18 @@ object OracleAux {
   val root: String = "/tmp/graft_oracle_aux"
 
   /** Write an aux table for oracle replay: stamps the corpus_key and
-    * lands one parquet file under `dir/k<key>` (aux tables are
-    * vocabulary/signature-sized, not corpus-payload-sized — one file
-    * keeps the oracle's glob read trivial).
+    * lands parquet under `dir/k<key>`. `singleFile` (default) is for
+    * model-sized artifacts (centroids, merge tables — driver-scale
+    * rows); signature tables are corpus-ROW-sized and must keep their
+    * natural partitioning — a coalesce(1) would funnel the whole
+    * signature computation through one task (measured 4x on the sf1
+    * bench). The oracle's glob read handles either layout.
     */
-  def write(df: org.apache.spark.sql.DataFrame, dir: String, key: Long): Unit =
-    df.withColumn("corpus_key", org.apache.spark.sql.functions.lit(key))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/k$key")
+  def write(df: org.apache.spark.sql.DataFrame, dir: String, key: Long,
+            singleFile: Boolean = true): Unit = {
+    val keyed = df.withColumn("corpus_key",
+      org.apache.spark.sql.functions.lit(key))
+    (if (singleFile) keyed.coalesce(1) else keyed)
+      .write.mode("overwrite").parquet(s"$dir/k$key")
+  }
 }

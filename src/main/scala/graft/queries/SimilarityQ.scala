@@ -172,10 +172,13 @@ object SimilarityQ {
        |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     graft.expressions.LshBandKeys.ensureRegistered(s)
+    // cached: aux write materializes the band-key pass; the corpus
+    // side and the query side of the candidate join read the cache
     val emb = Tables.embeddings(s, d)
       .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
+      .cache()
     OracleAux.write(emb.select(col("vec_id"), col("bk")), annLshAuxDir,
-      corpusKey(Tables.embeddings(s, d)))
+      corpusKey(Tables.embeddings(s, d)), singleFile = false)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bk"))
@@ -241,23 +244,35 @@ object SimilarityQ {
        |WHERE cos_sim >= 0.55
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    graft.expressions.LshBandKeys.ensureRegistered(s)
+    // cached: aux write materializes the band-key pass; anchor and
+    // corpus sides of the candidate join read the cache
     val keyed = emb.select(col("vec_id"),
       explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
-    graft.expressions.LshBandKeys.ensureRegistered(s)
-    OracleAux.write(keyed, neardupLshAuxDir, corpusKey(emb))
-    embeddingNearDupLsh(emb, 0.55)
+      .cache()
+    OracleAux.write(keyed, neardupLshAuxDir, corpusKey(emb), singleFile = false)
+    embeddingNearDupLshFromKeys(keyed, emb, 0.55)
   }
 
   /** LSH-candidate + exact-rerank near-dup over any (vec_id, embedding)
     * frame; factored out so specs can run it on planted fixtures.
     */
-  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDupLsh(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingNearDupLshFromKeys(
+      emb.select(col("vec_id"),
+        explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk")),
+      emb, threshold)
+
+  /** The candidate-join + rerank stage over a precomputed (vec_id, bk)
+    * band-key frame — split out so the catalog entry shares one cached
+    * band-key pass between the aux write and the join.
+    */
+  def embeddingNearDupLshFromKeys(keyed: DataFrame, emb: DataFrame,
+                                  threshold: Double): DataFrame = {
     graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     graft.expressions.LshBandKeys.ensureRegistered(emb.sparkSession)
     // near-dup banding: 8 bands × 8 planes — high-cosine pairs still
     // collide w.h.p. while random pairs land in 1-of-256 buckets/band
-    val keyed = emb.select(col("vec_id"),
-      explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
     val anchors = keyed.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("bk"))
     val pairs = keyed.join(anchors, Seq("bk"))

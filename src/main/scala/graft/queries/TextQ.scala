@@ -324,6 +324,9 @@ object TextQ {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
       .cache()
+    // cached: the aux write materializes the signature pass once; the
+    // band self-join then reads BOTH sides from the cache (without it
+    // the minhash computation runs three times)
     val banded = docs
       .withColumn("sig", fastMinhashSig(col("sh")))
       .select(col("doc_id"),
@@ -331,7 +334,9 @@ object TextQ {
           b => struct(b.as("band"),
             bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    OracleAux.write(banded, minhashBandsAuxDir, docsKey(Tables.documents(s, d)))
+      .cache()
+    OracleAux.write(banded, minhashBandsAuxDir, docsKey(Tables.documents(s, d)),
+      singleFile = false)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -378,9 +383,13 @@ object TextQ {
        |WHERE hamming <= 6
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     graft.expressions.Simhash64.ensureRegistered(s)
+    // cached: aux write materializes the signature pass; the band
+    // self-join reads both sides from the cache
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
-    OracleAux.write(docs, simhashSigAuxDir, docsKey(Tables.documents(s, d)))
+      .cache()
+    OracleAux.write(docs, simhashSigAuxDir, docsKey(Tables.documents(s, d)),
+      singleFile = false)
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
@@ -495,22 +504,33 @@ object TextQ {
        |WHERE shared_fps >= $fingerprintMinShared
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // cached: the aux write materializes the winnowing pass once; the
+    // DF-cap aggregate and both join sides then read the cache
     val fp = docs
       .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
       .distinct()
-    OracleAux.write(fp, fingerprintAuxDir, docsKey(docs))
-    fingerprintNearDup(docs, minShared = fingerprintMinShared)
+      .cache()
+    OracleAux.write(fp, fingerprintAuxDir, docsKey(docs), singleFile = false)
+    fingerprintNearDupFromFp(fp, minShared = fingerprintMinShared)
   }
 
   /** The fingerprint-overlap pipeline over any (doc_id, text) frame —
     * factored out so the spec can grade recall on planted duplicates.
     */
   def fingerprintNearDup(docs: org.apache.spark.sql.DataFrame,
-                         minShared: Int): org.apache.spark.sql.DataFrame = {
-    val fp = docs
-      .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
-      .distinct()
-      .cache()
+                         minShared: Int): org.apache.spark.sql.DataFrame =
+    fingerprintNearDupFromFp(
+      docs.select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
+        .distinct()
+        .cache(),
+      minShared)
+
+  /** The DF-cap + self-join stage over a precomputed distinct
+    * (doc_id, fp) frame — split out so the catalog entry can share one
+    * cached winnowing pass between the aux write and the join.
+    */
+  def fingerprintNearDupFromFp(fp: org.apache.spark.sql.DataFrame,
+                               minShared: Int): org.apache.spark.sql.DataFrame = {
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxFingerprintDf).select("fp")
     val fpRare = fp.join(rare, "fp")

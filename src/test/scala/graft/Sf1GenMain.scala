@@ -64,6 +64,12 @@ object Sf1GenMain {
         spark.range(copies).select(col("id").as("__c")))
       remap(wide)
         .select(cols.map(col).toIndexedSeq: _*)
+        // 32 files per amplified table: the source tables are single
+        // parquet files (one row group — unsplittable), so without
+        // this every sf1 scan would run on 1-2 cores no matter what
+        // maxPartitionBytes says; a real 100 TB table has thousands
+        // of files and this is the local stand-in for that
+        .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"sf1: $table x$copies")
     }

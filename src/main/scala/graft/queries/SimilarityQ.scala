@@ -311,12 +311,17 @@ object SimilarityQ {
     * scale premise — the paper runs k=50k on LAION) and the probed
     * IVF fraction constant. Floored at 16 (the correctness-gate SFs:
     * sf0.01 and sf0.1 both resolve to 16, so gate results are
-    * unchanged), capped at 4096 for this library's single-node
-    * training path. Oracle-safe by construction: the replay reads
-    * whatever centroid table the engine wrote, never a literal k.
+    * unchanged), capped at 65536: past
+    * [[graft.functions.IvfFunctions.singleNodeKCap]] training switches
+    * to the distributed Lloyd's loop (assign = broadcast centroids
+    * into the scan, update = groupBy(cid) mean), so the SemDeDup paper
+    * regime of k=50k trains as DataFrame jobs; the remaining cap only
+    * bounds the centroid broadcast (64k × 64 dims ≈ 33 MB). Oracle-safe
+    * by construction: the replay reads whatever centroid table the
+    * engine wrote, never a literal k.
     */
   private def adaptiveK(n: Long): Int =
-    math.max(16L, math.min(4096L, n / 125L)).toInt
+    math.max(16L, math.min(65536L, n / 125L)).toInt
 
   private val ivfNProbe = 6
 

@@ -116,6 +116,39 @@ object ScaleProbeMain {
       sh.unpersist()
     }
 
+    // --- distributed k-means at the SemDeDup paper regime --------------
+    // k=20k is 5x past singleNodeKCap: the whole train must run as
+    // DataFrame jobs (k-means|| init + Lloyd), no driver clustering
+    {
+      import graft.functions.IvfFunctions
+      val mkVec = udf { id: Long =>
+        val rng = new scala.util.Random(id * 6364136223846793005L + 11)
+        // 20k planted modes, 6 points each: mode center + small jitter
+        val gr = new scala.util.Random((id / 6) * 2654435761L + 3)
+        Array.fill(64)((gr.nextGaussian() * 10 + rng.nextGaussian() * 0.05).toFloat).toSeq
+      }
+      val corpus = spark.range(120000)
+        .select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .repartition(32).cache()
+      corpus.count()
+      val centroids = time("kmeans_lloyd_k20000(n=120k,d=64)") {
+        IvfFunctions.trainCentroidsLloyd(corpus, "embedding", 20000,
+          seed = 42, maxIter = 3)
+      }
+      require(centroids.length == 20000, s"got ${centroids.length} centroids")
+      time("kmeans_assign_k20000") {
+        val bc = IvfFunctions.broadcastCentroids(corpus, centroids)
+        val lists = corpus.withColumn("cid",
+          IvfFunctions.assignUdf(bc)(col("embedding")))
+          .groupBy("cid").count().agg(max("count")).head().getLong(0)
+        bc.destroy()
+        println(s"PROBE kmeans_k20000 largest inverted list: $lists rows")
+      }
+      corpus.unpersist()
+    }
+
     // --- incremental dedup against the persistent bucketed index ------
     val big = spark.read.parquet(s"$bigDir/documents.parquet")
     spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")

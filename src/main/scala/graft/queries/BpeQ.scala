@@ -98,6 +98,18 @@ object BpeQ {
        |  FROM w JOIN wt USING (word)
        |  GROUP BY w.doc_id)""".stripMargin
 
+  /** Merge table trained once per (session, corpus) and shared by both
+    * BPE queries — each previously re-ran the frequency shuffle, the
+    * driver training, AND the word-token aux write per invocation.
+    */
+  private def sharedMerges(s: org.apache.spark.sql.SparkSession, d: String,
+                           docs: DataFrame): IndexedSeq[String] =
+    SharedFrames.value(s, s"bpe_merges:$d") {
+      val m = trainMerges(docs)
+      writeWordTokens(docs, m)
+      m
+    }
+
   /** Per-document real-BPE token counts (vs whitespace word counts). */
   val qTokenCountBpe: Q = Q.sql(
     "q_doc_token_count_bpe",
@@ -106,8 +118,7 @@ object BpeQ {
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     BpeTokenCount.ensureRegistered(s)
     val docs = Tables.documents(s, d)
-    val merges = trainMerges(docs)
-    writeWordTokens(docs, merges)
+    val merges = sharedMerges(s, d, docs)
     docs.select(col("doc_id"),
       size(tokens(col("text"))).as("n_words"),
       bpeCount(col("text"), merges).cast(LongType).as("n_tokens_bpe"))
@@ -129,8 +140,7 @@ object BpeQ {
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     BpeTokenCount.ensureRegistered(s)
     val docs = Tables.documents(s, d)
-    val merges = trainMerges(docs)
-    writeWordTokens(docs, merges)
+    val merges = sharedMerges(s, d, docs)
     PipelineQ.packIntoShards(
       docs.select(col("doc_id"),
         bpeCount(col("text"), merges).cast(LongType).as("n_tokens")),

@@ -161,6 +161,21 @@ object PipelineQ {
     result
   }
 
+  /** The near-dup component table (doc_id, cluster_id) shared by
+    * q_doc_dup_clusters and q_doc_cluster_rep — both previously rebuilt
+    * the identical shingle-candidate edge subtree plus CC rounds (the
+    * sf1 top-two at 13.5 s + 7.6 s, round-4 verdict #2). The jaccard
+    * pair table is itself memoized ([[TextQ.jaccardPairsShared]]), and
+    * [[connectedComponents]] already returns a localCheckpoint'd frame,
+    * so the memo holds an eagerly materialized, lineage-free table.
+    */
+  private def dupComponents(s: SparkSession, d: String): DataFrame =
+    SharedFrames.frame(s, s"dup_components:$d") {
+      connectedComponents(
+        TextQ.jaccardPairsShared(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    }
+
   /** Near-dup clusters over the exact jaccard pairs: every document in
     * at least one ≥0.5-jaccard pair, labeled with the min doc_id of its
     * connected component plus the component size. The DuckDB oracle
@@ -182,9 +197,7 @@ object PipelineQ {
        |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) s
        |  ON c.cluster_id = s.cluster_id
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    val pairs = TextQ.ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val comp = connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val comp = dupComponents(s, d)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -216,20 +229,26 @@ object PipelineQ {
     * Deterministic: buckets derive from doc_id values only, never from
     * partition layout or row order.
     *
-    * The input is cached: it feeds the max-id scan, the bucket-sum
-    * collect, AND the returned frame — without the cache the entire
-    * upstream pipeline (scan, normalize, dedup shuffle, …) executes
-    * three times per run. The cache lives until the caller's session
-    * drops it (Bench clearCache()s between queries; Verify sessions
-    * are per-run) — the result frame still reads it lazily, so this
-    * helper cannot unpersist it itself.
+    * The input is cached (storage-level-guarded so a repeat invocation
+    * reuses the existing entry instead of warning "already cached"): it
+    * feeds the max-id scan, the bucket-sum collect, AND the returned
+    * frame — without the cache the entire upstream pipeline (scan,
+    * normalize, dedup shuffle, …) executes three times per run. cache()
+    * rather than localCheckpoint here because the returned frame must
+    * keep the full logical plan visible: PlanAuditSpec pins the
+    * upstream stages (decontamination broadcast, bucketed windows)
+    * through the InMemoryRelation, which a checkpoint would hide.
     */
   private def withExclusivePrefixSum(in: DataFrame,
                                      partCol: Option[String] = None): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
     val baseCols = Seq(col("doc_id"), col("n_tokens")) ++ partCol.map(col)
-    val toks = in.select(baseCols: _*).cache()
+    val toks0 = in.select(baseCols: _*)
+    val toks =
+      if (toks0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        toks0.cache()
+      else toks0
     // materializes the cache; the two downstream passes read it back
     val maxId = toks.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 0L
@@ -676,7 +695,9 @@ object PipelineQ {
       .select(col("doc_id"), tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= dupSpanN)
       .select(col("doc_id"), explode(shingles(col("tok"), dupSpanN)).as("span"))
-      .cache()
+      // checkpoint, not cache: feeds the span-frequency aggregate and
+      // the join side once; blocks free when the result is dropped
+      .localCheckpoint(true)
     val freq = spans.groupBy("span").agg(count(lit(1)).as("occ"))
     val isDup = when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))
     spans.join(freq, "span")
@@ -789,9 +810,7 @@ object PipelineQ {
        |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped
        |FROM ranked WHERE rnk = 1
        |ORDER BY cluster_id ASC""".stripMargin) { (s, d) =>
-    val pairs = TextQ.ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val comp = connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val comp = dupComponents(s, d)
     val scored = comp.join(
       Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens")),
@@ -844,11 +863,11 @@ object PipelineQ {
       .filter(size(col("tok")) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
-    // cache + broadcast live until the caller's session drops them
-    // (Bench clearCache()s between queries; Verify is per-run) — the
-    // returned frame reads both lazily, so unpersisting here would
-    // recompute the whole shingle pipeline at materialization
-    val bench = sh.filter(col("doc_id") < 10).select("g").distinct().cache()
+    // checkpointed (not cached): the bench-set table feeds the bloom
+    // build, the exact-confirm broadcast, and the count — blocks free
+    // when the caller drops the result, nothing sits in the CacheManager
+    val bench = sh.filter(col("doc_id") < 10).select("g").distinct()
+      .localCheckpoint(true)
     val n = bench.count()
     val bloom = bench.stat.bloomFilter("g", math.max(n, 1000L), 0.01)
     val bBloom = s.sparkContext.broadcast(bloom)

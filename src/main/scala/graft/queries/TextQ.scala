@@ -215,15 +215,17 @@ object TextQ {
     */
   def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession, d: String,
                         dfCap: Long = maxShingleDf): DataFrame = {
-    // cached: feeds sizes, the DF filter, and both sides of the pair
-    // join — without it the tokenize+explode+distinct runs three times
-    // (at 100 TB you would persist or checkpoint this table the same way)
+    // checkpointed: feeds sizes, the DF filter, and both sides of the
+    // pair join — without it the tokenize+explode+distinct runs three
+    // times (at 100 TB you would persist or checkpoint this table the
+    // same way). localCheckpoint, not cache: no CacheManager entry, and
+    // the blocks free automatically when the result is dropped.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("shingle")
@@ -248,12 +250,25 @@ object TextQ {
     * DF cap: pairs sharing only hotter-than-cap shingles are invisible
     * to engine and oracle alike (see [[maxShingleDf]]).
     */
+  /** The exact-Jaccard pair table, materialized once per (session,
+    * corpus) and shared by q_doc_ngram_jaccard, q_doc_dup_clusters and
+    * q_doc_cluster_rep — the sf1 top-three each independently rebuilt
+    * this same shingle-candidate subtree (round-4 verdict #2). The pair
+    * table is near-dup-sized (tiny relative to the corpus), so the
+    * checkpoint is cheap to hold.
+    */
+  def jaccardPairsShared(s: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame =
+    SharedFrames.frame(s, s"jaccard_pairs:$d") {
+      ngramJaccardPairs(s, d).localCheckpoint(true)
+    }
+
   val qNgramJaccard: Q = Q.sql(
     "q_doc_ngram_jaccard",
     s"""$jaccardPairsSql
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
-    ngramJaccardPairs(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)
+    jaccardPairsShared(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** MinHash + LSH near-dup: per-row signatures → band buckets →
@@ -318,25 +333,31 @@ object TextQ {
     graft.expressions.MinhashSig.ensureRegistered(s)
     val bands = 4
     val rowsPerBand = minhashK / bands
-    // cached: feeds the signature pass and both payload re-joins
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-      .cache()
-    // cached: the aux write materializes the signature pass once; the
-    // band self-join then reads BOTH sides from the cache (without it
-    // the minhash computation runs three times)
-    val banded = docs
-      .withColumn("sig", fastMinhashSig(col("sh")))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            bandHash(col("sig"), b, lit(rowsPerBand)).as("bh")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-      .cache()
-    OracleAux.write(banded, minhashBandsAuxDir, docsKey(Tables.documents(s, d)),
-      singleFile = false)
+    // memoized checkpoint: feeds the signature pass and both payload
+    // re-joins, shared across invocations (SharedFrames scaladoc)
+    val docs = SharedFrames.frame(s, s"minhash_shingles:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+        .localCheckpoint(true)
+    }
+    // memoized checkpoint: the signature pass runs once per session per
+    // corpus; the aux write (oracle replay input) rides the same block,
+    // so repeat invocations are pure reads of the band table
+    val banded = SharedFrames.frame(s, s"minhash_bands:$d") {
+      val b = docs
+        .withColumn("sig", fastMinhashSig(col("sh")))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            bb => struct(bb.as("band"),
+              bandHash(col("sig"), bb, lit(rowsPerBand)).as("bh")))).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        .localCheckpoint(true)
+      OracleAux.write(b, minhashBandsAuxDir, docsKey(Tables.documents(s, d)),
+        singleFile = false)
+      b
+    }
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -383,13 +404,17 @@ object TextQ {
        |WHERE hamming <= 6
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     graft.expressions.Simhash64.ensureRegistered(s)
-    // cached: aux write materializes the signature pass; the band
-    // self-join reads both sides from the cache
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
-      .cache()
-    OracleAux.write(docs, simhashSigAuxDir, docsKey(Tables.documents(s, d)),
-      singleFile = false)
+    // memoized checkpoint: one signature pass per session per corpus;
+    // the band self-join reads both sides from the checkpoint and the
+    // aux write rides the same materialization
+    val docs = SharedFrames.frame(s, s"simhash_sig:$d") {
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
+        .localCheckpoint(true)
+      OracleAux.write(sig, simhashSigAuxDir, docsKey(Tables.documents(s, d)),
+        singleFile = false)
+      sig
+    }
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
@@ -504,13 +529,17 @@ object TextQ {
        |WHERE shared_fps >= $fingerprintMinShared
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // cached: the aux write materializes the winnowing pass once; the
-    // DF-cap aggregate and both join sides then read the cache
-    val fp = docs
-      .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
-      .distinct()
-      .cache()
-    OracleAux.write(fp, fingerprintAuxDir, docsKey(docs), singleFile = false)
+    // memoized checkpoint: one winnowing pass per session per corpus;
+    // the DF-cap aggregate and both join sides read the checkpoint and
+    // the aux write rides the same materialization
+    val fp = SharedFrames.frame(s, s"doc_fingerprints:$d") {
+      val f = docs
+        .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
+        .distinct()
+        .localCheckpoint(true)
+      OracleAux.write(f, fingerprintAuxDir, docsKey(docs), singleFile = false)
+      f
+    }
     fingerprintNearDupFromFp(fp, minShared = fingerprintMinShared)
   }
 
@@ -522,7 +551,10 @@ object TextQ {
     fingerprintNearDupFromFp(
       docs.select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
         .distinct()
-        .cache(),
+        // checkpoint, not cache: lineage-free single evaluation with no
+        // CacheManager entry to leak (ContextCleaner reclaims blocks
+        // when the caller drops the result)
+        .localCheckpoint(true),
       minShared)
 
   /** The DF-cap + self-join stage over a precomputed distinct

@@ -124,10 +124,22 @@ class PlanAuditSpec extends SparkSpecBase {
       "expected partial + final aggregate")
   }
 
-  test("exchange reuse deduplicates the shingle-table subtree in ngram jaccard") {
+  test("shingle subtree is materialized once and shared in ngram jaccard") {
+    // the catalog entry reads the session-shared checkpointed pair table
+    // (SharedFrames): a pure read, zero corpus re-scans
     val p = plan("q_doc_ngram_jaccard")
-    assert(p.contains("InMemoryTableScan") || p.contains("ReusedExchange"),
-      "shingle table should be cached or its exchange reused")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"),
+      s"catalog entry must read the shared pair checkpoint, not re-derive:\n$p")
+    // and the pair DERIVATION itself reads its checkpointed shingle
+    // table for all four consumers (sizes, DF cap, both join sides)
+    // instead of re-running tokenize+explode+distinct
+    val deriv = graft.queries.TextQ.ngramJaccardPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!deriv.contains("FileScan"),
+      s"shingle pipeline must run once (checkpoint), never per consumer:\n$deriv")
+    assert("ExistingRDD".r.findAllIn(deriv).size >= 3,
+      s"expected sizes/DF-cap/join consumers to share the shingle checkpoint:\n$deriv")
   }
 
   test("stratified sampling filters in the scan stage — no shuffle before the cut") {

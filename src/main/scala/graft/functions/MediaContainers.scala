@@ -30,6 +30,9 @@ import graft.functions.MultimodalFunctions.MediaMeta
   *     chunks; `fmt ` carries channels(2 LE) sampleRate(4 LE)
   *     blockAlign(2 LE); the `data` chunk size over blockAlign is the
   *     sample-frame count.
+  *   - MP4/ISO-BMFF (ISO/IEC 14496-12): `ftyp` sniff, then the box walk
+  *     — `moov/mvhd` (v0 + v1) duration/timescale, `moov/trak` count,
+  *     first non-zero `tkhd` 16.16 dims; 64-bit largesize handled.
   *
   * The [[MediaMeta]] mapping for audio: width = sample rate,
   * height = channel count, n_frames = PCM sample frames — "frames" in
@@ -39,9 +42,10 @@ import graft.functions.MultimodalFunctions.MediaMeta
   * rather than throwing: at 100 TB a corrupt payload must downgrade to
   * a filterable row, not kill the stage.
   *
-  * Encode side: [[pngBytes]]/[[jpegBytes]]/[[gifBytes]]/[[wavBytes]]
-  * synthesize structurally valid containers (PNG gets real CRC32s and a
-  * real deflate IDAT; WAV gets a real PCM data chunk) so the decode
+  * Encode side: [[pngBytes]]/[[jpegBytes]]/[[gifBytes]]/[[wavBytes]]/
+  * [[mp4Bytes]] synthesize structurally valid containers (PNG gets real
+  * CRC32s and a real deflate IDAT; WAV a real PCM data chunk; MP4 a
+  * real ftyp/moov/mvhd/trak/tkhd box tree) so the decode
   * path is exercised on genuine container bytes — the
   * q_multimodal_decode gate round-trips encode→decode and the DuckDB
   * oracle replays the parameter arithmetic.
@@ -68,7 +72,7 @@ object MediaContainers {
   private def ascii(b: Array[Byte], off: Int, n: Int): String =
     new String(b, off, n, "US-ASCII")
 
-  private val unknown = MediaMeta("bin", 0, 0, 0)
+  private val unknown = MediaMeta("bin", 0, 0, 0, 0L, 0)
 
   // ------------------------------------------------------------------
   // decode
@@ -84,6 +88,7 @@ object MediaContainers {
       else if (isJpeg(payload)) decodeJpeg(payload)
       else if (isGif(payload)) decodeGif(payload)
       else if (isWav(payload)) decodeWav(payload)
+      else if (isMp4(payload)) decodeMp4(payload)
       else unknown
     } catch {
       // truncated header mid-field — same downgrade as a bad magic
@@ -221,7 +226,122 @@ object MediaContainers {
     if (rate == 0 || dataSize < 0) unknown
     else {
       val frames = if (blockAlign > 0) dataSize / blockAlign else 0L
-      MediaMeta("wav", rate.toInt, channels, frames.toInt)
+      MediaMeta("wav", rate.toInt, channels, frames.toInt,
+        frames * 1000L / rate)
+    }
+  }
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  /** ISO-BMFF sniff: every MP4-family file leads with an `ftyp` box
+    * (ISO/IEC 14496-12 §4.3) — 4-byte BE size then the fourcc.
+    */
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && ascii(b, 4, 4) == "ftyp"
+
+  /** ISO-BMFF box walk (ISO/IEC 14496-12): boxes are `size(4 BE)
+    * type(4) payload`, with size==1 meaning a 64-bit largesize follows
+    * and size==0 meaning to-end-of-enclosing. Parsed: `moov/mvhd`
+    * (version 0 and 1 layouts) for timescale + duration → duration_ms =
+    * duration·1000/timescale in integer math; `moov/trak` count →
+    * n_tracks; the first `trak/tkhd` with non-zero dims → width/height
+    * (16.16 fixed point, integer part). n_frames stays 0: the container
+    * level of ISO-BMFF has no frame count (that lives in per-track
+    * `stsz`/`stts` sample tables, below header-level metadata).
+    * Corrupt sizes stop the walk at what was parsed, same contract as
+    * the PNG/WAV walks.
+    */
+  private def decodeMp4(b: Array[Byte]): MediaMeta = {
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    var tracks = 0
+    var sawMoov = false
+
+    // returns (payloadStart, boxEnd) or null on a corrupt header
+    def boxBounds(off: Int, limit: Int): (Int, Long) = {
+      if (off + 8 > limit) return null
+      var size = be32(b, off)
+      var hdr = 8
+      if (size == 1) {
+        if (off + 16 > limit) return null
+        size = be64(b, off + 8)
+        hdr = 16
+      } else if (size == 0) size = (limit - off).toLong
+      if (size < hdr || off + size > limit) null
+      else (off + hdr, off + size)
+    }
+
+    def walkTrak(start: Int, end: Int): Unit = {
+      var off = start
+      var done = false
+      while (!done && off + 8 <= end) {
+        val bounds = boxBounds(off, end)
+        if (bounds == null) done = true
+        else {
+          val typ = ascii(b, off + 4, 4)
+          val (p, boxEnd) = bounds
+          if (typ == "tkhd" && width == 0 && height == 0 && boxEnd - p >= 4) {
+            val v = b(p) & 0xff
+            // v0: ver/flags(4) times(2×4) id(4) resv(4) dur(4) resv(8)
+            //     layer(2) alt(2) vol(2) resv(2) matrix(36) → w/h at +76
+            // v1: 64-bit times and duration → w/h at +88
+            val dimOff = p + (if (v == 1) 88 else 76)
+            if (dimOff + 8 <= boxEnd) {
+              width = (be32(b, dimOff) >> 16).toInt
+              height = (be32(b, dimOff + 4) >> 16).toInt
+            }
+          }
+          off = boxEnd.toInt
+        }
+      }
+    }
+
+    def walkMoov(start: Int, end: Int): Unit = {
+      var off = start
+      var done = false
+      while (!done && off + 8 <= end) {
+        val bounds = boxBounds(off, end)
+        if (bounds == null) done = true
+        else {
+          val typ = ascii(b, off + 4, 4)
+          val (p, boxEnd) = bounds
+          if (typ == "mvhd" && boxEnd - p >= 4) {
+            val v = b(p) & 0xff
+            if (v == 1 && boxEnd - p >= 32) {
+              timescale = be32(b, p + 20)
+              duration = be64(b, p + 24)
+            } else if (v == 0 && boxEnd - p >= 20) {
+              timescale = be32(b, p + 12)
+              duration = be32(b, p + 16)
+            }
+          } else if (typ == "trak") {
+            tracks += 1
+            walkTrak(p, boxEnd.toInt)
+          }
+          off = boxEnd.toInt
+        }
+      }
+    }
+
+    var off = 0
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      val bounds = boxBounds(off, b.length)
+      if (bounds == null) done = true
+      else {
+        val typ = ascii(b, off + 4, 4)
+        val (p, boxEnd) = bounds
+        if (typ == "moov") { sawMoov = true; walkMoov(p, boxEnd.toInt) }
+        off = boxEnd.toInt
+      }
+    }
+    if (!sawMoov) MediaMeta("mp4", 0, 0, 0, 0L, 0)
+    else {
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      MediaMeta("mp4", width, height, 0, durMs, tracks)
     }
   }
 
@@ -318,6 +438,58 @@ object MediaContainers {
     }
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  /** Minimal structurally valid ISO-BMFF file: `ftyp` (isom), `moov`
+    * holding a v0 `mvhd` (timescale, duration, identity matrix) and
+    * `tracks` × `trak`/`tkhd` — the first track carrying the 16.16
+    * video dims, the rest zero-dim (the audio/hint-track shape) — and
+    * a small `mdat`. Exactly the boxes the header decode must walk.
+    */
+  def mp4Bytes(w: Int, h: Int, durationTicks: Long, timescale: Int,
+               tracks: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && durationTicks >= 0 && timescale > 0 && tracks > 0,
+      s"mp4 params out of range: ${w}x$h $durationTicks/$timescale x$tracks")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val size = payload.length + 8
+      out.write(Array[Byte]((size >>> 24).toByte, (size >>> 16).toByte,
+        (size >>> 8).toByte, size.toByte))
+      out.write(typ.getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
+    }
+    def be32b(v: Long): Array[Byte] = Array[Byte]((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val identityMatrix =
+      be32b(0x00010000L) ++ be32b(0) ++ be32b(0) ++
+        be32b(0) ++ be32b(0x00010000L) ++ be32b(0) ++
+        be32b(0) ++ be32b(0) ++ be32b(0x40000000L)
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32b(0x200) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhd = box("mvhd",
+      be32b(0) ++                    // version 0 + flags
+        be32b(0) ++ be32b(0) ++      // creation, modification
+        be32b(timescale.toLong) ++ be32b(durationTicks) ++
+        be32b(0x00010000L) ++        // rate 1.0
+        Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ // volume + reserved
+        identityMatrix ++ new Array[Byte](24) ++          // pre_defined
+        be32b(tracks + 1L))          // next_track_ID
+    val traks = (0 until tracks).map { i =>
+      val (tw, th) = if (i == 0) (w.toLong, h.toLong) else (0L, 0L)
+      box("trak", box("tkhd",
+        be32b(7) ++                  // version 0, flags: enabled|in-movie|in-preview
+          be32b(0) ++ be32b(0) ++    // creation, modification
+          be32b(i + 1L) ++ be32b(0) ++ // track_ID, reserved
+          be32b(durationTicks) ++ new Array[Byte](8) ++ // duration, reserved
+          new Array[Byte](8) ++      // layer, alternate_group, volume, reserved
+          identityMatrix ++
+          be32b(tw << 16) ++ be32b(th << 16)))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    val mdat = box("mdat", Array[Byte](0, 0, 0, 0))
+    ftyp ++ moov ++ mdat
   }
 
   /** PCM 16-bit WAV: RIFF/WAVE, fmt chunk, zero-filled data chunk of

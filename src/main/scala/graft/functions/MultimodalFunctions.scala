@@ -30,15 +30,23 @@ object MultimodalFunctions {
 
   /** Typed metadata for one media payload. For audio (wav):
     * width = sample rate, height = channels, n_frames = PCM sample
-    * frames (see MediaContainers scaladoc).
+    * frames, duration_ms = frames·1000/rate. For video (mp4):
+    * width/height = first non-zero tkhd dims (16.16 integer part),
+    * duration_ms = mvhd duration·1000/timescale, n_tracks = trak count,
+    * n_frames = 0 (ISO-BMFF carries no container-level frame count).
+    * Defaults keep image constructors unchanged (duration 0, 1 track).
     */
-  final case class MediaMeta(format: String, width: Int, height: Int, n_frames: Int)
+  final case class MediaMeta(format: String, width: Int, height: Int,
+                             n_frames: Int, duration_ms: Long = 0L,
+                             n_tracks: Int = 1)
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", IntegerType)))
 
   /** Real container-header decode — see [[MediaContainers.decodeMeta]]. */
   def decodeMeta(payload: Array[Byte]): MediaMeta =
@@ -95,7 +103,8 @@ object MultimodalFunctions {
         require(metas.size == batch.size,
           s"decodeBatch returned ${metas.size} results for ${batch.size} inputs")
         batch.lazyZip(metas).map { (r, m) =>
-          Row.fromSeq(r.toSeq ++ Seq(m.format, m.width, m.height, m.n_frames))
+          Row.fromSeq(r.toSeq ++
+            Seq(m.format, m.width, m.height, m.n_frames, m.duration_ms, m.n_tracks))
         }
       }
     }

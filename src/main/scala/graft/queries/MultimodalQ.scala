@@ -22,37 +22,57 @@ object MultimodalQ {
 
   /** doc_id → synthesized container payload (real bytes, deterministic
     * parameters — the encode half of the decode gate's round trip).
+    * Five-way rotation: png / jpeg / gif / wav / mp4 (the video row
+    * class, round-4 verdict #3). The mp4 parameters use the classic
+    * QuickTime timescale 600 so duration_ms exercises non-trivial
+    * integer division.
     */
-  private[graft] def fixturePayload(i: Long): Array[Byte] = (i % 4) match {
+  private[graft] val mp4Timescale = 600
+  private[graft] def fixturePayload(i: Long): Array[Byte] = (i % 5) match {
     case 0 => MediaContainers.pngBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
     case 1 => MediaContainers.jpegBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
     case 2 => MediaContainers.gifBytes((1 + i % 64).toInt, (1 + i % 48).toInt,
       (1 + i % 5).toInt)
-    case _ => MediaContainers.wavBytes((8000 + 100 * (i % 80)).toInt,
+    case 3 => MediaContainers.wavBytes((8000 + 100 * (i % 80)).toInt,
       (1 + i % 2).toInt, (1 + i % 997).toInt)
+    case _ => MediaContainers.mp4Bytes((16 * (1 + i % 120)).toInt,
+      (16 * (1 + i % 68)).toInt, 1 + i % 36000, mp4Timescale,
+      (1 + i % 3).toInt)
   }
 
-  /** Binary payload → batched REAL header decode → typed metadata. */
+  /** Binary payload → batched REAL header decode → typed metadata.
+    * The oracle replays the doc_id → parameter arithmetic per format,
+    * including wav/mp4 duration_ms (integer division, identical in
+    * both engines) and the mp4 track count.
+    */
   val qMultimodalDecode: Q = Q.sql(
     "q_multimodal_decode",
-    """SELECT doc_id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |    WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
-      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + 100 * (doc_id % 80)
-      |    ELSE 1 + doc_id % 64 END AS INT) AS width,
-      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2
-      |    ELSE 1 + doc_id % 48 END AS INT) AS height,
-      |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 5
-      |    WHEN 3 THEN 1 + doc_id % 997 ELSE 1 END AS INT) AS n_frames
-      |FROM documents
-      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    s"""SELECT doc_id,
+       |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS format,
+       |  CAST(CASE WHEN doc_id % 5 = 3 THEN 8000 + 100 * (doc_id % 80)
+       |    WHEN doc_id % 5 = 4 THEN 16 * (1 + doc_id % 120)
+       |    ELSE 1 + doc_id % 64 END AS INT) AS width,
+       |  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
+       |    WHEN doc_id % 5 = 4 THEN 16 * (1 + doc_id % 68)
+       |    ELSE 1 + doc_id % 48 END AS INT) AS height,
+       |  CAST(CASE doc_id % 5 WHEN 2 THEN 1 + doc_id % 5
+       |    WHEN 3 THEN 1 + doc_id % 997 WHEN 4 THEN 0 ELSE 1 END AS INT) AS n_frames,
+       |  CAST(CASE doc_id % 5
+       |    WHEN 3 THEN (1 + doc_id % 997) * 1000 // (8000 + 100 * (doc_id % 80))
+       |    WHEN 4 THEN (1 + doc_id % 36000) * 1000 // $mp4Timescale
+       |    ELSE 0 END AS BIGINT) AS duration_ms,
+       |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 3
+       |    ELSE 1 END AS INT) AS n_tracks
+       |FROM documents
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     val payload = udf((i: Long) => fixturePayload(i))
     val media = Tables.documents(s, d)
       .select(col("doc_id"), payload(col("doc_id")).as("payload"))
     MultimodalFunctions
       .mapBinaryBatches(media, "payload")(_.map(MultimodalFunctions.decodeMeta))
       .select(col("doc_id"), col("format"), col("width"), col("height"),
-        col("n_frames"))
+        col("n_frames"), col("duration_ms"), col("n_tracks"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -170,7 +170,13 @@ class MediaContainersSpec extends AnyFunSuite {
       val ch = (1 + i % 2).toInt
       val n = (1 + i % 997).toInt
       assert(MediaContainers.decodeMeta(MediaContainers.wavBytes(rate, ch, n)) ==
-        MediaMeta("wav", rate, ch, n))
+        MediaMeta("wav", rate, ch, n, n * 1000L / rate))
+      val (mw, mh) = (16 * (1 + (i % 120)).toInt, 16 * (1 + (i % 68)).toInt)
+      val ticks = 1 + i % 36000
+      val tracks = (1 + i % 3).toInt
+      assert(MediaContainers.decodeMeta(
+        MediaContainers.mp4Bytes(mw, mh, ticks, 600, tracks)) ==
+        MediaMeta("mp4", mw, mh, 0, ticks * 1000L / 600, tracks))
     }
   }
 
@@ -180,7 +186,80 @@ class MediaContainersSpec extends AnyFunSuite {
     assert(MediaContainers.decodeMeta(MediaContainers.jpegBytes(65535, 65535)) ==
       MediaMeta("jpeg", 65535, 65535, 1))
     assert(MediaContainers.decodeMeta(MediaContainers.wavBytes(192000, 8, 100000)) ==
-      MediaMeta("wav", 192000, 8, 100000))
+      MediaMeta("wav", 192000, 8, 100000, 100000L * 1000 / 192000))
+    assert(MediaContainers.decodeMeta(
+      MediaContainers.mp4Bytes(3840, 2160, 216000L, 600, 2)) ==
+      MediaMeta("mp4", 3840, 2160, 0, 360000L, 2))
+  }
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO-BMFF golden cases (ISO/IEC 14496-12 layouts)
+  // ------------------------------------------------------------------
+
+  private def be32b(v: Long): Seq[Int] =
+    Seq((v >>> 24).toInt & 0xff, (v >>> 16).toInt & 0xff,
+      (v >>> 8).toInt & 0xff, v.toInt & 0xff)
+
+  test("golden MP4: hand-assembled v0 mvhd + two tkhd tracks") {
+    // ftyp(16) + moov[ mvhd v0 (timescale 1000, duration 5000) +
+    // trak[tkhd 320x240] + trak[tkhd 0x0] ]
+    def box(typ: String, payload: Seq[Int]): Seq[Int] =
+      be32b(payload.length + 8) ++ typ.map(_.toInt) ++ payload
+    val mvhd = box("mvhd",
+      be32b(0) ++ be32b(0) ++ be32b(0) ++        // v0+flags, times
+        be32b(1000) ++ be32b(5000) ++            // timescale, duration
+        be32b(0x00010000L) ++ Seq(1, 0) ++ Seq.fill(10)(0) ++
+        Seq.fill(36)(0) ++ Seq.fill(24)(0) ++ be32b(3))
+    def tkhd(w: Int, h: Int, id: Int) = box("tkhd",
+      be32b(7) ++ be32b(0) ++ be32b(0) ++ be32b(id) ++ be32b(0) ++
+        be32b(5000) ++ Seq.fill(8)(0) ++ Seq.fill(8)(0) ++
+        Seq.fill(36)(0) ++ be32b(w.toLong << 16) ++ be32b(h.toLong << 16))
+    val moov = box("moov",
+      mvhd ++ box("trak", tkhd(320, 240, 1)) ++ box("trak", tkhd(0, 0, 2)))
+    val file = box("ftyp", "isom".map(_.toInt) ++ be32b(0x200) ++
+      "mp42".map(_.toInt)) ++ moov
+    assert(MediaContainers.decodeMeta(bytes(file: _*)) ==
+      MediaMeta("mp4", 320, 240, 0, 5000L, 2))
+  }
+
+  test("golden MP4: v1 mvhd (64-bit times) and 64-bit largesize moov") {
+    def box(typ: String, payload: Seq[Int]): Seq[Int] =
+      be32b(payload.length + 8) ++ typ.map(_.toInt) ++ payload
+    // v1 mvhd: ver 1, 8-byte creation/modification, 4-byte timescale,
+    // 8-byte duration
+    val mvhd = box("mvhd",
+      Seq(1, 0, 0, 0) ++ Seq.fill(8)(0) ++ Seq.fill(8)(0) ++
+        be32b(90000) ++ be32b(0) ++ be32b(450000) ++ // timescale, duration hi/lo
+        be32b(0x00010000L) ++ Seq(1, 0) ++ Seq.fill(10)(0) ++
+        Seq.fill(36)(0) ++ Seq.fill(24)(0) ++ be32b(2))
+    val trakPayload = box("trak", box("tkhd",
+      Seq(1, 0, 0, 7) ++ Seq.fill(8)(0) ++ Seq.fill(8)(0) ++ // v1, 64-bit times
+        be32b(1) ++ be32b(0) ++ Seq.fill(8)(0) ++  // id, resv, 64-bit duration
+        Seq.fill(8)(0) ++                          // reserved(2×4)
+        Seq.fill(8)(0) ++                          // layer, alt_group, volume, resv
+        Seq.fill(36)(0) ++
+        be32b(1920L << 16) ++ be32b(1080L << 16)))
+    // moov with size==1: 64-bit largesize follows the fourcc
+    val moovPayload = mvhd ++ trakPayload
+    val moov = be32b(1) ++ "moov".map(_.toInt) ++
+      be32b(0) ++ be32b(moovPayload.length + 16) ++ moovPayload
+    val file = box("ftyp", "isom".map(_.toInt) ++ be32b(0) ++
+      "isom".map(_.toInt)) ++ moov
+    // duration 450000 @ 90000 ticks/s = 5000 ms
+    assert(MediaContainers.decodeMeta(bytes(file: _*)) ==
+      MediaMeta("mp4", 1920, 1080, 0, 5000L, 1))
+  }
+
+  test("truncated MP4 downgrades instead of throwing; ftyp-only has no moov") {
+    val full = MediaContainers.mp4Bytes(640, 480, 1200L, 600, 1)
+    for (cut <- Seq(4, 12, 20, 40, full.length - 5)) {
+      val m = MediaContainers.decodeMeta(java.util.Arrays.copyOf(full, cut))
+      assert(m.format == "mp4" || m.format == "bin") // never throws
+    }
+    // a bare ftyp box: recognized container, zero tracks, no duration
+    val ftypOnly = java.util.Arrays.copyOf(full, 24)
+    assert(MediaContainers.decodeMeta(ftypOnly) ==
+      MediaMeta("mp4", 0, 0, 0, 0L, 0))
   }
 
   // ------------------------------------------------------------------
@@ -204,12 +283,12 @@ class MediaContainersSpec extends AnyFunSuite {
     // gif cut mid-LSD is shorter than the 13-byte minimum -> bin
     assert(MediaContainers.decodeMeta(
       java.util.Arrays.copyOf(MediaContainers.gifBytes(3, 3, 1), 9)) ==
-      MediaMeta("bin", 0, 0, 0))
+      MediaMeta("bin", 0, 0, 0, 0L, 0))
   }
 
   test("JPEG with EOI before any SOF is malformed -> bin") {
     assert(MediaContainers.decodeMeta(bytes(0xff, 0xd8, 0xff, 0xd9)) ==
-      MediaMeta("bin", 0, 0, 0))
+      MediaMeta("bin", 0, 0, 0, 0L, 0))
   }
 
   test("random garbage never throws") {

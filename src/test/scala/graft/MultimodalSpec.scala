@@ -83,9 +83,9 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   test("decodeMeta is total: null/empty/garbage payloads downgrade to bin") {
-    assert(MultimodalFunctions.decodeMeta(null) == MediaMeta("bin", 0, 0, 0))
-    assert(MultimodalFunctions.decodeMeta(Array.empty) == MediaMeta("bin", 0, 0, 0))
-    assert(MultimodalFunctions.decodeMeta(Array[Byte](1, 2, 3, 4, 5)) ==
-      MediaMeta("bin", 0, 0, 0))
+    val bin = MediaMeta("bin", 0, 0, 0, 0L, 0)
+    assert(MultimodalFunctions.decodeMeta(null) == bin)
+    assert(MultimodalFunctions.decodeMeta(Array.empty) == bin)
+    assert(MultimodalFunctions.decodeMeta(Array[Byte](1, 2, 3, 4, 5)) == bin)
   }
 }

@@ -991,11 +991,19 @@ object PipelineQ {
       .select("doc_id").distinct()
     val clean = dedup.join(contaminated, Seq("doc_id"), "left_anti")
     val withSplit = clean.select(col("doc_id"), col("n_tokens"),
-      when(docHashPrefix < "e6666666", "train")
-        .when(docHashPrefix < "f3333333", "val")
-        .otherwise("test").as("split"))
+      splitCol.as("split"))
     packIntoShardsBy(withSplit, shardTokenBudget, "split")
   }
+
+  /** The stable train/val/test assignment (90/5/5 md5 cut on doc_id) —
+    * ONE definition shared by the batch curate flagship and the
+    * streaming packing tail (StreamingDocs), so split membership can
+    * never diverge between ingest-time and batch curation.
+    */
+  def splitCol: Column =
+    when(docHashPrefix < "e6666666", "train")
+      .when(docHashPrefix < "f3333333", "val")
+      .otherwise("test")
 
   val qCurate: Q = Q.sql(
     "q_doc_curate",

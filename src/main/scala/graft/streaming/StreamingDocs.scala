@@ -95,4 +95,94 @@ object StreamingDocs {
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("doc_id"), col("ingest_ts"), col("norm_text"), col("n_tokens"))
   }
+
+  /** The streaming curate TAIL — split assignment + per-split
+    * token-budget shard packing — as one idempotent micro-batch step
+    * (the stateful global prefix sum is meaningless on an unbounded
+    * stream, so this is the documented `foreachBatch` shape the batch
+    * flagship's packing takes at ingest):
+    *
+    *   - split: [[PipelineQ.splitCol]], the SAME stable md5 cut as the
+    *     batch flagship — per-row, stateless, so membership can never
+    *     diverge between ingest and a later batch re-curation.
+    *   - packing: the per-split running sum RESTARTS each batch with a
+    *     carried offset = the token mass of all PRIOR epochs, read from
+    *     the shard tree itself — so shard ids continue the global
+    *     sequence exactly as if the whole stream had been packed in one
+    *     batch pass (for in-order ingest, bit-identical to
+    *     [[PipelineQ.curateDocs]]'s shard ids; StreamingDocsSpec pins
+    *     the parity). The in-batch window partitions by split, bounded
+    *     by micro-batch size — the batch path's bucketed two-phase sum
+    *     degenerates to this because a micro-batch IS one bucket.
+    *   - restart/replay safety: output lands under
+    *     `dir/data/epoch=<id>/split=…/shard_id=…` with DYNAMIC
+    *     partition overwrite, so a replayed epoch (post-crash re-fire
+    *     of foreachBatch) overwrites exactly its own files — appends
+    *     can never duplicate. Carried offsets filter `epoch <
+    *     epochId`, so a half-written replay attempt never double
+    *     counts. The ShardSink manifest is refreshed from the READ-BACK
+    *     of the tree after every batch, certifying the files on disk.
+    *
+    * A shard that spans epochs holds one file per epoch — the loader
+    * reads via the manifest's (split, shard_id) rows, not the file
+    * layout, same contract as the batch ShardSink.
+    */
+  def packCuratedBatch(batch: DataFrame, epochId: Long, dir: String,
+                       budget: Long = PipelineQ.shardTokenBudget): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val dataDir = s"$dir/data"
+    val withSplit = batch
+      .select(col("doc_id"), col("n_tokens"), PipelineQ.splitCol.as("split"))
+    val carried: Map[String, Long] =
+      try s.read.parquet(dataDir)
+        .filter(col("epoch") < epochId)
+        .groupBy("split").agg(sum("n_tokens").as("carried"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch {
+        // first epoch: no shard tree yet (works on any filesystem,
+        // unlike a driver-side path probe)
+        case _: org.apache.spark.sql.AnalysisException => Map.empty
+      }
+    val carriedCol =
+      if (carried.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(carried), col("split")), lit(0L))
+    val w = Window.partitionBy("split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = withSplit
+      .withColumn("shard_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens") + carriedCol)
+          / budget).cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("split"), col("shard_id"))
+    packed.withColumn("epoch", lit(epochId))
+      .repartitionByRange(col("split"), col("shard_id"))
+      .sortWithinPartitions("split", "shard_id", "doc_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "split", "shard_id")
+      .parquet(dataDir)
+    graft.sink.ShardSink.writeManifest(
+      s.read.parquet(dataDir).select("doc_id", "n_tokens", "split", "shard_id"),
+      dir)
+  }
+
+  /** Wire [[curateStream]] into [[packCuratedBatch]]: the full
+    * ingest-time counterpart of the batch flagship (normalize →
+    * quality → dedup → decontamination → split → per-split packing),
+    * checkpointed so a restarted query resumes epoch numbering and the
+    * carried offsets recover from the shard tree.
+    */
+  def curateAndPackStream(docs: DataFrame, dir: String, checkpoint: String,
+                          minTokens: Long = PipelineQ.curateMinTokens,
+                          maxPunctRatio: Double = PipelineQ.curateMaxPunctRatio,
+                          watermarkDelay: String = "1 hour",
+                          benchGrams: Set[String] = Set.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    curateStream(docs, minTokens, maxPunctRatio, watermarkDelay, benchGrams)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        packCuratedBatch(b.select(col("doc_id"), col("n_tokens")), epochId, dir)
+      }
+      .start()
 }

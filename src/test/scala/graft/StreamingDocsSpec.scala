@@ -79,4 +79,102 @@ class StreamingDocsSpec extends SparkSpecBase {
     assert(ids == Seq(22L, 23L),
       s"expected contaminated 20/21 dropped, clean 22/23 kept; got $ids")
   }
+
+  // ------------------------------------------------------------------
+  // streaming curate tail: split + per-split shard packing (foreachBatch)
+  // ------------------------------------------------------------------
+
+  /** 40 docs, no doc_id < 10 rows → the batch flagship's bench set is
+    * empty, so decontamination is a no-op on BOTH sides and the parity
+    * below isolates what is new here: split assignment and offset-
+    * carried packing. (Streaming decontamination parity is pinned by
+    * the dedicated test above.) Texts include exact-normalized dups
+    * (every 7th repeats doc 10's text) and low-quality shorts (every
+    * 11th), so dedup and the quality gate both fire.
+    */
+  private def packFixture: Seq[(Long, String)] =
+    (10L until 50L).map { i =>
+      val text =
+        if (i % 11 == 0) "tiny doc" // quality-dropped: < 5 tokens
+        else if (i % 7 == 0) // planted dup group: 14,21,28,35,42,49 → keep 14
+          "duplicate body text repeated across many streamed documents here"
+        else s"document $i body with ${"word " * (5 + (i % 13)).toInt}tail token${i % 3}"
+      (i, text)
+    }
+
+  private def expectedBatchCurate = {
+    val docs = packFixture.toDF("doc_id", "text")
+    graft.queries.PipelineQ.curateDocs(docs)
+      .select("doc_id", "split", "n_tokens", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  private def readPacked(dir: String) =
+    spark.read.parquet(s"$dir/data")
+      // partition-dir columns infer as int; normalize for the compare
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        col("shard_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("packing tail: carried offsets make multi-epoch packing equal the batch flagship") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_pack").toString
+    // feed the CURATED frame (what foreachBatch receives) in doc_id
+    // order, three epochs — shard ids must continue across epochs
+    val curated = graft.queries.PipelineQ.curateDocs(packFixture.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens") // curate output order == doc_id order
+    val chunks = Seq(
+      curated.filter(col("doc_id") < 25),
+      curated.filter(col("doc_id") >= 25 && col("doc_id") < 40),
+      curated.filter(col("doc_id") >= 40))
+    chunks.zipWithIndex.foreach { case (c, e) =>
+      StreamingDocs.packCuratedBatch(c, e.toLong, dir)
+    }
+    assert(readPacked(dir) == expectedBatchCurate,
+      "multi-epoch packed tree must equal the one-pass batch flagship")
+    // manifest certifies the on-disk tree: keyed by (split, shard_id),
+    // token mass sums to the corpus total
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    val fromManifest = manifest.agg(sum("n_tokens")).head().getLong(0)
+    val direct = spark.read.parquet(s"$dir/data").agg(sum("n_tokens")).head().getLong(0)
+    assert(fromManifest == direct)
+    assert(manifest.select("split", "shard_id").distinct().count() == manifest.count())
+  }
+
+  test("packing tail: a replayed epoch is idempotent (dynamic overwrite, offsets exclude self)") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_pack_replay").toString
+    val curated = graft.queries.PipelineQ.curateDocs(packFixture.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens")
+    val e0 = curated.filter(col("doc_id") < 30)
+    val e1 = curated.filter(col("doc_id") >= 30)
+    StreamingDocs.packCuratedBatch(e0, 0L, dir)
+    StreamingDocs.packCuratedBatch(e1, 1L, dir)
+    val once = readPacked(dir)
+    // crash-replay of epoch 1: foreachBatch re-fires with the same id
+    StreamingDocs.packCuratedBatch(e1, 1L, dir)
+    assert(readPacked(dir) == once, "replayed epoch must overwrite itself, not append")
+    assert(once == expectedBatchCurate)
+  }
+
+  test("curateAndPackStream end-to-end: stream → curate → packed shard tree matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream_pack_e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_pack_ckpt").toString
+    val t0 = 1700000000L
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = StreamingDocs.curateAndPackStream(
+      stream.toDF().toDF("doc_id", "text", "ts_sec")
+        .withColumn("ingest_ts", timestamp_seconds(col("ts_sec"))),
+      dir, ckpt)
+    try {
+      val (a, b) = packFixture.splitAt(20)
+      stream.addData(a.map { case (i, t) => (i, t, t0 + i) })
+      q.processAllAvailable()
+      stream.addData(b.map { case (i, t) => (i, t, t0 + i) })
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readPacked(dir) == expectedBatchCurate,
+      "ingest-time curate+pack must reproduce the batch flagship on in-order replay")
+  }
 }

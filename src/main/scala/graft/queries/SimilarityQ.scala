@@ -719,7 +719,137 @@ object SimilarityQ {
       semDedupTau, neardupBandKeys(s, d))
   }
 
+  // -------------------------------------------------------------------
+  // Product-quantized ANN (Jégou et al. 2011) — the 32× memory lever
+  // -------------------------------------------------------------------
+
+  private[graft] val pqAuxDir = s"${OracleAux.root}/pq_codebooks"
+  private val pqCandidates = 64
+
+  /** Materialize (sub, code, c: array<double>, corpus_key) — m×k rows. */
+  private def writePqCodebooks(emb: DataFrame,
+                               cb: Array[Array[Array[Double]]]): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val key = corpusKey(emb)
+    cb.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, i) => (j, i, c.toSeq, key) }
+    }.toSeq.toDF("sub", "code", "c", "corpus_key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pqAuxDir/k$key")
+  }
+
+  /** PQ-indexed ANN: per-subspace codebooks (8 × 16 codes) compress
+    * each 256 B float32 vector to 8 B of codes; the ADC scan ranks the
+    * WHOLE corpus reading codes only, and the top-[[pqCandidates]] cut
+    * reranks with exact cosine. This is the resident-index answer at
+    * 100 TB: the scan reads 32× fewer bytes than the raw embeddings
+    * and never shuffles them — only (query_id, neighbor_id) survive
+    * the cut.
+    *
+    * HASH-VERIFIED: the engine materializes its trained codebook table
+    * (OracleAux) and DuckDB replays encoding (per-subspace argmin,
+    * distance ASC / code ASC), the per-query ADC tables, the
+    * j-ascending ADC fold, the candidate cut (adc ASC, vec_id ASC),
+    * and the exact-cosine rerank — every fold in the same fixed operand
+    * order as the Scala loops, so distances are bit-identical. PqSpec
+    * grades recall against q_ann_bruteforce and pins the encode/ADC
+    * kernels on planted data.
+    */
+  val qAnnPq: Q = Q.sql(
+    "q_ann_pq",
+    s"""WITH cb AS (
+       |  SELECT sub, code, c FROM read_parquet('$pqAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |encd AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, cb.sub, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub ORDER BY
+       |        list_reduce(list_transform(range(1, 9),
+       |          i -> (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+       |             * (CAST(e.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])),
+       |          (x, y) -> x + y) ASC, cb.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY sub ASC) AS cs FROM encd GROUP BY vec_id),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+       |         * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])),
+       |      (x, y) -> x + y) AS dist
+       |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < $nQueries),
+       |qtab AS (
+       |  SELECT query_id, list(dl ORDER BY sub ASC) AS tabs FROM (
+       |    SELECT query_id, sub, list(dist ORDER BY code ASC) AS dl
+       |    FROM qd GROUP BY query_id, sub) GROUP BY query_id),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, 9),
+       |      j -> t.tabs[j][c.cs[j] + 1]), (x, y) -> x + y) AS adc
+       |  FROM codes c CROSS JOIN qtab t WHERE c.vec_id <> t.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crank
+       |    FROM adc) WHERE crank <= $pqCandidates),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("qe.embedding", "ve.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ve ON ve.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    import graft.functions.PqFunctions
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val cb = SharedFrames.value(s, s"pq_codebooks:$d") {
+      val c = PqFunctions.trainCodebooks(emb, "embedding")
+      writePqCodebooks(emb, c)
+      c
+    }
+    // memoized checkpoint: one encode pass per session per corpus
+    val codes = SharedFrames.frame(s, s"pq_codes:$d") {
+      val bcCb = PqFunctions.broadcastCodebooks(emb, cb)
+      emb.select(col("vec_id"),
+        PqFunctions.encodeUdf(bcCb)(col("embedding")).as("cs"))
+        .localCheckpoint(true)
+    }
+    val qs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val bcTabs = s.sparkContext.broadcast(
+      qs.map { case (id, v) => id -> PqFunctions.adcTables(v, cb) }.toMap)
+    import s.implicits._
+    val queryIds = qs.map(_._1).toSeq.toDF("query_id")
+    val cand = codes.crossJoin(broadcast(queryIds))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc",
+        PqFunctions.adcUdf(bcTabs)(col("query_id"), col("cs")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("crank") <= pqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("q_emb"), col("embedding")).as("score"))
+    topKPerQuery(scored)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh)
+    qEmbSemDedupLsh, qAnnPq)
 }

@@ -690,18 +690,7 @@ object PipelineQ {
        |FROM spans s JOIN freq f ON s.span = f.span
        |GROUP BY s.doc_id
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    import graft.functions.TextFunctions.shingles
-    // memoized checkpoint: the exploded span table feeds the frequency
-    // aggregate and the join side; per-invocation checkpointing (no
-    // memo) measured 2x on the sf1 decade because both bench passes
-    // re-materialized it
-    val spans = SharedFrames.frame(s, s"dup_spans:$d") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("tok"))
-        .filter(size(col("tok")) >= dupSpanN)
-        .select(col("doc_id"), explode(shingles(col("tok"), dupSpanN)).as("span"))
-        .localCheckpoint(true)
-    }
+    val spans = positionalSpans(s, d)
     val freq = spans.groupBy("span").agg(count(lit(1)).as("occ"))
     val isDup = when(col("occ") >= 2, lit(1L)).otherwise(lit(0L))
     spans.join(freq, "span")
@@ -709,6 +698,108 @@ object PipelineQ {
       .agg(count(lit(1)).as("n_spans"), sum(isDup).as("n_dup_spans"))
       .withColumn("dup_frac",
         col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The positional span table (doc_id, pos, span) shared by the
+    * duplicate-span profile and the span-removal operator — memoized
+    * checkpoint (per-invocation checkpointing without the memo measured
+    * 2× on the sf1 decade because both bench passes re-materialized it).
+    */
+  private def positionalSpans(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    SharedFrames.frame(s, s"dup_spans:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= dupSpanN)
+        .select(col("doc_id"),
+          posexplode(shingles(col("tok"), dupSpanN)).as(Seq("pos", "span")))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Exact-substring span REMOVAL (the acting half of [[qDupSpans]]'s
+    * profile — Lee et al. 2022's ExactSubstr dedup, windowed): every
+    * token position covered by a `dupSpanN`-token span that occurs ≥2
+    * times in the corpus is cut; the document is rebuilt from the
+    * surviving tokens in order. Removing BOTH occurrences (not
+    * keep-one) matches the paper's observation that duplicated spans
+    * are boilerplate the model should not weight at all; the per-doc
+    * profile query remains the measurement sibling.
+    *
+    * Scale shape: spans explode once (the shared [[positionalSpans]]
+    * checkpoint), the corpus-wide frequency is one map-side-combining
+    * shuffle on the span key, covered positions explode from the
+    * duplicated spans only (bounded by dup mass, not corpus size), and
+    * the cut is a keys-only (doc_id, pos) anti-join. The rebuild sorts
+    * each doc's surviving tokens inside one aggregation — no global
+    * sort before the output ORDER BY.
+    */
+  val qDespan: Q = Q.sql(
+    "q_doc_despan",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
+       |  FROM t, unnest(range(1, len(tok) + 1)) AS u(i)),
+       |spans AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |    tok[u.i] || ' ' || tok[u.i+1] || ' ' || tok[u.i+2] || ' ' || tok[u.i+3] || ' ' || tok[u.i+4] AS span
+       |  FROM t, unnest(range(1, len(tok) - 3)) AS u(i)
+       |  WHERE len(tok) >= $dupSpanN),
+       |freq AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+       |covered AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + v.j AS cpos
+       |  FROM spans s JOIN freq f ON s.span = f.span
+       |  CROSS JOIN unnest(range(0, $dupSpanN)) AS v(j)),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.pos, tk.token
+       |  FROM toks tk LEFT JOIN covered c
+       |    ON c.doc_id = tk.doc_id AND c.cpos = tk.pos
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY pos ASC) AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(a.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(t.tok) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id ASC""".stripMargin) { (s, d) =>
+    despanFromSpans(Tables.documents(s, d), positionalSpans(s, d))
+  }
+
+  /** The removal pipeline over any (doc_id, text) + positional-span
+    * frame — factored so PipelineQSpec can plant exact duplicated
+    * spans and check the cut semantics directly.
+    */
+  def despanFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val dupSpan = spans.join(
+      spans.groupBy("span").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("span"),
+      "span")
+    val covered = dupSpan
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(dupSpanN - 1))).as("cpos"))
+      .distinct()
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).cast(LongType).as("n_removed"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -1271,7 +1362,7 @@ object PipelineQ {
   }
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
-    qRepetition, qDupSpans, qContamination, qRedact,
+    qRepetition, qDupSpans, qDespan, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
 }

@@ -257,4 +257,33 @@ class PipelineQSpec extends SparkSpecBase {
     assert(out(3L).find(_._2 == 1L).get._3 == 50L) // tokens 41..90
     assert(out(3L).find(_._2 == 1L).get._4.endsWith(" t90"))
   }
+
+  test("despan removes every token covered by a corpus-duplicated 5-gram, both occurrences") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    // doc 1 and doc 2 share the exact 5-gram "alpha beta gamma delta epsilon";
+    // doc 3 is clean; doc 4 is entirely one duplicated span (dup of doc 5)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three four five six"),
+      (2L, "zero alpha beta gamma delta epsilon tail words here"),
+      (3L, "completely unique document with enough distinct tokens present"),
+      (4L, "same same same same same"),
+      (5L, "same same same same same")).toDF("doc_id", "text")
+    val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= PipelineQ.dupSpanN)
+      .select(col("doc_id"),
+        posexplode(shingles(col("tok"), PipelineQ.dupSpanN)).as(Seq("pos", "span")))
+    val out = PipelineQ.despanFromSpans(docs, spans)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: first 5 tokens cut, 6 survive
+    assert(out(1L) == (("one two three four five six", 6L, 5L)))
+    // doc 2: positions 1..5 cut, "zero" and the tail survive
+    assert(out(2L) == (("zero tail words here", 4L, 5L)))
+    // doc 3: untouched
+    assert(out(3L)._3 == 0L && out(3L)._1.startsWith("completely unique"))
+    // docs 4/5: fully covered -> empty rebuild, all 5 tokens removed
+    assert(out(4L) == (("", 0L, 5L)))
+    assert(out(5L) == (("", 0L, 5L)))
+  }
 }

@@ -672,6 +672,14 @@ object PipelineQ {
     */
   val dupSpanN = 5
 
+  /** Stand-in benchmark boundary shared by q_doc_contamination, the
+    * surgical span decontamination, and the curate flagship. (Declared
+    * BEFORE the query vals that interpolate it — object vals
+    * initialize in declaration order and a forward reference silently
+    * reads 0; the q_doc_decontam_spans oracle hit exactly that.)
+    */
+  val curateBenchMaxDocId = 10L
+
   val qDupSpans: Q = Q.sql(
     "q_doc_dup_spans",
     s"""WITH t AS (
@@ -776,16 +784,28 @@ object PipelineQ {
     * spans and check the cut semantics directly.
     */
   def despanFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
     val dupSpan = spans.join(
       spans.groupBy("span").agg(count(lit(1)).as("occ"))
         .filter(col("occ") >= 2).select("span"),
       "span")
-    val covered = dupSpan
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(dupSpanN - 1))).as("cpos"))
+    rebuildWithoutCovered(docs, spanCover(dupSpan))
+  }
+
+  /** (doc_id, cpos) position cover of a positional-span frame. */
+  private def spanCover(spans: DataFrame): DataFrame =
+    spans.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(dupSpanN - 1))).as("cpos"))
       .distinct()
+
+  /** Rebuild each document from the tokens NOT in the (doc_id, cpos)
+    * cover: keys-only anti-join, per-doc in-aggregate sort, kept /
+    * removed counts. Shared by span-dedup and surgical
+    * decontamination.
+    */
+  private def rebuildWithoutCovered(docs: DataFrame,
+                                    covered: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
     val kept = toks.join(covered,
       toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
       "left_anti")
@@ -801,6 +821,64 @@ object PipelineQ {
         coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).cast(LongType).as("n_removed"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** SURGICAL decontamination: instead of dropping every document that
+    * shares a benchmark 5-gram (q_doc_contamination's sweep — the
+    * conservative pre-training default), cut exactly the overlapping
+    * token spans and keep the rest of the document — the retention-
+    * maximizing variant for corpora where contamination is boilerplate
+    * quotation rather than wholesale copying. Output rows are the
+    * corpus documents (the doc_id < 10 stand-ins are the eval set, not
+    * corpus members here). Same scale shape as [[qDespan]]: the bench
+    * span set broadcasts, the cover explodes from matches only, the
+    * cut is a keys-only anti-join.
+    */
+  val qDecontamSpans: Q = Q.sql(
+    "q_doc_decontam_spans",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
+       |  FROM t, unnest(range(1, len(tok) + 1)) AS u(i)
+       |  WHERE doc_id >= $curateBenchMaxDocId),
+       |spans AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |    tok[u.i] || ' ' || tok[u.i+1] || ' ' || tok[u.i+2] || ' ' || tok[u.i+3] || ' ' || tok[u.i+4] AS span
+       |  FROM t, unnest(range(1, len(tok) - 3)) AS u(i)
+       |  WHERE len(tok) >= $dupSpanN),
+       |bench AS (
+       |  SELECT DISTINCT span FROM spans WHERE doc_id < $curateBenchMaxDocId),
+       |covered AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + v.j AS cpos
+       |  FROM spans s JOIN bench b ON s.span = b.span
+       |  CROSS JOIN unnest(range(0, $dupSpanN)) AS v(j)
+       |  WHERE s.doc_id >= $curateBenchMaxDocId),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.pos, tk.token
+       |  FROM toks tk LEFT JOIN covered c
+       |    ON c.doc_id = tk.doc_id AND c.cpos = tk.pos
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(token, ' ' ORDER BY pos ASC) AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(a.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(len(t.tok) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |WHERE t.doc_id >= $curateBenchMaxDocId
+       |ORDER BY t.doc_id ASC""".stripMargin) { (s, d) =>
+    val spans = positionalSpans(s, d)
+    val bench = spans.filter(col("doc_id") < curateBenchMaxDocId)
+      .select("span").distinct()
+    val hits = spans.filter(col("doc_id") >= curateBenchMaxDocId)
+      .join(broadcast(bench), Seq("span"), "left_semi")
+    rebuildWithoutCovered(
+      Tables.documents(s, d).filter(col("doc_id") >= curateBenchMaxDocId),
+      spanCover(hits))
   }
 
   // -------------------------------------------------------------------
@@ -1048,8 +1126,6 @@ object PipelineQ {
     */
   val curateMinTokens = 5L
   val curateMaxPunctRatio = 0.3
-  /** Stand-in benchmark boundary shared with q_doc_contamination. */
-  val curateBenchMaxDocId = 10L
 
   /** The curation pipeline over any documents frame (doc_id, text) —
     * factored out so CurateStagesSpec can force every stage to fire on
@@ -1362,7 +1438,7 @@ object PipelineQ {
   }
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
-    qRepetition, qDupSpans, qDespan, qContamination, qRedact,
+    qRepetition, qDupSpans, qDespan, qDecontamSpans, qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
 }

@@ -77,7 +77,20 @@ class CatalogContractSpec extends AnyFunSuite {
       "q_doc_fingerprint_neardup" -> Seq("COUNT(*) <= 100", ">= 3"),
       "q_doc_ngram_jaccard" -> Seq("COUNT(*) <= 1000"),
       "q_doc_minhash_lsh" -> Seq(">= 0.5"),
-      "q_doc_curate" -> Seq(">= 5", "< 10", "/ 1000.0"))
+      "q_doc_curate" -> Seq(">= 5", "< 10", "/ 1000.0"),
+      // doc_id boundary: a forward-referenced curateBenchMaxDocId reads
+      // 0 and silently widens the corpus to include the bench stand-ins
+      // (caught live in round 5 — the pattern guard below now covers it)
+      "q_doc_decontam_spans" -> Seq(">= 10", "< 10"),
+      "q_doc_contamination" -> Seq(">= 10", "< 10"))
+    // generalized zero-boundary guard: the doc_id bench boundary is
+    // never legitimately zero in any oracle that filters on it
+    SparkEntry.catalog.foreach { q =>
+      q.oracle.foreach { sql =>
+        assert(!sql.matches("(?s).*doc_id\\s*[<>]=?\\s*0\\D.*"),
+          s"${q.name}: zero doc_id boundary in oracle — forward-referenced val?")
+      }
+    }
     val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
     pins.foreach { case (name, subs) =>
       val sql = byName(name).oracle.get

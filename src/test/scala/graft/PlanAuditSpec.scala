@@ -179,6 +179,21 @@ class PlanAuditSpec extends SparkSpecBase {
       "curate's decontamination stage must broadcast the bench n-gram probe")
   }
 
+  test("despan: span frequency aggregates partially; the cut is an anti-join, never exists-materialized") {
+    val p = plan("q_doc_despan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "span frequency must map-side combine before the span-key shuffle")
+    assert(p.toLowerCase.contains("leftanti"),
+      s"covered-position cut must stay an anti-join:\n${p.linesIterator.take(8).mkString("\n")}")
+  }
+
+  test("surgical decontamination broadcasts the bench span set; the cut is an anti-join") {
+    val p = plan("q_doc_decontam_spans")
+    assert(p.toLowerCase.contains("leftsemi") && p.contains("BroadcastHashJoin"),
+      "bench span probe must broadcast — a shuffled semi-join moves the corpus spans")
+    assert(p.toLowerCase.contains("leftanti"), p.linesIterator.take(8).mkString("\n"))
+  }
+
   test("decontamination semi-join broadcasts the benchmark n-grams — corpus never shuffles") {
     val p = plan("q_doc_contamination")
     assert(p.toLowerCase.contains("leftsemi"), p.linesIterator.take(8).mkString("\n"))

@@ -648,6 +648,71 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Fixed-context truncation packing
+  // -------------------------------------------------------------------
+
+  /** Context length for the truncation packer — small enough that the
+    * fixture corpus actually splits documents.
+    */
+  val truncSeqLen = 64L
+
+  /** Per-doc piece cap: keeps the synthetic (doc, piece) order key
+    * dense and collision-free (pid = doc_id·cap + piece_idx). A doc
+    * longer than cap·[[truncSeqLen]] tokens (65536·64 here) would need
+    * a wider key — asserted, not silently wrapped.
+    */
+  val truncMaxPieces = 65536L
+
+  /** Fixed-context TRUNCATION packing: documents longer than
+    * [[truncSeqLen]] tokens split at the context boundary (the standard
+    * alternative to [[qSeqSpans]]' doc-spanning concatenation — no
+    * sequence ever crosses a document boundary, the form used when
+    * attention must not leak across documents), then the pieces pack
+    * into token-budget shards in (doc_id, piece_idx) order with the
+    * same two-phase prefix sum as every other packer — the piece
+    * stream just rides a dense synthetic key, so no new window shapes.
+    */
+  val qTruncatePack: Q = Q.sql(
+    "q_doc_truncate_pack",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |pieces AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS piece_idx,
+       |    least($truncSeqLen, n - CAST(u.i AS BIGINT) * $truncSeqLen) AS n_tokens
+       |  FROM t, unnest(range(0, (n - 1) // $truncSeqLen + 1)) AS u(i)
+       |  WHERE n > 0)
+       |SELECT doc_id, piece_idx, n_tokens,
+       |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id, piece_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       |    / $shardTokenBudget.0) AS BIGINT) AS shard_id
+       |FROM pieces
+       |ORDER BY doc_id ASC, piece_idx ASC""".stripMargin) { (s, d) =>
+    val pieces = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      // key-width guard: fail loudly rather than wrap the piece key
+      .withColumn("n", when(col("n") > lit(truncSeqLen * truncMaxPieces),
+        raise_error(lit("q_doc_truncate_pack: document exceeds truncMaxPieces")))
+        .otherwise(col("n")))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L),
+          floor((col("n") - 1) / truncSeqLen).cast(LongType))).as("piece_idx"))
+      .withColumn("n_tokens",
+        least(lit(truncSeqLen), col("n") - col("piece_idx") * truncSeqLen))
+    val keyed = pieces
+      .withColumn("pid", col("doc_id") * truncMaxPieces + col("piece_idx"))
+    packIntoShards(
+      keyed.select(col("pid").as("doc_id"), col("n_tokens")),
+      shardTokenBudget)
+      .select((col("doc_id") / truncMaxPieces).cast(LongType).as("doc_id"),
+        pmod(col("doc_id"), lit(truncMaxPieces)).cast(LongType).as("piece_idx"),
+        col("n_tokens"), col("shard_id"))
+      .orderBy(col("doc_id").asc, col("piece_idx").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Corpus-level duplicate-span profile (exact-substring dedup)
   // -------------------------------------------------------------------
 
@@ -1438,7 +1503,8 @@ object PipelineQ {
   }
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
-    qRepetition, qDupSpans, qDespan, qDecontamSpans, qContamination, qRedact,
+    qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
+    qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
 }

@@ -116,6 +116,17 @@ object ScaleProbeMain {
       sh.unpersist()
     }
 
+    // --- round-5 span operators + PQ at 10x ----------------------------
+    time(s"despan_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_despan")(spark, bigDir).count()
+    }
+    time(s"decontam_spans_10x") {
+      SparkEntry.queries("q_doc_decontam_spans")(spark, bigDir).count()
+    }
+    time(s"truncate_pack_10x") {
+      SparkEntry.queries("q_doc_truncate_pack")(spark, bigDir).count()
+    }
+
     // --- distributed k-means at the SemDeDup paper regime --------------
     // k=20k is 5x past singleNodeKCap: the whole train must run as
     // DataFrame jobs (k-means|| init + Lloyd), no driver clustering

@@ -67,8 +67,7 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val mainFailed = results.collect { case (k, _, false) => k }
     val total = results.map(_._2).sum
     // round-over-round regression tracking: compare against the
     // checked-in per-query baseline (bench_baseline.json) and flag
@@ -81,8 +80,13 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p))
+        // scope the scrape to the "queries" object: pinned artifacts also
+        // carry an "adjudicated" map whose entries would otherwise
+        // override (last-wins) that query's real baseline
+        val scope = """(?s)"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
         val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
-        entry.findAllMatchIn(txt)
+        entry.findAllMatchIn(scope)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
@@ -98,18 +102,27 @@ object Bench {
     // as regressions; both numbers land in the artifact.
     val adjudicated = flagged.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { materialize(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val t = math.min(once(), once())
+      val (t1, ok1) = once()
+      val (t2, ok2) = once()
       spark.catalog.clearCache()
-      name -> t
+      (name, math.min(t1, t2), ok1 && ok2)
     }
-    val regressions = adjudicated.collect { case (k, t) if trips(k, t) => k }
-    val adjJson = adjudicated.map { case (k, v) => "\"" + k + "\":" + v }
+    // a crashed re-run must read as a failure + a kept regression, never
+    // as a fast adjudicated time that clears the flag
+    val adjFailed = adjudicated.collect { case (k, _, false) => k }
+    val regressions = adjudicated.collect {
+      case (k, t, ok) if !ok || trips(k, t) => k
+    }
+    val adjJson = adjudicated.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = (mainFailed ++ adjFailed).distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subsetJson = only.fold("")(s =>
       s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
@@ -124,6 +137,10 @@ object Bench {
       if (only.isDefined) "bench_out_subset.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // release the session-scoped shared checkpoints (the memo holds
+    // corpus-scale blocks by design during the run; nothing should
+    // outlive it)
+    graft.queries.SharedFrames.clear(spark)
     spark.stop()
   }
 }

@@ -69,7 +69,8 @@ object IvfFunctions {
     else trainCentroidsLloyd(emb, embeddingCol, k, seed, maxIter)
 
   /** Deterministic hash-cut training sample of ≤ [[trainSampleSize]]. */
-  private def trainSample(emb: DataFrame, k: Int, seed: Long): DataFrame = {
+  private[functions] def trainSample(emb: DataFrame, k: Int,
+                                     seed: Long): DataFrame = {
     val cap = trainSampleSize(k)
     val n = emb.count()
     if (n <= cap) emb
@@ -82,9 +83,17 @@ object IvfFunctions {
 
   /** Small-k trainer: Spark ML KMeans (k-means|| init, seeded). */
   def trainCentroidsML(emb: DataFrame, embeddingCol: String, k: Int,
-                       seed: Long = 42, maxIter: Int = 10): Array[Array[Double]] = {
-    val feats = trainSample(emb, k, seed)
-      .select(toVec(col(embeddingCol)).as("features"))
+                       seed: Long = 42, maxIter: Int = 10): Array[Array[Double]] =
+    fitKmeans(trainSample(emb, k, seed), embeddingCol, k, seed, maxIter)
+
+  /** The bare ML KMeans fit over an ALREADY-sampled frame — exposed so
+    * multi-codebook trainers (PQ: 8 subspace fits) sample and count the
+    * corpus once instead of once per fit.
+    */
+  private[functions] def fitKmeans(train: DataFrame, embeddingCol: String,
+                                   k: Int, seed: Long,
+                                   maxIter: Int = 10): Array[Array[Double]] = {
+    val feats = train.select(toVec(col(embeddingCol)).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(feats)
@@ -271,12 +280,14 @@ object IvfFunctions {
     s
   }
 
-  /** Zero-copy unbox of the array<float> UDF input: Spark hands UDFs a
-    * mutable.ArraySeq.ofFloat over the primitive float[], so the k·d
-    * argmin loop must run on the raw array — a boxed Seq#apply per
-    * element is a ~5-10× tax exactly where assignment is O(n·k·d).
+  /** Zero-copy unbox of the array<float> UDF input: Spark 4 hands UDFs
+    * an immutable.ArraySeq.ofFloat wrapping the primitive float[]
+    * (toImmutableArraySeq in the deserializer), so the k·d argmin loop
+    * must run on the raw array — a boxed Seq#apply per element is a
+    * ~5-10× tax exactly where assignment is O(n·k·d). Shared with the
+    * PQ encode loop.
     */
-  private def toFloatArray(v: Seq[Float]): Array[Float] = v match {
+  private[functions] def toFloatArray(v: Seq[Float]): Array[Float] = v match {
     case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
     case _ => v.toArray
   }

@@ -37,15 +37,22 @@ object PqFunctions {
   val subDim = 8
   val codesPerSubspace = 16
 
-  /** Train one codebook per subspace: [m][k][subDim] centroids. */
+  /** Train one codebook per subspace: [m][k][subDim] centroids. The
+    * corpus is counted and hash-cut-sampled ONCE (checkpointed), then
+    * each subspace fit slices the same sampled frame — not once per
+    * fit, which would run 8 redundant full scans.
+    */
   def trainCodebooks(emb: DataFrame, embeddingCol: String,
-                     seed: Long = 42): Array[Array[Array[Double]]] =
-    Array.tabulate(numSubspaces) { j =>
-      val sub = emb.select(col("vec_id"),
-        slice(col(embeddingCol), j * subDim + 1, subDim).as("subvec"))
-      IvfFunctions.trainCentroidsML(sub, "subvec", codesPerSubspace,
-        seed = seed + j)
-    }
+                     seed: Long = 42): Array[Array[Array[Double]]] = {
+    val train = IvfFunctions.trainSample(emb, codesPerSubspace, seed)
+      .select(col("vec_id"), col(embeddingCol))
+      .localCheckpoint(true)
+    try Array.tabulate(numSubspaces) { j =>
+      IvfFunctions.fitKmeans(
+        train.select(slice(col(embeddingCol), j * subDim + 1, subDim).as("subvec")),
+        "subvec", codesPerSubspace, seed = seed + j)
+    } finally train.unpersist()
+  }
 
   def broadcastCodebooks(emb: DataFrame, cb: Array[Array[Array[Double]]])
       : Broadcast[Array[Array[Array[Double]]]] =
@@ -62,10 +69,8 @@ object PqFunctions {
     s
   }
 
-  private def toFloatArray(v: Seq[Float]): Array[Float] = v match {
-    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
-    case _ => v.toArray
-  }
+  private def toFloatArray(v: Seq[Float]): Array[Float] =
+    IvfFunctions.toFloatArray(v)
 
   /** PQ encode: the m argmin codes, j ascending (ties → lowest code). */
   def encodeUdf(bc: Broadcast[Array[Array[Array[Double]]]]): UserDefinedFunction =

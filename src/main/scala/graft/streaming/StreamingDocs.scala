@@ -120,8 +120,16 @@ object StreamingDocs {
     *     of foreachBatch) overwrites exactly its own files — appends
     *     can never duplicate. Carried offsets filter `epoch <
     *     epochId`, so a half-written replay attempt never double
-    *     counts. The ShardSink manifest is refreshed from the READ-BACK
-    *     of the tree after every batch, certifying the files on disk.
+    *     counts.
+    *   - O(batch), not O(history): per-batch bookkeeping reads the
+    *     driver-scale `_epoch_stats` table (one tiny row set per
+    *     epoch, derived from the READ-BACK of that epoch's partition —
+    *     certifying the files on disk), never the historical data
+    *     tree. Carried offsets sum prior epochs' stats; the loader
+    *     manifest is the (split, shard_id) merge of all epoch stats —
+    *     counts/masses sum, doc_id bounds min/max, and the
+    *     order-independent XOR content hash merges exactly because
+    *     epoch row sets are disjoint.
     *
     * A shard that spans epochs holds one file per epoch — the loader
     * reads via the manifest's (split, shard_id) rows, not the file
@@ -132,18 +140,22 @@ object StreamingDocs {
     import org.apache.spark.sql.expressions.Window
     val s = batch.sparkSession
     val dataDir = s"$dir/data"
+    val statsDir = s"$dir/_epoch_stats"
     val withSplit = batch
       .select(col("doc_id"), col("n_tokens"), PipelineQ.splitCol.as("split"))
-    val carried: Map[String, Long] =
-      try s.read.parquet(dataDir)
-        .filter(col("epoch") < epochId)
-        .groupBy("split").agg(sum("n_tokens").as("carried"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val priorStats =
+      try Some(s.read.parquet(statsDir).filter(col("epoch") < epochId)
+        .localCheckpoint(true))
       catch {
-        // first epoch: no shard tree yet (works on any filesystem,
-        // unlike a driver-side path probe)
-        case _: org.apache.spark.sql.AnalysisException => Map.empty
+        // first epoch: no stats yet (works on any filesystem, unlike a
+        // driver-side path probe)
+        case _: org.apache.spark.sql.AnalysisException => None
       }
+    val carried: Map[String, Long] = priorStats match {
+      case None => Map.empty
+      case Some(st) => st.groupBy("split").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val carriedCol =
       if (carried.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(carried), col("split")), lit(0L))
@@ -161,9 +173,29 @@ object StreamingDocs {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "split", "shard_id")
       .parquet(dataDir)
-    graft.sink.ShardSink.writeManifest(
-      s.read.parquet(dataDir).select("doc_id", "n_tokens", "split", "shard_id"),
-      dir)
+    // this epoch's stats, from the read-back of exactly its partition
+    // (partition pruning — the historical tree is never scanned)
+    val epochStats = graft.sink.ShardSink.manifestOf(
+      s.read.parquet(dataDir).filter(col("epoch") === epochId)
+        .select("doc_id", "n_tokens", "split",
+          "shard_id"))
+      .withColumn("shard_id", col("shard_id").cast(LongType))
+    epochStats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$statsDir/epoch=$epochId")
+    // loader manifest = merge of all epoch stats (driver-scale)
+    val allStats = priorStats match {
+      case None => epochStats
+      case Some(st) => st.drop("epoch")
+        .withColumn("shard_id", col("shard_id").cast(LongType))
+        .unionByName(epochStats)
+    }
+    allStats
+      .groupBy("split", "shard_id")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("min_doc_id").as("min_doc_id"), max("max_doc_id").as("max_doc_id"),
+        expr("bit_xor(content_hash)").as("content_hash"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    priorStats.foreach(_.unpersist())
   }
 
   /** Wire [[curateStream]] into [[packCuratedBatch]]: the full

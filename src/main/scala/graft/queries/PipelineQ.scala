@@ -947,6 +947,106 @@ object PipelineQ {
   }
 
   // -------------------------------------------------------------------
+  // Paragraph-level dedup (keep-first)
+  // -------------------------------------------------------------------
+
+  /** Paragraph width in tokens. The synthetic corpus carries no
+    * newline/sentence boundaries, so "paragraph" here is a fixed
+    * NON-overlapping 16-token block aligned at multiples of 16 — the
+    * segmentation is a stand-in, the dedup semantics are the real
+    * operator (on a natural corpus the blockify step is replaced by a
+    * split on newline runs; everything downstream is unchanged).
+    */
+  val paraK = 16
+
+  /** Corpus-wide paragraph dedup, KEEP-FIRST (MassiveText-style line/
+    * paragraph dedup, Rae et al. 2021 §A.1.2): every document splits
+    * into non-overlapping [[paraK]]-token blocks; for each distinct
+    * block content exactly the lexicographically-first occurrence (min
+    * (doc_id, bidx)) survives and every other occurrence is cut;
+    * documents are rebuilt from their surviving blocks in order. The
+    * keep-first rule is what distinguishes this from [[qDespan]]
+    * (overlapping 5-gram windows, BOTH occurrences cut) — boilerplate
+    * survives once instead of vanishing entirely.
+    *
+    * Scale shape: blockify is a per-row generate (no shuffle); the
+    * first-occurrence table is a map-side-combining groupBy(block) MIN
+    * of a (doc_id, bidx) struct — an aggregation, deliberately NOT a
+    * row_number window, because a window partitioned by block puts a
+    * corpus-frequency boilerplate block into ONE task while the
+    * aggregation pre-combines it per partition; the keep test is the
+    * same equi-join shuffle the frequency count already pays; rebuild
+    * sorts blocks inside the per-doc aggregate. At 100 TB the join key
+    * would be a 128-bit block hash instead of the block text (the
+    * string never needs to travel twice) — at gate scale the exact
+    * text keys keep the oracle bit-exact.
+    */
+  val qParagraphDedup: Q = Q.sql(
+    "q_doc_paragraph_dedup",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
+       |  FROM t, unnest(range(1, len(tok) + 1)) AS u(i)),
+       |blocks AS (
+       |  SELECT doc_id, pos // $paraK AS bidx,
+       |    string_agg(token, ' ' ORDER BY pos ASC) AS block
+       |  FROM toks GROUP BY doc_id, bidx),
+       |ranked AS (
+       |  SELECT doc_id, bidx, block,
+       |    ROW_NUMBER() OVER (PARTITION BY block
+       |      ORDER BY doc_id ASC, bidx ASC) AS rn
+       |  FROM blocks),
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(block, ' ' ORDER BY bidx ASC) AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blocks GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(a.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(tot.n_blocks, 0) AS BIGINT) AS n_blocks,
+       |  CAST(COALESCE(tot.n_blocks, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+       |    AS n_removed
+       |FROM t
+       |LEFT JOIN tot ON tot.doc_id = t.doc_id
+       |LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id ASC""".stripMargin) { (s, d) =>
+    paragraphDedup(Tables.documents(s, d))
+  }
+
+  /** The keep-first block-dedup pipeline over any (doc_id, text) frame —
+    * factored so PipelineQSpec can plant exact duplicate paragraphs.
+    */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val nb = ceil(size(tok).cast(DoubleType) / paraK).cast(IntegerType)
+    val blockArr = when(size(tok) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), nb - 1),
+        i => concat_ws(" ", slice(tok, i * paraK + lit(1), lit(paraK)))))
+    val blocks = docs.select(col("doc_id"),
+      posexplode(blockArr).as(Seq("bidx", "block")))
+    val firsts = blocks.groupBy("block")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("f"))
+    val kept = blocks.join(firsts, "block")
+      .filter(col("doc_id") === col("f.doc_id") && col("bidx") === col("f.bidx"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("bidx"), col("block")))),
+          x => x.getField("block"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), nb.cast(LongType).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L)))
+          .cast(LongType).as("n_removed"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  // -------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------
 
@@ -1504,6 +1604,7 @@ object PipelineQ {
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
+    qParagraphDedup,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)

@@ -286,4 +286,27 @@ class PipelineQSpec extends SparkSpecBase {
     assert(out(4L) == (("", 0L, 5L)))
     assert(out(5L) == (("", 0L, 5L)))
   }
+
+  test("paragraph dedup keeps exactly the first occurrence of each block") {
+    def block(p: String): String = (1 to PipelineQ.paraK).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, dd, f) = (block("a"), block("b"), block("c"), block("d"), block("f"))
+    val e4 = "e1 e2 e3 e4" // trailing partial block — dedups like any other
+    val docs = Seq(
+      (1L, s"$a $b"),   // first occurrences of A and B
+      (2L, s"$b $c"),   // B is a dup of (1,1); C unique
+      (3L, s"$a $a"),   // both blocks dup doc 1's A -> fully removed
+      (4L, s"$dd $e4"), // first occurrences incl. the partial block
+      (5L, s"$dd $e4"), // exact re-occurrence of doc 4 -> fully removed
+      (6L, s"$f $f")    // within-doc dup: (6,0) kept, (6,1) cut
+    ).toDF("doc_id", "text")
+    val out = PipelineQ.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((s"$a $b", 2L, 0L)))
+    assert(out(2L) == ((c, 2L, 1L)))
+    assert(out(3L) == (("", 2L, 2L)))
+    assert(out(4L) == ((s"$dd $e4", 2L, 0L)))
+    assert(out(5L) == (("", 2L, 2L)))
+    assert(out(6L) == ((f, 2L, 1L)))
+  }
 }

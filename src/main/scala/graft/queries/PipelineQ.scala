@@ -319,6 +319,84 @@ object PipelineQ {
         floor(col("__start") / lit(budget.toDouble)).cast(LongType).as("shard_id"))
       .orderBy(col("doc_id").asc)
 
+  /** Seed for the deterministic global training-order shuffle; fixed
+    * docs-per-shard for the positional sharding (distinct from the
+    * token-budget packing — this is the ORDER randomizer, not the
+    * size balancer).
+    */
+  private[graft] val shuffleSeed = 42
+  private[graft] val shuffleDocsPerShard = 64L
+
+  /** Deterministic GLOBAL SHUFFLE — the training-order randomization
+    * every epoch-0 data loader needs: documents are permuted by
+    * md5(doc_id || ':' || seed) (reshuffling = changing the seed,
+    * reproducing a run = keeping it), assigned a global position, and
+    * cut into fixed-size positional shards. Downstream loaders read
+    * shards sequentially and still see an i.i.d.-like document stream.
+    *
+    * Scale shape: a global ROW_NUMBER is a single-task window, so the
+    * position is two-phase like [[packIntoShards]] — but bucketed by
+    * the first 2 hex chars of the SORT KEY (256 uniform buckets; the
+    * hash makes them uniform by construction, no skew even when
+    * doc_ids cluster), a 256-row driver prefix, then per-bucket
+    * row_number + broadcast offset join. Ordering by (bucket,
+    * sort_key) equals ordering by sort_key because the bucket IS a
+    * prefix of the key. At 100 TB this is one hash-partitioned
+    * shuffle of (doc_id, 32-byte key) pairs — keys-only, never the
+    * document text.
+    */
+  val qGlobalShuffle: Q = Q.sql(
+    "q_doc_global_shuffle",
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5(CAST(doc_id AS VARCHAR) || ':$shuffleSeed') AS sort_key
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, sort_key,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sort_key ASC, doc_id ASC) - 1
+       |      AS BIGINT) AS pos
+       |  FROM keyed)
+       |SELECT doc_id, sort_key, pos,
+       |  pos // $shuffleDocsPerShard AS shard_id
+       |FROM pos
+       |ORDER BY pos ASC""".stripMargin) { (s, d) =>
+    globalShuffle(Tables.documents(s, d))
+  }
+
+  /** The two-phase permutation over any frame with a doc_id column —
+    * factored so the spec can assert the permutation property directly.
+    */
+  def globalShuffle(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed0 = docs.select(col("doc_id"),
+      md5(concat(col("doc_id").cast(StringType), lit(s":$shuffleSeed")))
+        .as("sort_key"))
+    // feeds the bucket-count collect AND the output — guard like
+    // withExclusivePrefixSum so repeats never re-warn
+    val keyed =
+      if (keyed0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        keyed0.cache()
+      else keyed0
+    val bucketed = keyed.withColumn("__bucket", substring(col("sort_key"), 1, 2))
+    val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val offsets = counts.scanLeft(("", 0L)) {
+        case ((_, acc), (b, n)) => (b, acc + n)
+      }.sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val w = Window.partitionBy("__bucket")
+      .orderBy(col("sort_key").asc, col("doc_id").asc)
+    bucketed.join(offsetDf, "__bucket")
+      .withColumn("pos",
+        (row_number().over(w).cast(LongType) - 1L + col("__offset"))
+          .cast(LongType))
+      .select(col("doc_id"), col("sort_key"), col("pos"),
+        floor(col("pos") / lit(shuffleDocsPerShard.toDouble))
+          .cast(LongType).as("shard_id"))
+      .orderBy(col("pos").asc)
+  }
+
   /** Pack documents (in doc_id order) into training shards of
     * ~`shardTokenBudget` whitespace tokens — see [[packIntoShards]].
     */
@@ -1084,6 +1162,77 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** SPLIT-LEAKAGE audit: after train/val/test assignment ([[splitCol]]),
+    * measure n-gram leakage from train into each held-out split — the
+    * hygiene check that a random split of a DUPLICATED corpus silently
+    * fails (near-identical docs land on both sides and the val loss
+    * becomes a memorization probe). Per held-out split: how many
+    * distinct 5-grams also occur in train, how many docs share at
+    * least one, and the leaked-doc fraction.
+    *
+    * Scale shape: everything is keys-only — (split, doc_id, gram)
+    * against a distinct train-gram table, one gram-keyed shuffle (the
+    * train side is corpus-sized, so no broadcast; this is the audit
+    * that runs once per split decision, not per training step). The
+    * three COUNT(DISTINCT)s expand the aggregate input 3× — bounded
+    * by the held-out gram mass, which is ~10% of the corpus under the
+    * 90/5/5 cut.
+    */
+  val qSplitLeakage: Q = Q.sql(
+    "q_split_leakage",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tok) - 3),
+       |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4])) AS g
+       |  FROM t WHERE len(tok) >= 5),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $sqlDocHashPrefix < 'e6666666' THEN 'train'
+       |         WHEN $sqlDocHashPrefix < 'f3333333' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |sg AS (
+       |  SELECT l.split, s.doc_id, s.g
+       |  FROM sh s JOIN lab l ON l.doc_id = s.doc_id),
+       |train_g AS (SELECT DISTINCT g FROM sg WHERE split = 'train'),
+       |ev AS (
+       |  SELECT e.split, e.doc_id, e.g, tg.g AS hit
+       |  FROM sg e LEFT JOIN train_g tg ON tg.g = e.g
+       |  WHERE e.split <> 'train')
+       |SELECT split,
+       |  COUNT(DISTINCT CASE WHEN hit IS NOT NULL THEN g END) AS leaked_grams,
+       |  COUNT(DISTINCT CASE WHEN hit IS NOT NULL THEN doc_id END) AS leaked_docs,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(COUNT(DISTINCT CASE WHEN hit IS NOT NULL THEN doc_id END) AS DOUBLE)
+       |    / COUNT(DISTINCT doc_id) AS leak_frac
+       |FROM ev
+       |GROUP BY split
+       |ORDER BY split ASC""".stripMargin) { (s, d) =>
+    import graft.functions.TextFunctions.shingles
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"), explode(shingles(col("tok"), 5)).as("g"))
+    val lab = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"))
+    val sg = sh.join(lab, "doc_id")
+    val trainG = sg.filter(col("split") === "train")
+      .select(col("g").as("tg")).distinct()
+    sg.filter(col("split") =!= "train")
+      .join(trainG, col("g") === col("tg"), "left")
+      .groupBy("split")
+      .agg(
+        countDistinct(when(col("tg").isNotNull, col("g"))).as("leaked_grams"),
+        countDistinct(when(col("tg").isNotNull, col("doc_id"))).as("leaked_docs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("leak_frac",
+        col("leaked_docs").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .orderBy(col("split").asc)
+  }
+
   // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------
@@ -1604,7 +1753,7 @@ object PipelineQ {
 
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
-    qParagraphDedup,
+    qParagraphDedup, qGlobalShuffle, qSplitLeakage,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)

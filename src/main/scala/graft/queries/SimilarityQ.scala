@@ -251,6 +251,60 @@ object SimilarityQ {
     embeddingNearDupLshFromKeys(neardupBandKeys(s, d), emb, 0.55)
   }
 
+  /** Benchmark size / threshold for embedding-space decontamination:
+    * vec_id < 25 stands in for an eval benchmark's embedded examples
+    * (mirrors q_doc_contamination's doc_id < 10 convention); τ = 0.40
+    * is non-vacuous on the testdata at every gate SF (6/7/24 matching
+    * pairs at sf0.001/0.01/0.1).
+    */
+  private[graft] val embDecontamBench = 25
+  private[graft] val embDecontamTau = 0.40
+
+  /** SEMANTIC decontamination (the embedding-space sibling of
+    * q_doc_contamination's n-gram sweep): a corpus vector whose cosine
+    * to ANY benchmark embedding reaches τ is reported for removal,
+    * with the closest benchmark item as evidence (ties → lowest
+    * bench_id). N-gram overlap misses paraphrased or translated eval
+    * leakage; embedding similarity is the standard second sweep
+    * (e.g. phi-family "decontamination by embedding similarity").
+    *
+    * Scale shape: the benchmark side is thousands of rows at worst —
+    * it BROADCASTS, the corpus scans once with no shuffle, and the
+    * argmax window runs only over the filtered (contaminated) rows,
+    * not the corpus. 100 TB cost = one read of the embedding column.
+    */
+  val qEmbDecontam: Q = Q.sql(
+    "q_emb_decontam",
+    s"""WITH scored AS (
+       |  SELECT c.vec_id, b.vec_id AS bench_id,
+       |    ${oracleCosine("c.embedding", "b.embedding")} AS cos_sim
+       |  FROM embeddings c JOIN embeddings b ON b.vec_id < $embDecontamBench
+       |  WHERE c.vec_id >= $embDecontamBench),
+       |hits AS (
+       |  SELECT vec_id, bench_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_sim DESC, bench_id ASC) AS rn
+       |  FROM scored WHERE cos_sim >= $embDecontamTau)
+       |SELECT vec_id, bench_id, cos_sim
+       |FROM hits WHERE rn = 1
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val bench = emb.filter(col("vec_id") < embDecontamBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    val hits = emb.filter(col("vec_id") >= embDecontamBench)
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        fastCosine(col("embedding"), col("b_emb")).as("cos_sim"))
+      .filter(col("cos_sim") >= embDecontamTau)
+    hits.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_sim").desc, col("bench_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cos_sim"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** The 8-band × 8-plane LSH key table over the corpus embeddings —
     * memoized checkpoint shared by q_embedding_neardup_lsh AND
     * q_emb_semdedup_lsh (one band-key pass per session per corpus; the
@@ -851,5 +905,5 @@ object SimilarityQ {
 
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq)
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam)
 }

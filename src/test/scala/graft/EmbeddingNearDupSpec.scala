@@ -35,6 +35,34 @@ class EmbeddingNearDupSpec extends SparkSpecBase {
       .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
   }
 
+  test("embedding decontamination flags similarity to the bench set, ties to lowest bench_id") {
+    // one-hot fixture: bench = e_0..e_24; corpus vectors with EXACT
+    // cosines to the bench set (1.0 copy, 0.0 orthogonal, 0.5 mix,
+    // 0.7071 two-way tie)
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1f else 0f)
+    def mix(a: Int, wa: Float, b: Int, wb: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == a) wa else if (j == b) wb else 0f)
+    val rows =
+      (0 until 25).map(i => (i.toLong, oneHot(i))) ++ Seq(
+        (100L, oneHot(3)),                                  // copy of bench 3
+        (101L, oneHot(40)),                                 // orthogonal to all
+        (102L, mix(3, 0.5f, 50, math.sqrt(3).toFloat / 2)), // cos 0.5 to bench 3
+        (103L, mix(1, 1f, 2, 1f)))                          // 0.7071 to bench 1 AND 2
+    val dir = java.nio.file.Files.createTempDirectory("embdecon").toString
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_emb_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(100L, 102L, 103L)) // 101 clean
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(100L)._2 == 3L && math.abs(byId(100L)._3 - 1.0) < 1e-12)
+    // float32 storage of the mix weights costs ~1e-8 on the cosine
+    assert(byId(102L)._2 == 3L && math.abs(byId(102L)._3 - 0.5) < 1e-6)
+    assert(byId(103L)._2 == 1L && math.abs(byId(103L)._3 - math.sqrt(0.5)) < 1e-6)
+  }
+
   test("exact all-pairs finds every planted pair") {
     val exact = SimilarityQ.embeddingNearDupExact(planted, 0.9)
       .select("vec_a", "vec_b").collect()

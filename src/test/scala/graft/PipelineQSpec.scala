@@ -309,4 +309,61 @@ class PipelineQSpec extends SparkSpecBase {
     assert(out(5L) == (("", 2L, 2L)))
     assert(out(6L) == ((f, 2L, 1L)))
   }
+
+  test("global shuffle is a seed-deterministic permutation in md5 order") {
+    // non-contiguous ids: the permutation must not depend on density
+    val ids = Seq(0L, 7L, 13L, 64L, 999L, 1000000L, 31L, 2L, 500L, 77L)
+    val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = PipelineQ.globalShuffle(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // pos is exactly 0..n-1, in output order
+    assert(out.map(_._3).toSeq == ids.indices.map(_.toLong))
+    // order matches an independently computed md5 sort
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:${PipelineQ.shuffleSeed}".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = ids.sortBy(i => (key(i), i))
+    assert(out.map(_._1).toSeq == expected)
+    assert(out.forall { case (id, sk, _, _) => sk == key(id) })
+    // positional sharding
+    assert(out.forall { case (_, _, p, sh) =>
+      sh == p / PipelineQ.shuffleDocsPerShard })
+    // rerun is identical (seed-deterministic)
+    val again = PipelineQ.globalShuffle(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("split leakage counts grams and docs shared from train into held-out splits") {
+    // classify ids with the SAME md5 cut the engine uses, then plant:
+    // one val doc that is exactly a train 5-gram (leaked), one val doc
+    // of unique tokens (clean), one test doc that is a train 5-gram
+    def split(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (h < "e6666666") "train" else if (h < "f3333333") "val" else "test"
+    }
+    val pool = (10L to 400L).toSeq
+    val trainId = pool.find(split(_) == "train").get
+    val Seq(valA, valB) = pool.filter(split(_) == "val").take(2)
+    val testId = pool.find(split(_) == "test").get
+    val docs = Seq(
+      (trainId, "alpha beta gamma delta epsilon zeta eta theta"),
+      (valA, "alpha beta gamma delta epsilon"), // its one gram is in train
+      (valB, "uniq1 uniq2 uniq3 uniq4 uniq5"),  // no gram in train
+      (testId, "delta epsilon zeta eta theta")  // its one gram is in train
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_split_leakage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("val") == ((1L, 1L, 2L, 0.5)))
+    assert(out("test") == ((1L, 1L, 1L, 1.0)))
+  }
 }

@@ -317,4 +317,48 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!exchanges.contains("text"),
       s"document text crossed a shuffle boundary:\n$exchanges")
   }
+
+  test("embedding decontamination broadcasts the bench side — the corpus scans once") {
+    val p = plan("q_emb_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"),
+      "bench scoring must never plan a cartesian product")
+    // the argmax window partitions by vec_id over the FILTERED rows
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("vec_id"), s"window must partition by vec_id: $windowLine")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("global shuffle position is bucket-partitioned — no single-task global window") {
+    val p = plan("q_doc_global_shuffle")
+    assert(!p.contains("SinglePartition"),
+      s"global row_number detected — the two-phase position regressed:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__bucket"),
+      s"window must partition by __bucket: $windowLine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row offset table must broadcast")
+  }
+
+  test("paragraph dedup blockifies per-row and selects firsts by aggregation, not a window") {
+    val p = plan("q_doc_paragraph_dedup")
+    assert(p.contains("Generate"),
+      s"blockify must be a per-row generate:\n${p.linesIterator.take(8).mkString("\n")}")
+    // keep-first must stay a min-struct aggregation: a row_number window
+    // partitioned by block would single-task corpus-frequent boilerplate
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("block")),
+      "first-occurrence selection regressed to a block-partitioned window")
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+  }
+
+  test("split leakage joins keys only — document text never crosses a shuffle") {
+    val p = plan("q_split_leakage")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text crossed a shuffle boundary:\n$exchanges")
+    assert(p.contains("Expand"),
+      "multi-distinct aggregate should plan one Expand pass")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -575,8 +575,101 @@ object TextQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  private[graft] val qualityModelAuxDir = s"${OracleAux.root}/quality_model"
+
+  /** Trained-once-per-(session, corpus) quantized weight table; the aux
+    * write for oracle replay rides the same memo (SharedFrames doc).
+    */
+  private def qualityWeights(s: org.apache.spark.sql.SparkSession,
+                             d: String): Seq[(String, java.math.BigDecimal)] =
+    SharedFrames.value(s, s"quality_model:$d") {
+      val docs = Tables.documents(s, d)
+      val w = graft.functions.QualityModel.train(docs)
+      val df = s.createDataFrame(
+        java.util.Arrays.asList(
+          w.map { case (t, wt) => org.apache.spark.sql.Row(t, wt) }: _*),
+        StructType(Seq(
+          StructField("term", StringType, nullable = false),
+          StructField("weight", DecimalType(18, 6), nullable = false))))
+      OracleAux.write(df, qualityModelAuxDir, docsKey(docs))
+      w
+    }
+
+  /** MODEL-BASED quality filtering (the GPT-3/CCNet stage that follows
+    * the heuristic cuts): a fasttext-style linear classifier over
+    * unigram frequencies — trained on a bounded driver-side sample
+    * against the stopword-fraction heuristic, published as a
+    * DECIMAL(18,6) weight table ([[graft.functions.QualityModel]]) —
+    * scores every document; `pred_keep` is the filter bit. ORACLE
+    * REPLAY: DuckDB reads the quantized weight table and replays the
+    * tokenize → count → decimal Σ w·c → IEEE divide pipeline
+    * bit-identically (a double weight table would not replay — engines
+    * round binary64→decimal differently, and double Σ is
+    * order-dependent).
+    *
+    * Scale shape: the 257-row weight table broadcasts; tokens explode
+    * and pre-aggregate per (doc, term) map-side; one doc-keyed shuffle
+    * re-aggregates — same plan class as TF-IDF. Training cost is a
+    * per-corpus constant (one vocab pass + a ≤1000-doc collect).
+    */
+  val qQualityModel: Q = Q.sql(
+    "q_doc_quality_model",
+    s"""WITH w AS (
+       |  SELECT term, weight FROM read_parquet('$qualityModelAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, term, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+       |  GROUP BY doc_id, term),
+       |f AS (
+       |  SELECT cnt.doc_id, SUM(w.weight * cnt.c) AS s
+       |  FROM cnt JOIN w ON w.term = cnt.term
+       |  WHERE w.term <> '${graft.functions.QualityModel.biasTerm}'
+       |  GROUP BY cnt.doc_id),
+       |b AS (SELECT CAST(weight AS DOUBLE) AS bias FROM w
+       |      WHERE term = '${graft.functions.QualityModel.biasTerm}'),
+       |n AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+       |      FROM t WHERE len(tok) > 0)
+       |SELECT n.doc_id, n.n_tokens,
+       |  CAST(COALESCE(f.s, 0) AS DOUBLE) / n.n_tokens + b.bias AS model_score,
+       |  (CAST(COALESCE(f.s, 0) AS DOUBLE) / n.n_tokens + b.bias) >= 0.0
+       |    AS pred_keep
+       |FROM n CROSS JOIN b
+       |LEFT JOIN f ON f.doc_id = n.doc_id
+       |ORDER BY n.doc_id ASC""".stripMargin) { (s, d) =>
+    val weights = qualityWeights(s, d)
+    val bias = weights.find(_._1 == graft.functions.QualityModel.biasTerm)
+      .get._2.doubleValue
+    val wdf = {
+      import s.implicits._
+      weights.filter(_._1 != graft.functions.QualityModel.biasTerm)
+        .map { case (t, wt) => (t, scala.math.BigDecimal(wt)) }
+        .toDF("term", "weight")
+        .select(col("term"), col("weight").cast(DecimalType(18, 6)).as("weight"))
+    }
+    val docs = Tables.documents(s, d)
+    val cnt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val f = cnt.join(broadcast(wdf), "term")
+      .groupBy("doc_id").agg(sum(col("weight") * col("c")).as("s"))
+    val score =
+      coalesce(col("s"), lit(java.math.BigDecimal.ZERO)).cast(DoubleType) /
+        col("n_tokens").cast(DoubleType) + lit(bias)
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .join(f, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        score.as("model_score"),
+        (score >= 0.0).as("pred_keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
-    qTokensExploded, qFingerprintNearDup)
+    qTokensExploded, qFingerprintNearDup, qQualityModel)
 }

@@ -352,6 +352,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
   }
 
+  test("quality model broadcasts the weight table and pre-aggregates term counts") {
+    val p = plan("q_doc_quality_model")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    // the doc-keyed rollup join may SMJ (two corpus-sized frames), but
+    // the TERM join against the 257 weights must never
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("term")),
+      "scoring join must not shuffle the exploded token stream against 257 weights")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-(doc,term) counts must map-side combine before the shuffle")
+  }
+
   test("split leakage joins keys only — document text never crosses a shuffle") {
     val p = plan("q_split_leakage")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

@@ -341,6 +341,23 @@ object IvfFunctions {
       (best, bestD)
     }
 
+  /** Residual r = x − centroid(cid), rounded back to FLOAT per element
+    * (one double subtraction + one float rounding — the exact sequence
+    * `CAST(CAST(x AS DOUBLE) - c AS FLOAT)` replays in SQL). Float
+    * residuals let IVF-PQ reuse every float PQ kernel (encode, ADC)
+    * unchanged, at a quantization already far coarser than the lost
+    * bits.
+    */
+  def residualUdf(bc: Broadcast[Array[Array[Double]]]): UserDefinedFunction =
+    udf { (v: Seq[Float], cid: Int) =>
+      val a = toFloatArray(v)
+      val c = bc.value(cid)
+      val out = new Array[Float](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = (a(i).toDouble - c(i)).toFloat; i += 1 }
+      out.toSeq
+    }
+
   /** The `nProbe` nearest centroid ids for a query vector. */
   def probeUdf(bc: Broadcast[Array[Array[Double]]], nProbe: Int): UserDefinedFunction =
     udf { v: Seq[Float] =>

@@ -114,4 +114,18 @@ object PqFunctions {
       while (j < tabs.length) { s += tabs(j)(codes(j)); j += 1 }
       s
     }
+
+  /** [[adcUdf]] keyed by (query, inverted list): IVF-PQ precomputes one
+    * ADC table per PROBED list because the query residual differs per
+    * coarse centroid.
+    */
+  def adcByListUdf(bc: Broadcast[Map[(Long, Int), Array[Array[Double]]]])
+      : UserDefinedFunction =
+    udf { (queryId: Long, cid: Int, codes: Seq[Int]) =>
+      val tabs = bc.value((queryId, cid))
+      var s = 0.0
+      var j = 0
+      while (j < tabs.length) { s += tabs(j)(codes(j)); j += 1 }
+      s
+    }
 }

@@ -782,14 +782,15 @@ object SimilarityQ {
 
   /** Materialize (sub, code, c: array<double>, corpus_key) — m×k rows. */
   private def writePqCodebooks(emb: DataFrame,
-                               cb: Array[Array[Array[Double]]]): Unit = {
+                               cb: Array[Array[Array[Double]]],
+                               dir: String = pqAuxDir): Unit = {
     val s = emb.sparkSession
     import s.implicits._
     val key = corpusKey(emb)
     cb.zipWithIndex.flatMap { case (codes, j) =>
       codes.zipWithIndex.map { case (c, i) => (j, i, c.toSeq, key) }
     }.toSeq.toDF("sub", "code", "c", "corpus_key")
-      .coalesce(1).write.mode("overwrite").parquet(s"$pqAuxDir/k$key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/k$key")
   }
 
   /** PQ-indexed ANN: per-subspace codebooks (8 × 16 codes) compress
@@ -903,7 +904,179 @@ object SimilarityQ {
     topKPerQuery(scored)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ (the FAISS IndexIVFPQ composition) — coarse quantizer +
+  // product-quantized RESIDUALS + per-list ADC scan
+  // -------------------------------------------------------------------
+
+  private[graft] val ivfpqCbAuxDir = s"${OracleAux.root}/ivfpq_codebooks"
+
+  /** IVF-PQ ANN — the composition every production vector index ships
+    * (FAISS IndexIVFPQ, Jégou 2011 §IV): the coarse k-means quantizer
+    * partitions the corpus into inverted lists (same memoized centroid
+    * table as q_ann_ivf), each vector stores only the PQ codes of its
+    * RESIDUAL x − c(x) (residual energy ≪ vector energy, so the same
+    * 8 B of codes quantize far finer than raw-vector PQ), and a query
+    * scans only its nProbe probed lists with a PER-LIST ADC table
+    * (the query residual differs per probed centroid). Exact-cosine
+    * rerank of the top-candidates cut, as in the other ANN paths.
+    *
+    * At 100 TB this is THE resident shape: lists partition the index
+    * (probe = partition pruning), the scan reads 8 B codes instead of
+    * 256 B floats, and nothing but (query, neighbor) pairs survives.
+    *
+    * HASH-VERIFIED by double replay: the engine materializes BOTH
+    * trained kernels (coarse centroids → ivf_centroids aux, shared
+    * with q_ann_ivf; residual codebooks → ivfpq_codebooks aux) and
+    * DuckDB replays assignment, float residuals (one double subtract +
+    * one float rounding per element), per-subspace argmin encode, the
+    * per-(query, list) ADC tables, the j-ascending fold, candidate
+    * cut, and exact rerank — all fixed-order arithmetic.
+    */
+  val qAnnIvfPq: Q = Q.sql(
+    "q_ann_ivfpq",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |resid AS (
+       |  SELECT e.vec_id, a.cid,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(CAST(e.embedding[i] AS DOUBLE) - ct.c[i] AS FLOAT)) AS r
+       |  FROM embeddings e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN cents ct ON ct.cid = a.cid),
+       |cb AS (
+       |  SELECT sub, code, c FROM read_parquet('$ivfpqCbAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |encd AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT r.vec_id, cb.sub, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, cb.sub ORDER BY
+       |        list_reduce(list_transform(range(1, 9),
+       |          i -> (CAST(r.r[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+       |             * (CAST(r.r[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])),
+       |          (x, y) -> x + y) ASC, cb.code ASC) AS rn
+       |    FROM resid r CROSS JOIN cb) WHERE rn = 1),
+       |lists AS (
+       |  SELECT e.vec_id, a.cid, e.cs FROM (
+       |    SELECT vec_id, list(code ORDER BY sub ASC) AS cs
+       |    FROM encd GROUP BY vec_id) e
+       |  JOIN assigned a ON a.vec_id = e.vec_id),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist WHERE vec_id < $nQueries) WHERE rn <= $ivfNProbe),
+       |qresid AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(CAST(q.embedding[i] AS DOUBLE) - ct.c[i] AS FLOAT)) AS qr
+       |  FROM probed p
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN cents ct ON ct.cid = p.cid),
+       |qd AS (
+       |  SELECT qr.query_id, qr.cid, cb.sub, cb.code,
+       |    list_reduce(list_transform(range(1, 9),
+       |      i -> (CAST(qr.qr[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])
+       |         * (CAST(qr.qr[cb.sub * 8 + i] AS DOUBLE) - cb.c[i])),
+       |      (x, y) -> x + y) AS dist
+       |  FROM qresid qr CROSS JOIN cb),
+       |qtab AS (
+       |  SELECT query_id, cid, list(dl ORDER BY sub ASC) AS tabs FROM (
+       |    SELECT query_id, cid, sub, list(dist ORDER BY code ASC) AS dl
+       |    FROM qd GROUP BY query_id, cid, sub) GROUP BY query_id, cid),
+       |adc AS (
+       |  SELECT t.query_id, l.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, 9),
+       |      j -> t.tabs[j][l.cs[j] + 1]), (x, y) -> x + y) AS adc
+       |  FROM lists l JOIN qtab t ON t.cid = l.cid
+       |  WHERE l.vec_id <> t.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crank
+       |    FROM adc) WHERE crank <= $pqCandidates),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("qe.embedding", "ve.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ve ON ve.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    import graft.functions.{IvfFunctions, PqFunctions}
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    // one assign + residual pass per session per corpus
+    val resid = SharedFrames.frame(s, s"ivfpq_resid:$d") {
+      emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+        .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+        .select(col("vec_id"), col("cid"), col("r"))
+        .localCheckpoint(true)
+    }
+    val cb = SharedFrames.value(s, s"ivfpq_codebooks:$d") {
+      val c = PqFunctions.trainCodebooks(resid, "r")
+      writePqCodebooks(emb, c, ivfpqCbAuxDir)
+      c
+    }
+    val bcCb = PqFunctions.broadcastCodebooks(emb, cb)
+    val lists = SharedFrames.frame(s, s"ivfpq_codes:$d") {
+      resid.select(col("vec_id"), col("cid"),
+        PqFunctions.encodeUdf(bcCb)(col("r")).as("cs"))
+        .localCheckpoint(true)
+    }
+    val queries = emb.filter(col("vec_id") < nQueries)
+    // probed (query, list) pairs via the SAME probe kernel as q_ann_ivf,
+    // then per-pair ADC tables on the query residual (driver-scale:
+    // nQueries × nProbe entries)
+    val probedPairs = queries.select(col("vec_id").as("query_id"),
+        explode(IvfFunctions.probeUdf(bcC, ivfNProbe)(col("embedding"))).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val qVecs = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qResidual(q: Array[Float], cid: Int): Array[Float] = {
+      val c = centroids(cid)
+      Array.tabulate(q.length)(i => (q(i).toDouble - c(i)).toFloat)
+    }
+    val bcTabs = s.sparkContext.broadcast(
+      probedPairs.map { case (qid, cid) =>
+        (qid, cid) -> PqFunctions.adcTables(qResidual(qVecs(qid), cid), cb)
+      }.toMap)
+    import s.implicits._
+    val probedDf = probedPairs.toSeq.toDF("query_id", "cid")
+    val cand = lists.join(broadcast(probedDf), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc",
+        PqFunctions.adcByListUdf(bcTabs)(col("query_id"), col("cid"), col("cs")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("crank") <= pqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        fastCosine(col("q_emb"), col("embedding")).as("score"))
+    topKPerQuery(scored)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq, qEmbDecontam)
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq)
 }

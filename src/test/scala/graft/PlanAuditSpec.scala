@@ -352,6 +352,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
   }
 
+  test("IVF-PQ scans codes only: probed pairs broadcast, no embedding past the checkpoint") {
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (query, list) probe table must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "ADC scan must never cross-join the corpus")
+    // the ADC candidate cut ranks within each query — never globally
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("quality model broadcasts the weight table and pre-aggregates term counts") {
     val p = plan("q_doc_quality_model")
     assert(p.contains("BroadcastHashJoin"),

@@ -48,6 +48,33 @@ object StreamingDocs {
         graft.functions.TextFunctions.shingles(tokens(col("text")), 5)).as("g"))
       .distinct().collect().map(_.getString(0)).toSet
 
+  /** Per-row model score bit-identical to the batch
+    * q_doc_quality_model: exact decimal Σ w_t·c_t over the quantized
+    * weight table, ONE double conversion, one IEEE division, plus the
+    * bias — evaluated inside the scan of each micro-batch (stateless,
+    * broadcast weights, no shuffle). Bit parity with the batch scorer
+    * is pinned by StreamingDocsSpec.
+    */
+  private def modelScoreUdf(docs: DataFrame,
+                            weights: Seq[(String, java.math.BigDecimal)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val biasTerm = graft.functions.QualityModel.biasTerm
+    val bias = weights.find(_._1 == biasTerm)
+      .map(_._2.doubleValue).getOrElse(0.0)
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      weights.filter(_._1 != biasTerm).toMap)
+    udf { toks: Seq[String] =>
+      val w = bc.value
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      toks.foreach(t => if (w.contains(t)) counts.update(t, counts.getOrElse(t, 0L) + 1L))
+      var s = java.math.BigDecimal.ZERO
+      counts.foreach { case (t, c) =>
+        s = s.add(w(t).multiply(java.math.BigDecimal.valueOf(c)))
+      }
+      s.doubleValue / toks.size + bias
+    }
+  }
+
   /** Curate a document stream. Input columns: doc_id, text, and
     * `ingest_ts` (TimestampType event time). Emits
     * (doc_id, ingest_ts, norm_text, n_tokens) for documents that pass
@@ -62,13 +89,24 @@ object StreamingDocs {
     * so any arriving document overlapping it is dropped — the batch
     * stage exempts its doc_id < 10 rows only because its bench is
     * drawn from corpus rows standing in for the eval suite.
+    *
+    * `modelWeights` (when non-empty) adds the MODEL-BASED quality
+    * filter at ingest: documents scoring below `modelThreshold` under
+    * the trained linear model (graft.functions.QualityModel — weights
+    * trained batch-side on a static corpus, broadcast here) are
+    * dropped in the same stateless per-row shape. Scores are
+    * bit-identical to the batch q_doc_quality_model column, so a doc
+    * admitted at ingest is exactly the doc a batch re-curation with
+    * the same weight table would keep.
     */
   def curateStream(docs: DataFrame,
                    minTokens: Long = PipelineQ.curateMinTokens,
                    maxPunctRatio: Double = PipelineQ.curateMaxPunctRatio,
                    watermarkDelay: String = "1 hour",
-                   benchGrams: Set[String] = Set.empty): DataFrame = {
-    val clean =
+                   benchGrams: Set[String] = Set.empty,
+                   modelWeights: Seq[(String, java.math.BigDecimal)] = Nil,
+                   modelThreshold: Double = 0.0): DataFrame = {
+    val decon =
       if (benchGrams.isEmpty) docs
       else {
         val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
@@ -77,6 +115,15 @@ object StreamingDocs {
             .exists(w => bc.value.contains(w.mkString(" ")))
         }
         docs.filter(!contaminated(tokens(col("text"))))
+      }
+    val clean =
+      if (modelWeights.isEmpty) decon
+      else {
+        // raw-text tokens, matching the batch scorer's input exactly;
+        // zero-token docs can't score (and are dropped later anyway)
+        val score = modelScoreUdf(docs, modelWeights)
+        decon.filter(size(tokens(col("text"))) > 0 &&
+          score(tokens(col("text"))) >= modelThreshold)
       }
     val scored = clean
       .select(col("doc_id"), col("ingest_ts"),

@@ -80,6 +80,47 @@ class StreamingDocsSpec extends SparkSpecBase {
       s"expected contaminated 20/21 dropped, clean 22/23 kept; got $ids")
   }
 
+  test("streaming model-based quality filter admits exactly the batch pred_keep set") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    // stopword-rich vs stopword-free corpus (the QualityModelSpec
+    // fixture shape) — train batch-side, filter stream-side
+    val rich = "the a an the of data the a table the an merge the a scan"
+    val poor = "vector window batch stream hash sort group filter join part"
+    val fixture = (0 until 60).map { i =>
+      (i.toLong, if (i % 2 == 0) s"$rich extra$i" else s"$poor extra$i")
+    }
+    val batchDocs = fixture.toDF("doc_id", "text")
+    val weights = graft.functions.QualityModel.train(batchDocs)
+
+    // batch ground truth: score every fixture doc through the catalog query
+    val dir = java.nio.file.Files.createTempDirectory("smodel").toString
+    batchDocs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchKeep = SparkEntry.queries("q_doc_quality_model")(spark, dir)
+      .filter(col("pred_keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKeep.nonEmpty && batchKeep.size < 60)
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val out = StreamingDocs.curateStream(
+      stream.toDF().toDF("doc_id", "text", "ts_sec")
+        .withColumn("ingest_ts", timestamp_seconds(col("ts_sec"))),
+      minTokens = 1L, modelWeights = weights)
+    val q = out.writeStream.format("memory").queryName("curate_model")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.map { case (id, text) => (id, text, t0 + id) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curate_model").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep,
+      s"stream/batch divergence: only-stream=${(streamed -- batchKeep).toSeq.sorted.take(5)} " +
+        s"only-batch=${(batchKeep -- streamed).toSeq.sorted.take(5)}")
+  }
+
   // ------------------------------------------------------------------
   // streaming curate tail: split + per-split shard packing (foreachBatch)
   // ------------------------------------------------------------------

@@ -668,8 +668,49 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Sequence-LENGTH BUCKETING — the batching-shape audit a training
+    * loader runs before fixing its bucket boundaries (docs batch with
+    * same-length peers; padding waste is bounded by the bucket width):
+    * per power-of-2 token-length bucket (ilog2 via `length(bin(x))-1`,
+    * the same integer-exact idiom as the surprisal quantization — no
+    * floating log), the doc count, token mass, and length bounds.
+    *
+    * Scale shape: one map-side-combining aggregate over a per-row
+    * bucket key (~30 possible buckets) — no join, no window; the scan
+    * reads only doc lengths.
+    */
+  val qLengthBuckets: Q = Q.sql(
+    "q_doc_length_buckets",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, n, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket
+      |  FROM t WHERE n > 0)
+      |SELECT bucket,
+      |  CAST(POW(2, bucket) AS BIGINT) AS bucket_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+      |  MIN(n) AS min_tokens, MAX(n) AS max_tokens
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast(LongType).as("sum_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .withColumn("bucket_lo", pow(lit(2.0), col("bucket")).cast(LongType))
+      .select(col("bucket"), col("bucket_lo"), col("n_docs"),
+        col("sum_tokens"), col("min_tokens"), col("max_tokens"))
+      .orderBy(col("bucket").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
-    qTokensExploded, qFingerprintNearDup, qQualityModel)
+    qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets)
 }

@@ -127,6 +127,24 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_truncate_pack")(spark, bigDir).count()
     }
 
+    // --- round-5 continuation: dedup / order / audit / model at 10x ----
+    // (paragraph dedup on the 90%-dup corpus exercises the min-struct
+    // keep-first path under maximal duplication; the others check
+    // linear scaling of the two-phase position, the gram join, and the
+    // train-once-score-distributed model)
+    time(s"paragraph_dedup_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_paragraph_dedup")(spark, bigDir).count()
+    }
+    time("global_shuffle_10x") {
+      SparkEntry.queries("q_doc_global_shuffle")(spark, bigDir).count()
+    }
+    time("split_leakage_10x") {
+      SparkEntry.queries("q_split_leakage")(spark, bigDir).count()
+    }
+    time("quality_model_10x(train+score)") {
+      SparkEntry.queries("q_doc_quality_model")(spark, bigDir).count()
+    }
+
     // --- distributed k-means at the SemDeDup paper regime --------------
     // k=20k is 5x past singleNodeKCap: the whole train must run as
     // DataFrame jobs (k-means|| init + Lloyd), no driver clustering

@@ -305,6 +305,72 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }
 
+  /** CLUSTER-BALANCED sampling — topic rebalancing in embedding space
+    * (the semantic sibling of q_doc_mix_balance's per-source rates):
+    * vectors assign to the memoized corpus centroids, over-represented
+    * clusters down-sample to the fair per-cluster share with the SAME
+    * deterministic md5 cut as the stratified sampler, so the rebalanced
+    * subset is reproducible and order-independent. The pre-training
+    * counter to topic collapse: a corpus dominated by one semantic
+    * cluster (SEO boilerplate, code license headers) stops dominating
+    * the sample.
+    *
+    * Scale shape: assignment fuses into the scan (broadcast centroids);
+    * the rate table is k rows crossed with one total — broadcast back;
+    * the corpus filters in place. No shuffle except the output sort.
+    */
+  val qEmbClusterBalance: Q = Q.sql(
+    "q_emb_cluster_balance",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |stats AS (
+       |  SELECT cid, CAST(COUNT(*) AS DOUBLE) AS cnt FROM assigned GROUP BY cid),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+       |         CAST(COUNT(*) AS DOUBLE) AS k FROM stats),
+       |rates AS (
+       |  SELECT cid, LEAST(1.0, (total / k) / cnt) AS rate
+       |  FROM stats CROSS JOIN tot)
+       |SELECT a.vec_id, a.cid
+       |FROM assigned a JOIN rates r USING (cid)
+       |WHERE r.rate >= 1.0
+       |   OR substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
+       |      lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    import graft.functions.IvfFunctions
+    val emb = Tables.embeddings(s, d)
+    val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+    val bc = IvfFunctions.broadcastCentroids(emb, centroids)
+    clusterBalance(emb
+      .withColumn("cid", IvfFunctions.assignUdf(bc)(col("embedding")))
+      .select(col("vec_id"), col("cid")))
+  }
+
+  /** The rate-table rebalance over any (vec_id, cid) assignment —
+    * factored so the spec can feed hand-built skewed assignments and
+    * compute the exact expected md5-cut survivor set.
+    */
+  def clusterBalance(assigned: DataFrame): DataFrame = {
+    val stats = assigned.groupBy("cid")
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+    val tot = stats.agg(sum("cnt").as("total"),
+      count(lit(1)).cast(DoubleType).as("k"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col("cid"),
+        least(lit(1.0), (col("total") / col("k")) / col("cnt")).as("rate"))
+    assigned.join(broadcast(rates), "cid")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(col("vec_id").cast(StringType)), 1, 8) <
+          lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast(LongType))),
+            8, "0"))
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** The 8-band × 8-plane LSH key table over the corpus embeddings —
     * memoized checkpoint shared by q_embedding_neardup_lsh AND
     * q_emb_semdedup_lsh (one band-key pass per session per corpus; the
@@ -1078,5 +1144,5 @@ object SimilarityQ {
 
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq)
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance)
 }

@@ -46,6 +46,30 @@ class IvfPqSpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("cluster balance downsamples over-represented clusters by the exact md5 cut") {
+    import graft.queries.SimilarityQ
+    // 200 vecs in cluster 0, 20 in cluster 1: fair share 110 ->
+    // rate(0)=0.55, rate(1)=1.0
+    val assigned = ((0L until 200L).map((_, 0)) ++ (200L until 220L).map((_, 1)))
+      .toDF("vec_id", "cid")
+    val out = SimilarityQ.clusterBalance(assigned)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val kept0 = out.filter(_._2 == 0).map(_._1).toSet
+    val kept1 = out.filter(_._2 == 1).map(_._1).toSet
+    // under-represented cluster is untouched
+    assert(kept1 == (200L until 220L).toSet)
+    // the exact survivor set is computable: md5 prefix < floor(0.55*2^32)
+    val threshold = f"${math.floor(0.55 * 4294967296.0).toLong}%08x"
+    val expected0 = (0L until 200L).filter { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8) < threshold
+    }.toSet
+    assert(kept0 == expected0, s"kept ${kept0.size}, expected ${expected0.size}")
+    // and the cut actually thinned the fat cluster toward fair share
+    assert(kept0.size < 150 && kept0.size > 70)
+  }
+
   test("every corpus vector lands in exactly one inverted list with m residual codes") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val centroids = IvfFunctions.trainCentroids(emb, "embedding", 8, seed = 42)

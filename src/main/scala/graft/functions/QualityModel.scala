@@ -71,7 +71,11 @@ object QualityModel {
       .as[(Long, String)].collect().sortBy(_._1)
     val stop = TextFunctions.stopwords.toSet
     val rows = sample.flatMap { case (_, text) =>
-      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // tokensLocal mirrors the scorer's tokens() bit-for-bit (empty
+      // tokens kept); a divergent trainer tokenizer mis-calibrates the
+      // weights on any corpus with tab/newline-padded documents
+      val toks = if (text == null) Array.empty[String]
+                 else TextFunctions.tokensLocal(text)
       if (toks.isEmpty) None
       else {
         val x = new Array[Double](terms.size)

@@ -24,6 +24,25 @@ object TextFunctions {
   /** Whitespace tokens, lowercased. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Driver-side twin of [[tokens]], used where a sampled document is
+    * tokenized on the driver (QualityModel training). Must stay
+    * bit-identical to the Column version or the model trains on
+    * features the distributed scorer never computes: Spark `trim`
+    * strips ASCII spaces only (not tabs/newlines), and `split` runs
+    * with limit -1 (trailing empty strings kept — "a b\n" tokenizes
+    * as ["a","b",""], and "" as [""]).
+    */
+  def tokensLocal(text: String): Array[String] = {
+    var i = 0
+    var j = text.length
+    while (i < j && text.charAt(i) == ' ') i += 1
+    while (j > i && text.charAt(j - 1) == ' ') j -= 1
+    wsPattern.split(
+      text.substring(i, j).toLowerCase(java.util.Locale.ROOT), -1)
+  }
+
   /** BPE-ish token count: word pieces + isolated punctuation. */
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))

@@ -296,12 +296,14 @@ object PipelineQ {
   }
 
   /** Exclusive prefix over sorted (bucket, sum) rows → per-bucket start
-    * offsets — the driver-side step of the two-phase prefix sum.
+    * offsets — the driver-side step of the two-phase prefix sum. Shared
+    * by the token-budget packing (Long buckets) and the global shuffle
+    * (hex-prefix String buckets).
     */
-  private def prefixOffsets(bucketSums: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    bucketSums.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, bs)) => (b, acc + bs)
-    }.sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
+  private def prefixOffsets[K](bucketSums: Seq[(K, Long)]): Seq[(K, Long)] = {
+    var acc = 0L
+    bucketSums.map { case (b, n) => val off = acc; acc += n; (b, off) }
+  }
 
   private[graft] def packIntoShards(in: DataFrame, budget: Long): DataFrame =
     withExclusivePrefixSum(in)
@@ -369,22 +371,18 @@ object PipelineQ {
   def globalShuffle(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val keyed0 = docs.select(col("doc_id"),
+    // feeds the bucket-count collect AND the output; localCheckpoint
+    // (not cache) so the blocks release with the frame via the
+    // ContextCleaner — a CacheManager entry would pin corpus-scale
+    // keys for the rest of the session (Verify never clearCache()s)
+    val keyed = docs.select(col("doc_id"),
       md5(concat(col("doc_id").cast(StringType), lit(s":$shuffleSeed")))
         .as("sort_key"))
-    // feeds the bucket-count collect AND the output — guard like
-    // withExclusivePrefixSum so repeats never re-warn
-    val keyed =
-      if (keyed0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        keyed0.cache()
-      else keyed0
+      .localCheckpoint(true)
     val bucketed = keyed.withColumn("__bucket", substring(col("sort_key"), 1, 2))
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
-    val offsets = counts.scanLeft(("", 0L)) {
-        case ((_, acc), (b, n)) => (b, acc + n)
-      }.sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
-    val offsetDf = broadcast(offsets.toDF("__bucket", "__offset"))
+    val offsetDf = broadcast(prefixOffsets(counts).toDF("__bucket", "__offset"))
     val w = Window.partitionBy("__bucket")
       .orderBy(col("sort_key").asc, col("doc_id").asc)
     bucketed.join(offsetDf, "__bucket")

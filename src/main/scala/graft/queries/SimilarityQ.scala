@@ -341,13 +341,19 @@ object SimilarityQ {
        |   OR substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
        |      lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
-    import graft.functions.IvfFunctions
-    val emb = Tables.embeddings(s, d)
-    val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
-    val bc = IvfFunctions.broadcastCentroids(emb, centroids)
-    clusterBalance(emb
-      .withColumn("cid", IvfFunctions.assignUdf(bc)(col("embedding")))
-      .select(col("vec_id"), col("cid")))
+    // clusterBalance reads the assignment twice (rate subtree + output
+    // join); checkpoint so the O(n·k·d) assignUdf scan runs once, and
+    // memoize it per (session, corpus) like the sibling IVF frames
+    val assigned = SharedFrames.frame(s, s"ivf_assigned:$d") {
+      import graft.functions.IvfFunctions
+      val emb = Tables.embeddings(s, d)
+      val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+      val bc = IvfFunctions.broadcastCentroids(emb, centroids)
+      emb.withColumn("cid", IvfFunctions.assignUdf(bc)(col("embedding")))
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint(true)
+    }
+    clusterBalance(assigned)
   }
 
   /** The rate-table rebalance over any (vec_id, cid) assignment —

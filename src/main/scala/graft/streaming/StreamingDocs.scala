@@ -59,19 +59,31 @@ object StreamingDocs {
                             weights: Seq[(String, java.math.BigDecimal)])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val biasTerm = graft.functions.QualityModel.biasTerm
+    // fail fast like the batch scorer (TextQ qQualityModel does .get):
+    // a silent bias default would admit a different document set than
+    // a batch re-curation, violating the bit-parity contract exactly
+    // when the weight table is malformed
     val bias = weights.find(_._1 == biasTerm)
-      .map(_._2.doubleValue).getOrElse(0.0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"model weight table is missing the $biasTerm row"))
+      ._2.doubleValue
     val bc = docs.sparkSession.sparkContext.broadcast(
       weights.filter(_._1 != biasTerm).toMap)
     udf { toks: Seq[String] =>
-      val w = bc.value
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      toks.foreach(t => if (w.contains(t)) counts.update(t, counts.getOrElse(t, 0L) + 1L))
-      var s = java.math.BigDecimal.ZERO
-      counts.foreach { case (t, c) =>
-        s = s.add(w(t).multiply(java.math.BigDecimal.valueOf(c)))
+      // null only for null text (split with limit -1 never yields an
+      // empty array); returning boxed null makes the >= filter drop
+      // the row without a separate size() guard re-tokenizing the doc
+      if (toks == null || toks.isEmpty) null
+      else {
+        val w = bc.value
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        toks.foreach(t => if (w.contains(t)) counts.update(t, counts.getOrElse(t, 0L) + 1L))
+        var s = java.math.BigDecimal.ZERO
+        counts.foreach { case (t, c) =>
+          s = s.add(w(t).multiply(java.math.BigDecimal.valueOf(c)))
+        }
+        java.lang.Double.valueOf(s.doubleValue / toks.size + bias)
       }
-      s.doubleValue / toks.size + bias
     }
   }
 
@@ -120,10 +132,10 @@ object StreamingDocs {
       if (modelWeights.isEmpty) decon
       else {
         // raw-text tokens, matching the batch scorer's input exactly;
-        // zero-token docs can't score (and are dropped later anyway)
+        // one tokens() evaluation per row — the UDF returns null for
+        // null text, which the >= comparison filters out
         val score = modelScoreUdf(docs, modelWeights)
-        decon.filter(size(tokens(col("text"))) > 0 &&
-          score(tokens(col("text"))) >= modelThreshold)
+        decon.filter(score(tokens(col("text"))) >= modelThreshold)
       }
     val scored = clean
       .select(col("doc_id"), col("ingest_ts"),

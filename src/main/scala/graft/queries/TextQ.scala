@@ -709,8 +709,149 @@ object TextQ {
       .orderBy(col("bucket").asc)
   }
 
+  private[graft] val dsirAuxDir = s"${OracleAux.root}/dsir"
+
+  /** Top-K cut for the DSIR selection output (the "resampled" subset). */
+  val dsirSelectCount = 200
+
+  /** Hashed-n-gram feature expression shared by the DSIR trainer and
+    * scorer: unigrams ++ adjacent bigrams over `tokens()`, each gram
+    * hashed to one of 256 buckets by its first two md5 hex chars (the
+    * paper's hashing trick, sized to the synthetic vocab — widen the
+    * prefix for a production vocabulary). Trailing empty tokens ride
+    * through like everywhere else in the tokens() family; both engines
+    * build the identical gram multiset.
+    */
+  private def dsirGrams(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(tok,
+      when(size(tok) >= 2,
+        zip_with(
+          slice(tok, lit(1), size(tok) - 1),
+          slice(tok, lit(2), size(tok) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast(ArrayType(StringType))))
+
+  /** Per-(doc, bucket) hashed-gram counts — the shared feature pass. */
+  private def dsirBucketCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tok", tokens(col("text")))
+      .filter(size(col("tok")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(dsirGrams(col("tok"))).as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("gram")), 1, 2).as("bucket"))
+
+  /** DSIR log-importance table: target = docs from the
+    * lexicographically-first `source` (the "domain we want more of"),
+    * raw = the whole corpus. λ_b = log p_target(b) − log p_raw(b) with
+    * add-one smoothing over the 256 hashed buckets, computed on the
+    * driver from one distributed counting pass (≤256 collected rows)
+    * and quantized HALF_UP to DECIMAL(18,6) so DuckDB replays scoring
+    * exactly (same contract as the quality-model weight table).
+    */
+  private[graft] def dsirLambdas(
+      docs: DataFrame): Seq[(String, java.math.BigDecimal)] = {
+    val tgt = docs.agg(min(col("source"))).head.getString(0)
+    val counts = dsirBucketCounts(docs)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("source") === tgt, 1L).otherwise(0L)).as("tgt"))
+      .collect()
+    val b = 256.0
+    val nRaw = counts.map(_.getLong(1)).sum.toDouble
+    val nTgt = counts.map(_.getLong(2)).sum.toDouble
+    counts.map { r =>
+      val pt = (r.getLong(2) + 1.0) / (nTgt + b)
+      val pr = (r.getLong(1) + 1.0) / (nRaw + b)
+      (r.getString(0), java.math.BigDecimal.valueOf(math.log(pt) - math.log(pr))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    }.sortBy(_._1).toSeq
+  }
+
+  /** Memoized per-(session, corpus) λ table; the oracle-replay aux
+    * write rides the memo (SharedFrames contract).
+    */
+  private def dsirWeights(s: org.apache.spark.sql.SparkSession,
+                          d: String): Seq[(String, java.math.BigDecimal)] =
+    SharedFrames.value(s, s"dsir:$d") {
+      val docs = Tables.documents(s, d)
+      val lam = dsirLambdas(docs)
+      val df = s.createDataFrame(
+        java.util.Arrays.asList(
+          lam.map { case (bk, l) => org.apache.spark.sql.Row(bk, l) }: _*),
+        StructType(Seq(
+          StructField("bucket", StringType, nullable = false),
+          StructField("lambda", DecimalType(18, 6), nullable = false))))
+      OracleAux.write(df, dsirAuxDir, docsKey(docs))
+      lam
+    }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * select raw-corpus documents that look like a target domain by
+    * importance weight under hashed-n-gram bag models. Each doc scores
+    * Σ c_b·λ_b over its hashed unigram+bigram bucket counts; the
+    * catalog entry emits the deterministic variant of the paper's
+    * resampling — the top-[[dsirSelectCount]] docs by log-weight
+    * (ties → doc_id). ORACLE REPLAY: DuckDB reads the quantized λ
+    * table, rebuilds the identical gram multiset, and replays
+    * count → decimal Σ → final double cast bit-identically.
+    *
+    * Scale shape: training is ONE distributed counting pass collecting
+    * ≤256 rows; scoring explodes grams, pre-aggregates per (doc,
+    * bucket) map-side, joins the broadcast 256-row λ table, and
+    * re-aggregates per doc; the cut is TakeOrderedAndProject — no
+    * global sort, no window. At 100 TB the only growth axis is the
+    * doc-keyed shuffle, same class as q_doc_token_count.
+    */
+  val qDsir: Q = Q.sql(
+    "q_doc_dsir",
+    s"""WITH lam AS (
+       |  SELECT bucket, lambda FROM read_parquet('$dsirAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_concat(tok,
+       |      list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1]))
+       |      AS grams
+       |  FROM t WHERE len(tok) > 0),
+       |c AS (
+       |  SELECT doc_id, substring(md5(gram), 1, 2) AS bucket, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       |  GROUP BY doc_id, substring(md5(gram), 1, 2)),
+       |s AS (
+       |  SELECT c.doc_id, SUM(lam.lambda * c.c) AS s,
+       |    CAST(SUM(c.c) AS BIGINT) AS n_grams
+       |  FROM c JOIN lam ON lam.bucket = c.bucket
+       |  GROUP BY c.doc_id)
+       |SELECT doc_id, n_grams, CAST(s AS DOUBLE) AS dsir_logw
+       |FROM s
+       |ORDER BY dsir_logw DESC NULLS LAST, doc_id ASC
+       |LIMIT $dsirSelectCount""".stripMargin) { (s, d) =>
+    val lam = dsirWeights(s, d)
+    val lamDf = {
+      import s.implicits._
+      lam.map { case (bk, l) => (bk, scala.math.BigDecimal(l)) }
+        .toDF("bucket", "lambda")
+        .select(col("bucket"),
+          col("lambda").cast(DecimalType(18, 6)).as("lambda"))
+    }
+    dsirBucketCounts(Tables.documents(s, d))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(lamDf), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("lambda") * col("c")).as("s"),
+        sum(col("c")).cast(LongType).as("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        col("s").cast(DoubleType).as("dsir_logw"))
+      .orderBy(col("dsir_logw").desc_nulls_last, col("doc_id").asc)
+      .limit(dsirSelectCount)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
-    qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets)
+    qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir)
 }

@@ -373,6 +373,19 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(doc,term) counts must map-side combine before the shuffle")
   }
 
+  test("dsir broadcasts the λ table, combines map-side, and takes ordered") {
+    val p = plan("q_doc_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"λ join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      "the 256-row λ table must never shuffle the exploded gram stream")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-K cut must not plan a global sort")
+    // (doc,bucket) counts and the per-doc Σ both map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("split leakage joins keys only — document text never crosses a shuffle") {
     val p = plan("q_split_leakage")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")

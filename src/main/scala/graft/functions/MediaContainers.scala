@@ -33,6 +33,11 @@ import graft.functions.MultimodalFunctions.MediaMeta
   *   - MP4/ISO-BMFF (ISO/IEC 14496-12): `ftyp` sniff, then the box walk
   *     — `moov/mvhd` (v0 + v1) duration/timescale, `moov/trak` count,
   *     first non-zero `tkhd` 16.16 dims; 64-bit largesize handled.
+  *   - FLAC (xiph.org format spec): `fLaC` magic, then metadata blocks
+  *     `lastFlag|type(1) len(3 BE) data`; the mandatory STREAMINFO
+  *     (type 0) packs sample rate (20 bits), channels−1 (3 bits),
+  *     bits-per-sample−1 (5 bits) and total samples (36 bits) into one
+  *     big-endian 64-bit word after the block/frame-size bounds.
   *
   * The [[MediaMeta]] mapping for audio: width = sample rate,
   * height = channel count, n_frames = PCM sample frames — "frames" in
@@ -43,7 +48,7 @@ import graft.functions.MultimodalFunctions.MediaMeta
   * a filterable row, not kill the stage.
   *
   * Encode side: [[pngBytes]]/[[jpegBytes]]/[[gifBytes]]/[[wavBytes]]/
-  * [[mp4Bytes]] synthesize structurally valid containers (PNG gets real
+  * [[mp4Bytes]]/[[flacBytes]] synthesize structurally valid containers (PNG gets real
   * CRC32s and a real deflate IDAT; WAV a real PCM data chunk; MP4 a
   * real ftyp/moov/mvhd/trak/tkhd box tree) so the decode
   * path is exercised on genuine container bytes — the
@@ -89,6 +94,7 @@ object MediaContainers {
       else if (isGif(payload)) decodeGif(payload)
       else if (isWav(payload)) decodeWav(payload)
       else if (isMp4(payload)) decodeMp4(payload)
+      else if (isFlac(payload)) decodeFlac(payload)
       else unknown
     } catch {
       // truncated header mid-field — same downgrade as a bad magic
@@ -345,6 +351,39 @@ object MediaContainers {
     }
   }
 
+  private def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 8 && ascii(b, 0, 4) == "fLaC"
+
+  /** Metadata-block walk to STREAMINFO (always the first block per the
+    * spec, but walked generically): sample rate / channels / total
+    * samples live bit-packed in the 64-bit word at STREAMINFO+10.
+    * Same audio mapping as WAV: width = rate, height = channels,
+    * n_frames = total inter-channel samples.
+    */
+  private def decodeFlac(b: Array[Byte]): MediaMeta = {
+    var off = 4
+    var last = false
+    while (!last && off + 4 <= b.length) {
+      val hdr = b(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+        (b(off + 3) & 0xff)
+      if (typ == 0 && len >= 34 && off + 4 + 18 <= b.length) {
+        val p = off + 4
+        val packed = (be32(b, p + 10) << 32) | be32(b, p + 14)
+        val rate = (packed >>> 44).toInt          // 20 bits
+        val channels = ((packed >>> 41) & 0x7L).toInt + 1
+        val samples = packed & 0xfffffffffL       // 36 bits
+        if (rate == 0) return unknown             // spec: 0 is invalid
+        return MediaMeta("flac", rate, channels, samples.toInt,
+          samples * 1000L / rate)
+      }
+      off += 4 + len
+    }
+    unknown
+  }
+
   // ------------------------------------------------------------------
   // encode (fixture synthesis: structurally valid containers)
   // ------------------------------------------------------------------
@@ -490,6 +529,34 @@ object MediaContainers {
     val moov = box("moov", mvhd ++ traks.flatten)
     val mdat = box("mdat", Array[Byte](0, 0, 0, 0))
     ftyp ++ moov ++ mdat
+  }
+
+  /** FLAC stream header: `fLaC` magic + a single last-flagged
+    * STREAMINFO block (34 bytes: block-size bounds 4096/4096, zero
+    * frame-size bounds, the packed rate/channels/bps/total-samples
+    * word at +10, zero MD5) — 16-bit samples, the layout the decode
+    * walk must unpack. No audio frames follow (header-level fixture,
+    * same scope as jpegBytes).
+    */
+  def flacBytes(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      totalSamples >= 0 && totalSamples < (1L << 36),
+      s"flac params out of range: $sampleRate/$channels/$totalSamples")
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(Array[Byte](0x80.toByte, 0, 0, 34)) // last + STREAMINFO, len 34
+    val info = new Array[Byte](34)
+    info(0) = 0x10; info(1) = 0x00 // min block size 4096
+    info(2) = 0x10; info(3) = 0x00 // max block size 4096
+    // min/max frame size (3 bytes each) left 0 = unknown
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      (15L << 36) | totalSamples // bps−1 = 15 → 16-bit
+    var i = 0
+    while (i < 8) { info(10 + i) = (packed >>> (56 - 8 * i)).toByte; i += 1 }
+    // MD5 of the unencoded audio (16 bytes) left 0 = unknown
+    out.write(info)
+    out.toByteArray
   }
 
   /** PCM 16-bit WAV: RIFF/WAVE, fmt chunk, zero-filled data chunk of

@@ -10,7 +10,7 @@ import graft.sources.Tables
   * decode plumbing, oracle-checked end-to-end.
   *
   * The decode gate round-trips REAL container bytes: per document a
-  * structurally valid PNG / JPEG / GIF / WAV is synthesized with
+  * structurally valid PNG / JPEG / GIF / WAV / MP4 / FLAC is synthesized with
   * doc_id-derived parameters (MediaContainers encoders — real CRC32s,
   * real deflate IDAT, real RIFF chunk layout), then parsed back by the
   * pure-Scala header decoder in batched mapBinaryBatches form. The
@@ -22,22 +22,26 @@ object MultimodalQ {
 
   /** doc_id → synthesized container payload (real bytes, deterministic
     * parameters — the encode half of the decode gate's round trip).
-    * Five-way rotation: png / jpeg / gif / wav / mp4 (the video row
-    * class, round-4 verdict #3). The mp4 parameters use the classic
-    * QuickTime timescale 600 so duration_ms exercises non-trivial
-    * integer division.
+    * Six-way rotation: png / jpeg / gif / wav / mp4 (the video row
+    * class, round-4 verdict #3) / flac (lossless audio, bit-packed
+    * STREAMINFO). The mp4 parameters use the classic QuickTime
+    * timescale 600 so duration_ms exercises non-trivial integer
+    * division; the flac rate 11025+25k keeps its division non-trivial
+    * too.
     */
   private[graft] val mp4Timescale = 600
-  private[graft] def fixturePayload(i: Long): Array[Byte] = (i % 5) match {
+  private[graft] def fixturePayload(i: Long): Array[Byte] = (i % 6) match {
     case 0 => MediaContainers.pngBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
     case 1 => MediaContainers.jpegBytes((1 + i % 64).toInt, (1 + i % 48).toInt)
     case 2 => MediaContainers.gifBytes((1 + i % 64).toInt, (1 + i % 48).toInt,
       (1 + i % 5).toInt)
     case 3 => MediaContainers.wavBytes((8000 + 100 * (i % 80)).toInt,
       (1 + i % 2).toInt, (1 + i % 997).toInt)
-    case _ => MediaContainers.mp4Bytes((16 * (1 + i % 120)).toInt,
+    case 4 => MediaContainers.mp4Bytes((16 * (1 + i % 120)).toInt,
       (16 * (1 + i % 68)).toInt, 1 + i % 36000, mp4Timescale,
       (1 + i % 3).toInt)
+    case _ => MediaContainers.flacBytes((11025 + 25 * (i % 200)).toInt,
+      (1 + i % 8).toInt, 1 + i % 44100)
   }
 
   /** Binary payload → batched REAL header decode → typed metadata.
@@ -48,21 +52,26 @@ object MultimodalQ {
   val qMultimodalDecode: Q = Q.sql(
     "q_multimodal_decode",
     s"""SELECT doc_id,
-       |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-       |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' ELSE 'mp4' END AS format,
-       |  CAST(CASE WHEN doc_id % 5 = 3 THEN 8000 + 100 * (doc_id % 80)
-       |    WHEN doc_id % 5 = 4 THEN 16 * (1 + doc_id % 120)
+       |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' WHEN 4 THEN 'mp4'
+       |    ELSE 'flac' END AS format,
+       |  CAST(CASE WHEN doc_id % 6 = 3 THEN 8000 + 100 * (doc_id % 80)
+       |    WHEN doc_id % 6 = 4 THEN 16 * (1 + doc_id % 120)
+       |    WHEN doc_id % 6 = 5 THEN 11025 + 25 * (doc_id % 200)
        |    ELSE 1 + doc_id % 64 END AS INT) AS width,
-       |  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
-       |    WHEN doc_id % 5 = 4 THEN 16 * (1 + doc_id % 68)
+       |  CAST(CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 2
+       |    WHEN doc_id % 6 = 4 THEN 16 * (1 + doc_id % 68)
+       |    WHEN doc_id % 6 = 5 THEN 1 + doc_id % 8
        |    ELSE 1 + doc_id % 48 END AS INT) AS height,
-       |  CAST(CASE doc_id % 5 WHEN 2 THEN 1 + doc_id % 5
-       |    WHEN 3 THEN 1 + doc_id % 997 WHEN 4 THEN 0 ELSE 1 END AS INT) AS n_frames,
-       |  CAST(CASE doc_id % 5
+       |  CAST(CASE doc_id % 6 WHEN 2 THEN 1 + doc_id % 5
+       |    WHEN 3 THEN 1 + doc_id % 997 WHEN 4 THEN 0
+       |    WHEN 5 THEN 1 + doc_id % 44100 ELSE 1 END AS INT) AS n_frames,
+       |  CAST(CASE doc_id % 6
        |    WHEN 3 THEN (1 + doc_id % 997) * 1000 // (8000 + 100 * (doc_id % 80))
        |    WHEN 4 THEN (1 + doc_id % 36000) * 1000 // $mp4Timescale
+       |    WHEN 5 THEN (1 + doc_id % 44100) * 1000 // (11025 + 25 * (doc_id % 200))
        |    ELSE 0 END AS BIGINT) AS duration_ms,
-       |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 3
+       |  CAST(CASE WHEN doc_id % 6 = 4 THEN 1 + doc_id % 3
        |    ELSE 1 END AS INT) AS n_tracks
        |FROM documents
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>

@@ -177,6 +177,12 @@ class MediaContainersSpec extends AnyFunSuite {
       assert(MediaContainers.decodeMeta(
         MediaContainers.mp4Bytes(mw, mh, ticks, 600, tracks)) ==
         MediaMeta("mp4", mw, mh, 0, ticks * 1000L / 600, tracks))
+      val fRate = (11025 + 25 * (i % 200)).toInt
+      val fCh = (1 + i % 8).toInt
+      val fN = 1 + i % 44100
+      assert(MediaContainers.decodeMeta(
+        MediaContainers.flacBytes(fRate, fCh, fN)) ==
+        MediaMeta("flac", fRate, fCh, fN.toInt, fN * 1000L / fRate))
     }
   }
 
@@ -265,6 +271,36 @@ class MediaContainersSpec extends AnyFunSuite {
   // ------------------------------------------------------------------
   // malformed input: downgrade, never throw
   // ------------------------------------------------------------------
+
+  test("golden FLAC: hand-assembled 44.1kHz stereo 16-bit STREAMINFO") {
+    // the canonical 0A C4 42 F0 packed word: rate 44100 (20 bits),
+    // channels−1 = 1 (3 bits), bps−1 = 15 (5 bits), then 36-bit total
+    // samples = 1000 (0x3E8)
+    val flac =
+      "fLaC".getBytes("US-ASCII") ++
+        bytes(0x80, 0, 0, 34) ++ // last-flag | STREAMINFO, length 34
+        bytes(0x10, 0x00, 0x10, 0x00) ++ // block size bounds 4096
+        bytes(0, 0, 0, 0, 0, 0) ++ // frame size bounds unknown
+        bytes(0x0a, 0xc4, 0x42, 0xf0, 0x00, 0x00, 0x03, 0xe8) ++
+        new Array[Byte](16) // MD5 unknown
+    assert(MediaContainers.decodeMeta(flac) ==
+      MediaMeta("flac", 44100, 2, 1000, 1000L * 1000 / 44100))
+  }
+
+  test("golden FLAC: STREAMINFO behind a leading PADDING block is still found") {
+    val pad = bytes(0x01, 0, 0, 4) ++ new Array[Byte](4) // PADDING, not last
+    val info =
+      bytes(0x80, 0, 0, 34) ++
+        bytes(0x10, 0x00, 0x10, 0x00) ++ bytes(0, 0, 0, 0, 0, 0) ++
+        bytes(0x0a, 0xc4, 0x42, 0xf0, 0x00, 0x00, 0x03, 0xe8) ++
+        new Array[Byte](16)
+    val flac = "fLaC".getBytes("US-ASCII") ++ pad ++ info
+    assert(MediaContainers.decodeMeta(flac) ==
+      MediaMeta("flac", 44100, 2, 1000, 22L))
+    // truncated mid-STREAMINFO: downgrade, never throw
+    assert(MediaContainers.decodeMeta(
+      java.util.Arrays.copyOf(flac, 14)).format == "bin")
+  }
 
   test("truncated containers downgrade to bin instead of throwing") {
     val fulls = Seq(

@@ -850,8 +850,175 @@ object TextQ {
       .limit(dsirSelectCount)
   }
 
+  private[graft] val lmAuxDir = s"${OracleAux.root}/lm_bigram"
+
+  /** Vocabulary cap for the bigram LM: top-[[lmVocabSize]] corpus
+    * tokens by (count desc, token asc); everything else maps to
+    * [[lmUnk]]. Sized to the synthetic vocab so the in-scan membership
+    * literal stays cheap — a production run uses ~50k types with
+    * count-pruned bigrams (KenLM's pruning), at which point the model
+    * table graduates from broadcast to a (u,w)-keyed hash join.
+    */
+  val lmVocabSize = 512
+  val lmUnk = "<unk>"
+
+  /** Capped-vocab token mapping shared by LM training and scoring:
+    * membership against the driver-collected vocab literal, inside the
+    * scan — no shuffle, no per-token join.
+    */
+  private def lmMap(tok: org.apache.spark.sql.Column,
+                    vocab: Seq[String]): org.apache.spark.sql.Column =
+    transform(tok, t =>
+      when(array_contains(typedLit(vocab), t), t).otherwise(lit(lmUnk)))
+
+  /** doc_id → mapped adjacent-bigram strings ("u w"; whitespace tokens
+    * cannot contain the separator) over docs with ≥2 tokens — the
+    * event stream both LM passes count/score.
+    */
+  private def lmPairs(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    docs
+      .withColumn("tok", tokens(col("text")))
+      .filter(size(col("tok")) >= 2)
+      .withColumn("tok", lmMap(col("tok"), vocab))
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tok"), lit(1), size(col("tok")) - 1),
+          slice(col("tok"), lit(2), size(col("tok")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+
+  /** Memoized per-(session, corpus) vocab: one distributed counting
+    * pass, ≤[[lmVocabSize]] collected rows.
+    */
+  private def lmVocab(s: org.apache.spark.sql.SparkSession,
+                      d: String): Seq[String] =
+    SharedFrames.value(s, s"lm_vocab:$d") {
+      Tables.documents(s, d)
+        .withColumn("tok", tokens(col("text")))
+        .filter(size(col("tok")) >= 2)
+        .select(explode(col("tok")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc)
+        .limit(lmVocabSize)
+        .collect().map(_.getString(0)).toSeq
+    }
+
+  /** Memoized quantized LM table (term → lp DECIMAL(18,6)): bigram
+    * counts joined to their context totals, add-one smoothed over the
+    * mapped vocab, log2'd ONCE here (engines must not both compute
+    * logs — binary64 log + round-to-decimal can differ in the last
+    * digit; the oracle reads the quantized table instead). Vocab rows
+    * ride along (kind 'v') so the oracle replays the SAME token
+    * mapping. The aux write lives inside the memo (SharedFrames
+    * contract).
+    */
+  private def lmTable(s: org.apache.spark.sql.SparkSession,
+                      d: String): DataFrame =
+    SharedFrames.frame(s, s"lm_bigram:$d") {
+      val docs = Tables.documents(s, d)
+      val vocab = lmVocab(s, d)
+      val vsz = vocab.size + 1 // + <unk>
+      val bi = lmPairs(docs, vocab)
+        .groupBy("gram").agg(count(lit(1)).as("c"))
+        .withColumn("u", substring_index(col("gram"), " ", 1))
+      val ctx = bi.groupBy("u").agg(sum(col("c")).as("n"))
+      val lp = bi.join(ctx, "u")
+        .select(col("gram").as("term"),
+          (log((col("c") + 1).cast(DoubleType) /
+            (col("n") + vsz).cast(DoubleType)) / math.log(2.0))
+            .cast(DecimalType(18, 6)).as("lp"),
+          lit("b").as("kind"))
+      val vdf = {
+        import s.implicits._
+        vocab.toDF("term")
+          .select(col("term"), lit(null).cast(DecimalType(18, 6)).as("lp"),
+            lit("v").as("kind"))
+      }
+      val out = lp.unionByName(vdf).localCheckpoint(true)
+      OracleAux.write(out, lmAuxDir, docsKey(docs))
+      out
+    }
+
+  /** LM PERPLEXITY filter (CCNet, Wenzek et al. 2020): score every
+    * document by per-token cross-entropy under a corpus-trained
+    * add-one-smoothed bigram LM over the capped vocab, then cut the
+    * corpus into the paper's head/middle/tail perplexity terciles
+    * (head = most fluent). The stage that follows the heuristic cuts
+    * and precedes model-based selection in a production pipeline;
+    * distinct from q_doc_unigram_surprisal (orderless unigram bits)
+    * because the bigram conditioning is what catches fluent-word
+    * gibberish. ORACLE REPLAY: DuckDB reads the quantized lp table +
+    * vocab rows, rebuilds the identical mapped-bigram multiset, and
+    * replays count → decimal Σ lp·c → IEEE divide → NTILE
+    * bit-identically. Train corpus = score corpus, so every scored
+    * bigram is in the table (inner join, no backoff row needed);
+    * scoring NEW docs against a trained table adds the standard
+    * per-context backoff, which this catalog entry does not exercise.
+    *
+    * Scale shape: training is two map-side-combining counting passes
+    * (vocab, bigrams); scoring explodes mapped bigrams, pre-aggregates
+    * per (doc, gram) map-side, broadcast-joins the model table, and
+    * re-aggregates per doc — same plan class as q_doc_quality_model.
+    * The tercile NTILE is a single-partition window over doc-count
+    * rows (exact, catalog-sized); at 100 TB you replace it with
+    * CCNet's actual production shape — cutoffs computed once from a
+    * sample and broadcast as constants — without touching the scorer.
+    */
+  val qLmPerplexity: Q = Q.sql(
+    "q_doc_lm_perplexity",
+    s"""WITH aux AS (
+       |  SELECT kind, term, lp FROM read_parquet('$lmAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |v AS (SELECT list(term ORDER BY term) AS vl FROM aux WHERE kind = 'v'),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    list_transform(tok, x -> CASE WHEN list_contains(v.vl, x)
+       |      THEN x ELSE '$lmUnk' END) AS tok
+       |  FROM t CROSS JOIN v WHERE len(tok) >= 2),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+       |      AS grams
+       |  FROM m),
+       |c AS (
+       |  SELECT doc_id, gram, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       |  GROUP BY doc_id, gram),
+       |sc AS (
+       |  SELECT c.doc_id, SUM(a.lp * c.c) AS s, CAST(SUM(c.c) AS BIGINT) AS np
+       |  FROM c JOIN aux a ON a.kind = 'b' AND a.term = c.gram
+       |  GROUP BY c.doc_id),
+       |e AS (
+       |  SELECT doc_id, np + 1 AS n_tokens, CAST(-s AS DOUBLE) / np AS lm_bits
+       |  FROM sc)
+       |SELECT doc_id, n_tokens, lm_bits,
+       |  CASE NTILE(3) OVER (ORDER BY lm_bits ASC, doc_id ASC)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+       |FROM e
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val vocab = lmVocab(s, d)
+    val lp = lmTable(s, d).filter(col("kind") === "b").select("term", "lp")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_bits").asc, col("doc_id").asc)
+    lmPairs(Tables.documents(s, d), vocab)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .join(broadcast(lp), col("term") === col("gram"))
+      .groupBy("doc_id")
+      .agg(sum(col("lp") * col("c")).as("s"),
+        sum(col("c")).cast(LongType).as("np"))
+      .select(col("doc_id"), (col("np") + 1).as("n_tokens"),
+        (negate(col("s")).cast(DoubleType) / col("np")).as("lm_bits"))
+      .withColumn("ppl_bucket",
+        when(ntile(3).over(w) === 1, "head")
+          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
-    qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir)
+    qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
+    qLmPerplexity)
 }

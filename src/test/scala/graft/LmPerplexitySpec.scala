@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQ
+
+/** Ground truth for the CCNet-style bigram-LM perplexity filter
+  * (q_doc_lm_perplexity, Wenzek et al. 2020): fluent text (repeated
+  * high-count bigrams) must score strictly fewer bits per token than
+  * scrambled text built from the SAME vocabulary (count-1 bigrams) —
+  * the bigram conditioning the unigram surprisal query cannot see —
+  * and the head/middle/tail cut must be balanced terciles ordered by
+  * lm_bits. The vocab cap is pinned separately: past
+  * [[TextQ.lmVocabSize]] types, rare tokens map to the UNK bucket and
+  * the published vocab rows stay exactly at the cap.
+  */
+class LmPerplexitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val fn = SparkEntry.queries("q_doc_lm_perplexity")
+
+  /** 60 docs over one 40-token vocabulary: even doc_ids repeat the
+    * fixed phrase (every adjacent bigram seen 30+ times); odd doc_ids
+    * each use a doc-specific rotation+stride walk so every one of
+    * their bigrams is globally unique. Same unigram profile, opposite
+    * bigram profile — exactly the fluent-vs-gibberish contrast the LM
+    * stage exists to detect.
+    */
+  private lazy val plantedDir: String = {
+    val words = (0 until 40).map(i => f"w$i%02d")
+    val phrase = words.take(10).mkString(" ")
+    val rows = (0 until 60).map { i =>
+      val text =
+        if (i % 2 == 0) Seq.fill(4)(phrase).mkString(" ")
+        else (0 until 40).map(j => words((7 + (i / 2) * 40 + j * (i / 2 + 3)) % 40))
+          .mkString(" ")
+      (i.toLong, text, "en", "s", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lmppl").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("fluent docs score strictly fewer bits than scrambled same-vocab docs") {
+    val out = fn(spark, plantedDir)
+      .select("doc_id", "n_tokens", "lm_bits", "ppl_bucket").collect()
+    assert(out.length == 60)
+    val bits = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val fluent = bits.filter(_._1 % 2 == 0).values
+    val scrambled = bits.filter(_._1 % 2 == 1).values
+    assert(fluent.max < scrambled.min,
+      s"fluent max ${fluent.max} !< scrambled min ${scrambled.min}")
+  }
+
+  test("head/middle/tail are balanced terciles ordered by lm_bits") {
+    val out = fn(spark, plantedDir)
+      .select("doc_id", "lm_bits", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    def maxBits(b: String) = out.filter(_._3 == b).map(_._2).max
+    def minBits(b: String) = out.filter(_._3 == b).map(_._2).min
+    assert(maxBits("head") <= minBits("middle"))
+    assert(maxBits("middle") <= minBits("tail"))
+    // fluent docs are exactly the head+part-of-middle low-bits mass;
+    // every head doc must be fluent
+    assert(out.filter(_._3 == "head").forall(_._1 % 2 == 0))
+  }
+
+  test("n_tokens matches the whitespace token count; runs are deterministic") {
+    val a = fn(spark, plantedDir).collect()
+    val b = fn(spark, plantedDir).collect()
+    assert(a.toSeq == b.toSeq)
+    val docs = graft.sources.Tables.documents(spark, plantedDir)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+"))
+        .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach(r => assert(r.getLong(1) == docs(r.getLong(0))))
+  }
+
+  test("vocab cap binds: >512 types publish exactly 512 vocab rows, UNK absorbs the tail") {
+    // 300 docs x 2 unique singleton tokens each = 600 rare types, plus
+    // one frequent anchor token per doc
+    val rows = (0 until 300).map { i =>
+      val text = s"anchor r${2 * i} r${2 * i + 1}"
+      (i.toLong, text, "en", "s", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lmcap").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = fn(spark, dir).collect()
+    assert(out.length == 300) // nothing dropped by the inner model join
+    val aux = spark.read.parquet(
+      s"${TextQ.lmAuxDir}/k${rows.map(_._5).sum}")
+    assert(aux.filter(col("kind") === "v").count() == TextQ.lmVocabSize)
+    // rare types beyond the cap score through the UNK bucket: bigrams
+    // containing the literal unk token must exist in the model table
+    assert(aux.filter(col("kind") === "b" &&
+      col("term").contains(TextQ.lmUnk)).count() > 0)
+  }
+}

@@ -373,6 +373,18 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(doc,term) counts must map-side combine before the shuffle")
   }
 
+  test("lm perplexity broadcasts the model table and pre-aggregates gram counts") {
+    val p = plan("q_doc_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model-table join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      "the lp table must never shuffle the exploded bigram stream")
+    // per-(doc,gram) counts and the per-doc Σ both map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dsir broadcasts the λ table, combines map-side, and takes ordered") {
     val p = plan("q_doc_dsir")
     assert(p.contains("BroadcastHashJoin"),

@@ -938,6 +938,22 @@ object TextQ {
       out
     }
 
+  /** Driver-side export of the trained LM for stateless broadcast use
+    * (the streaming ingest gate, StreamingDocs.curateStream): the
+    * capped vocab plus the quantized (gram → lp) rows. Bounded by the
+    * pruned bigram table — the same size envelope that already makes
+    * the batch scoring join broadcastable.
+    */
+  def lmModel(s: org.apache.spark.sql.SparkSession,
+              d: String): (Seq[String], Seq[(String, java.math.BigDecimal)]) =
+    SharedFrames.value(s, s"lm_model_rows:$d") {
+      val vocab = lmVocab(s, d)
+      val rows = lmTable(s, d).filter(col("kind") === "b")
+        .select("term", "lp").collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)).toSeq
+      (vocab, rows)
+    }
+
   /** LM PERPLEXITY filter (CCNet, Wenzek et al. 2020): score every
     * document by per-token cross-entropy under a corpus-trained
     * add-one-smoothed bigram LM over the capped vocab, then cut the

@@ -87,6 +87,46 @@ object StreamingDocs {
     }
   }
 
+  /** Per-row LM bits/token bit-identical to the batch
+    * q_doc_lm_perplexity column: capped-vocab mapping, per-occurrence
+    * exact-decimal Σ of the quantized bigram log-probs (decimal
+    * addition is exact, so per-occurrence summation equals the batch
+    * Σ lp·c grouping), ONE double conversion, one IEEE division —
+    * evaluated inside the scan (stateless, broadcast model, no
+    * shuffle). Bigrams the trained table has never seen — impossible
+    * when replaying the training corpus, routine on a live stream —
+    * score the quantized add-one floor log2(1/(V+1)), the mass a
+    * zero-count context assigns. Returns null (→ filtered) for docs
+    * with <2 tokens, which the batch query likewise excludes.
+    */
+  private def lmBitsUdf(docs: DataFrame,
+                        vocab: Seq[String],
+                        table: Seq[(String, java.math.BigDecimal)])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val sc = docs.sparkSession.sparkContext
+    val bcV = sc.broadcast(vocab.toSet)
+    val bcT = sc.broadcast(table.toMap)
+    val floor = java.math.BigDecimal.valueOf(
+      math.log(1.0 / (vocab.size + 1)) / math.log(2.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    val unk = graft.queries.TextQ.lmUnk
+    udf { toks: Seq[String] =>
+      if (toks == null || toks.size < 2) null
+      else {
+        val v = bcV.value
+        val t = bcT.value
+        val mapped = toks.map(x => if (v.contains(x)) x else unk)
+        var s = java.math.BigDecimal.ZERO
+        var i = 1
+        while (i < mapped.size) {
+          s = s.add(t.getOrElse(mapped(i - 1) + " " + mapped(i), floor))
+          i += 1
+        }
+        java.lang.Double.valueOf(s.negate.doubleValue / (mapped.size - 1))
+      }
+    }
+  }
+
   /** Curate a document stream. Input columns: doc_id, text, and
     * `ingest_ts` (TimestampType event time). Emits
     * (doc_id, ingest_ts, norm_text, n_tokens) for documents that pass
@@ -110,6 +150,15 @@ object StreamingDocs {
     * bit-identical to the batch q_doc_quality_model column, so a doc
     * admitted at ingest is exactly the doc a batch re-curation with
     * the same weight table would keep.
+    *
+    * `lmModel` (when set: the vocab + quantized gram→lp rows from
+    * [[graft.queries.TextQ.lmModel]]) adds the CCNet perplexity gate
+    * at ingest: documents scoring more than `lmMaxBits` bits/token
+    * under the batch-trained bigram LM are dropped, stateless and
+    * bit-identical to the batch q_doc_lm_perplexity column (unseen
+    * bigrams — possible only for genuinely new stream text — score
+    * the add-one floor). Docs with <2 tokens are dropped by this
+    * gate, as in the batch query.
     */
   def curateStream(docs: DataFrame,
                    minTokens: Long = PipelineQ.curateMinTokens,
@@ -117,7 +166,9 @@ object StreamingDocs {
                    watermarkDelay: String = "1 hour",
                    benchGrams: Set[String] = Set.empty,
                    modelWeights: Seq[(String, java.math.BigDecimal)] = Nil,
-                   modelThreshold: Double = 0.0): DataFrame = {
+                   modelThreshold: Double = 0.0,
+                   lmModel: Option[(Seq[String], Seq[(String, java.math.BigDecimal)])] = None,
+                   lmMaxBits: Double = Double.MaxValue): DataFrame = {
     val decon =
       if (benchGrams.isEmpty) docs
       else {
@@ -137,7 +188,13 @@ object StreamingDocs {
         val score = modelScoreUdf(docs, modelWeights)
         decon.filter(score(tokens(col("text"))) >= modelThreshold)
       }
-    val scored = clean
+    val fluent = lmModel match {
+      case None => clean
+      case Some((vocab, table)) =>
+        val bits = lmBitsUdf(docs, vocab, table)
+        clean.filter(bits(tokens(col("text"))) <= lmMaxBits)
+    }
+    val scored = fluent
       .select(col("doc_id"), col("ingest_ts"),
         PipelineQ.normText(col("text")).as("norm_text"))
       .filter(length(col("norm_text")) > 0)

@@ -121,6 +121,58 @@ class StreamingDocsSpec extends SparkSpecBase {
         s"only-batch=${(batchKeep -- streamed).toSeq.sorted.take(5)}")
   }
 
+  test("streaming LM perplexity gate admits exactly the batch under-threshold set") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    // the LmPerplexitySpec contrast: even docs repeat a fixed phrase
+    // (high-count bigrams), odd docs walk the same vocab in unique
+    // orders (count-1 bigrams) — train batch-side, gate stream-side
+    val words = (0 until 40).map(i => f"w$i%02d")
+    val phrase = words.take(10).mkString(" ")
+    // the doc-unique x$i suffix keeps every text distinct so the
+    // stream's first-arrival dedup stage can't collapse the evens
+    val fixture = (0 until 60).map { i =>
+      val text =
+        if (i % 2 == 0) Seq.fill(4)(phrase).mkString(" ") + s" x$i"
+        else (0 until 40).map(j => words((7 + (i / 2) * 40 + j * (i / 2 + 3)) % 40))
+          .mkString(" ")
+      (i.toLong, text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("slm").toString
+    fixture.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val batch = SparkEntry.queries("q_doc_lm_perplexity")(spark, dir)
+      .select("doc_id", "lm_bits").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // threshold between the two populations: admitted = exactly evens
+    val cut = (batch.filter(_._1 % 2 == 0).values.max +
+      batch.filter(_._1 % 2 == 1).values.min) / 2
+    val batchKeep = batch.filter(_._2 <= cut).keySet
+    assert(batchKeep == (0 until 60 by 2).map(_.toLong).toSet)
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val out = StreamingDocs.curateStream(
+      stream.toDF().toDF("doc_id", "text", "ts_sec")
+        .withColumn("ingest_ts", timestamp_seconds(col("ts_sec"))),
+      minTokens = 1L,
+      lmModel = Some(graft.queries.TextQ.lmModel(spark, dir)),
+      lmMaxBits = cut)
+    val q = out.writeStream.format("memory").queryName("curate_lm")
+      .outputMode("append").start()
+    try {
+      stream.addData(fixture.map { case (id, text) => (id, text, t0 + id) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curate_lm").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKeep,
+      s"stream/batch divergence: only-stream=${(streamed -- batchKeep).toSeq.sorted.take(5)} " +
+        s"only-batch=${(batchKeep -- streamed).toSeq.sorted.take(5)}")
+  }
+
   // ------------------------------------------------------------------
   // streaming curate tail: split + per-split shard packing (foreachBatch)
   // ------------------------------------------------------------------

@@ -1032,9 +1032,165 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  private[graft] val bm25AuxDir = s"${OracleAux.root}/bm25_idf"
+
+  /** BM25 query set: the first [[bm25QueryDocs]] documents stand in
+    * for a benchmark/eval query log; each query is the DISTINCT set of
+    * its first [[bm25QueryLen]] tokens. Top-[[bm25TopK]] per query.
+    */
+  val bm25QueryDocs = 5
+  val bm25QueryLen = 8
+  val bm25TopK = 10
+
+  /** Robertson–Spärck Jones IDF per query term, ln((N−df+0.5)/(df+0.5)+1),
+    * computed ONCE engine-side and quantized to DECIMAL(18,6) (engines
+    * must not both take logs — same contract as the LM table); ≤
+    * queryDocs·queryLen rows, aux-written for oracle replay. Every
+    * query term has df ≥ 1 by construction (queries are corpus docs).
+    */
+  private def bm25Idf(s: org.apache.spark.sql.SparkSession,
+                      d: String): Seq[(String, java.math.BigDecimal)] =
+    SharedFrames.value(s, s"bm25_idf:$d") {
+      val docs = Tables.documents(s, d)
+      val n = docs.count().toDouble
+      val qterms = docs.filter(col("doc_id") < bm25QueryDocs)
+        .select(explode(slice(tokens(col("text")), 1, bm25QueryLen)).as("term"))
+        .distinct()
+      val dfRows = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .distinct()
+        .join(broadcast(qterms), "term")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect()
+      val idf = dfRows.map { r =>
+        val dfv = r.getLong(1).toDouble
+        (r.getString(0), java.math.BigDecimal.valueOf(
+          math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0))
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      }.sortBy(_._1).toSeq
+      val df = s.createDataFrame(
+        java.util.Arrays.asList(
+          idf.map { case (t, v) => org.apache.spark.sql.Row(t, v) }: _*),
+        StructType(Seq(
+          StructField("term", StringType, nullable = false),
+          StructField("idf", DecimalType(18, 6), nullable = false))))
+      OracleAux.write(df, bm25AuxDir, docsKey(docs))
+      idf
+    }
+
+  /** BM25 top-k retrieval (Robertson et al., Okapi): rank every corpus
+    * document against each query by Σ over matched terms of
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2, b=0.75 — the
+    * retrieval stage a training-data pipeline runs for
+    * decontamination candidate lookup and eval-set attribution.
+    * DETERMINISM: idf is quantized engine-side (aux replay); the
+    * saturation fraction is INTEGERIZED — multiplying through by 10·S
+    * (S = Σdl, N = doc count) turns tf·2.2/(tf+1.2·(0.25+0.75·dl·N/S))
+    * into (22·S·tf)/(10·S·tf + 3·S + 9·N·dl), exact int64 on both
+    * engines — so each term score is ONE double multiply and ONE
+    * divide (both correctly rounded; no a·b+c pattern a C++ build can
+    * contract to FMA — mirroring the float expression op-for-op was
+    * measurably 1-ULP off because DuckDB fuses where the JVM cannot);
+    * and the per-document Σ is an ORDER-PINNED left fold over
+    * term-ascending scores (a plain SUM over doubles would be
+    * partition-order-dependent). Ties → doc_id. The int64 products
+    * bound S·tf to ~4·10^17; past that (extreme corpora) the same
+    * expressions go DECIMAL(38,0) unchanged.
+    *
+    * Scale shape: the ≤40-row query-term set broadcasts into the
+    * (doc, term) tf aggregate — only matching postings survive the
+    * shuffle (inverted-index selectivity: scored rows ∝ matches, not
+    * corpus); dl rides a doc-keyed join; the rank window partitions
+    * by query id (parallel across queries, top-k within); avgdl is
+    * one scalar aggregate broadcast as a literal. No global sort
+    * until the final catalog ORDER BY.
+    */
+  val qBm25: Q = Q.sql(
+    "q_doc_bm25",
+    s"""WITH idf AS (
+       |  SELECT term, idf FROM read_parquet('$bm25AuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+       |a AS (SELECT CAST(SUM(dl) AS BIGINT) AS s,
+       |             CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+       |  GROUP BY doc_id, term),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS qid, term
+       |  FROM (SELECT doc_id, unnest(tok[1:$bm25QueryLen]) AS term
+       |        FROM t WHERE doc_id < $bm25QueryDocs)),
+       |sc AS (
+       |  SELECT q.qid, tf.doc_id, q.term,
+       |    (CAST(i.idf AS DOUBLE) * CAST(22 * a.s * tf.tf AS DOUBLE)) /
+       |      CAST(10 * a.s * tf.tf + 3 * a.s + 9 * a.n * dl.dl AS DOUBLE) AS sc
+       |  FROM tf
+       |  JOIN q ON q.term = tf.term
+       |  JOIN idf i ON i.term = tf.term
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN a),
+       |g AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(sc ORDER BY term ASC)), (x, y) -> x + y) AS bm25,
+       |    CAST(COUNT(*) AS BIGINT) AS n_match
+       |  FROM sc GROUP BY qid, doc_id),
+       |r AS (
+       |  SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rnk,
+       |    doc_id, n_match, bm25
+       |  FROM g)
+       |SELECT qid, rnk, doc_id, n_match, bm25 FROM r
+       |WHERE rnk <= $bm25TopK
+       |ORDER BY qid ASC, rnk ASC""".stripMargin) { (s, d) =>
+    val idf = bm25Idf(s, d)
+    val idfDf = {
+      import s.implicits._
+      idf.map { case (t, v) => (t, scala.math.BigDecimal(v)) }
+        .toDF("term", "idf")
+        .select(col("term"), col("idf").cast(DecimalType(18, 6)).as("idf"))
+    }
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tok"))
+    val dl = toks.select(col("doc_id"), size(col("tok")).cast(LongType).as("dl"))
+    val st = dl.agg(sum(col("dl")), count(lit(1))).head()
+    val s0 = st.getLong(0)
+    val n0 = st.getLong(1)
+    val tf = toks.select(col("doc_id"), explode(col("tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val qt = docs.filter(col("doc_id") < bm25QueryDocs)
+      .select(col("doc_id").as("qid"),
+        explode(slice(tokens(col("text")), 1, bm25QueryLen)).as("term"))
+      .distinct()
+    val sc = (col("idf").cast(DoubleType) *
+      (lit(22L * s0) * col("tf")).cast(DoubleType)) /
+      (lit(10L * s0) * col("tf") + lit(3L * s0) + lit(9L * n0) * col("dl"))
+        .cast(DoubleType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(idfDf), "term")
+      .join(dl, "doc_id")
+      .select(col("qid"), col("doc_id"), col("term"), sc.as("sc"))
+      .groupBy("qid", "doc_id")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("sc")))),
+          lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
+        count(lit(1)).cast(LongType).as("n_match"))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= bm25TopK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("bm25"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
-    qLmPerplexity)
+    qLmPerplexity, qBm25)
 }

@@ -385,6 +385,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bm25 broadcasts query terms and idf — postings shuffle, corpus doesn't") {
+    val p = plan("q_doc_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"query-term and idf joins must both broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("term")),
+      "the term joins must never shuffle the exploded token stream")
+    assert(!p.contains("CartesianProduct"), p)
+    // the rank window partitions by qid — parallel across queries
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("qid")), p)
+  }
+
   test("dsir broadcasts the λ table, combines map-side, and takes ordered") {
     val p = plan("q_doc_dsir")
     assert(p.contains("BroadcastHashJoin"),

@@ -862,14 +862,22 @@ object TextQ {
   val lmVocabSize = 512
   val lmUnk = "<unk>"
 
-  /** Capped-vocab token mapping shared by LM training and scoring:
-    * membership against the driver-collected vocab literal, inside the
-    * scan — no shuffle, no per-token join.
+  /** Capped-vocab token mapping shared by LM training and scoring: an
+    * O(1) broadcast hash-set lookup per token, one UDF call per row
+    * over the whole array — no shuffle, no per-token join. (The
+    * codegen'd `array_contains(literal, t)` alternative is a linear
+    * V-wide scan per token: measured 12.6x slower for 10x data at sf1
+    * — the set lookup is worth losing whole-stage codegen for this
+    * one projection.)
     */
-  private def lmMap(tok: org.apache.spark.sql.Column,
-                    vocab: Seq[String]): org.apache.spark.sql.Column =
-    transform(tok, t =>
-      when(array_contains(typedLit(vocab), t), t).otherwise(lit(lmUnk)))
+  private def lmMapUdf(docs: DataFrame, vocab: Seq[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab.toSet)
+    udf { toks: Seq[String] =>
+      if (toks == null) null
+      else toks.map(t => if (bc.value.contains(t)) t else lmUnk)
+    }
+  }
 
   /** doc_id → mapped adjacent-bigram strings ("u w"; whitespace tokens
     * cannot contain the separator) over docs with ≥2 tokens — the
@@ -879,7 +887,7 @@ object TextQ {
     docs
       .withColumn("tok", tokens(col("text")))
       .filter(size(col("tok")) >= 2)
-      .withColumn("tok", lmMap(col("tok"), vocab))
+      .withColumn("tok", lmMapUdf(docs, vocab)(col("tok")))
       .select(col("doc_id"),
         explode(zip_with(
           slice(col("tok"), lit(1), size(col("tok")) - 1),

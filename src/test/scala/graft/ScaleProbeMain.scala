@@ -145,6 +145,20 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_quality_model")(spark, bigDir).count()
     }
 
+    // --- round-5 coda: importance / LM / retrieval at 10x --------------
+    // (dsir and lm_perplexity are train-once-score-distributed like the
+    // quality model; bm25's scored rows grow with query-term matches —
+    // on the 10x corpus postings are 10x but the query set is fixed)
+    time("dsir_10x(train+score)") {
+      SparkEntry.queries("q_doc_dsir")(spark, bigDir).count()
+    }
+    time("lm_perplexity_10x(train+score)") {
+      SparkEntry.queries("q_doc_lm_perplexity")(spark, bigDir).count()
+    }
+    time("bm25_10x(idf+retrieve)") {
+      SparkEntry.queries("q_doc_bm25")(spark, bigDir).count()
+    }
+
     // --- distributed k-means at the SemDeDup paper regime --------------
     // k=20k is 5x past singleNodeKCap: the whole train must run as
     // DataFrame jobs (k-means|| init + Lloyd), no driver clustering

@@ -172,7 +172,7 @@ object TextFunctions {
   // Language ID — character/stopword n-gram heuristic (public method:
   // Cavnar & Trenkle n-gram profiles, reduced to marker tables).
   // ---------------------------------------------------------------------
-  private val langMarkers: Map[String, Set[String]] = Map(
+  private[graft] val langMarkers: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "it", "with"),
     "es" -> Set("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
     "fr" -> Set("le", "les", "des", "une", "est", "dans", "pour", "qui", "pas", "sur"),

@@ -431,11 +431,76 @@ object TextQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Language ID (n-gram/stopword heuristic) — rows-only + spec. */
-  val qLangId: Q = Q.rowsOnly("q_doc_langid") { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang").as("lang_meta"),
-        langId(col("text")).as("lang_pred"))
+  /** The marker table as SQL VALUES rows, from the ONE definition in
+    * TextFunctions — the oracle and the engine can never drift.
+    */
+  private def langMarkerValues: String =
+    graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1).flatMap {
+      case (lang, markers) => markers.toSeq.sorted.map(m => s"('$lang','$m')")
+    }.mkString(", ")
+
+  /** Language ID — the [[graft.functions.TextFunctions.langId]]
+    * heuristic re-expressed RELATIONALLY so DuckDB can replay it
+    * (flipped from rows-only in round 5): tokens join the 40-row
+    * marker table (broadcast), per-(doc, lang) hit counts aggregate
+    * map-side, and `max(struct(n, lang))` picks the winner with the
+    * UDF's exact tie-break (ties → lexicographically greatest lang,
+    * the `maxBy` tuple ordering). The CJK branch counts Han-script
+    * chars with a regex — Java `\p{IsHan}` and RE2 `\p{Han}` name the
+    * same Unicode script property. No-hit and empty docs → "und".
+    * LangIdSpec pins relational == UDF on the corpus AND on real
+    * multilingual fixture text.
+    *
+    * Scale shape: marker join broadcasts; hit counts combine map-side
+    * before the doc-keyed shuffle; the Han count fuses into the scan.
+    * Same plan class as q_doc_quality_model scoring.
+    */
+  val qLangId: Q = Q.sql(
+    "q_doc_langid",
+    s"""WITH m(lang, marker) AS (VALUES $langMarkerValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |hits AS (
+       |  SELECT t.doc_id, m.lang, COUNT(*) AS n
+       |  FROM tok t JOIN m ON m.marker = t.tok GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang DESC) AS rn
+       |  FROM hits),
+       |d AS (
+       |  SELECT doc_id, lang AS lang_meta, text,
+       |    length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS han
+       |  FROM documents)
+       |SELECT d.doc_id, d.lang_meta,
+       |  CASE WHEN d.text IS NULL OR d.text = '' THEN 'und'
+       |       WHEN d.han * 10 >= length(d.text) THEN 'zh'
+       |       WHEN b.lang IS NULL THEN 'und'
+       |       ELSE b.lang END AS lang_pred
+       |FROM d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY d.doc_id ASC""".stripMargin) { (s, d) =>
+    val mdf = {
+      import s.implicits._
+      graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1).flatMap {
+        case (lang, markers) => markers.toSeq.sorted.map(m => (lang, m))
+      }.toDF("lang", "marker")
+    }
+    val docs = Tables.documents(s, d)
+    val best = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(mdf), col("tok") === col("marker"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(struct(col("n"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("hit_lang"))
+    val hanCnt =
+      length(col("text")) - length(regexp_replace(col("text"), "\\p{IsHan}", ""))
+    docs.select(col("doc_id"), col("lang").as("lang_meta"), col("text"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_meta"),
+        when(col("text").isNull || length(col("text")) === 0, lit("und"))
+          .when(hanCnt * lit(10) >= length(col("text")), lit("zh"))
+          .when(col("hit_lang").isNull, lit("und"))
+          .otherwise(col("hit_lang")).as("lang_pred"))
       .orderBy(col("doc_id").asc)
   }
 

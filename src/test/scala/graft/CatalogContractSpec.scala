@@ -16,9 +16,9 @@ class CatalogContractSpec extends AnyFunSuite {
     // q_doc_fingerprint's output IS the signature — materializing it
     // for a replay would make the oracle read back its own answer, so
     // it stays rows-only with the golden-window spec as ground truth.
-    // langid/compress_ratio need kernels DuckDB lacks (char-ngram
-    // model, deflate); sketches are approximate by definition.
-    "q_doc_langid" -> "graft.LangIdSpec",
+    // compress_ratio needs a kernel DuckDB lacks (deflate); sketches
+    // are approximate by definition. (langid flipped to hash-verified
+    // in round 5: the marker-table heuristic is fully relational.)
     "q_doc_compress_ratio" -> "graft.TextFunctionsSpec",
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
     "q_events_sketch_stats" -> "graft.SketchSpec",

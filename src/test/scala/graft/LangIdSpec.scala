@@ -52,6 +52,36 @@ class LangIdSpec extends SparkSpecBase {
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
   }
 
+  test("relational q_doc_langid matches the langId UDF on corpus and multilingual fixtures") {
+    // The catalog query re-expresses the UDF heuristic relationally so
+    // DuckDB can replay it; this pins the two forms identical — on the
+    // corpus AND on text that exercises every branch (marker argmax,
+    // tie-break, CJK ratio, no-hit und).
+    val fixtures = Seq(
+      (900001L, "xx", "the committee and the council agreed that it is in the interest of the public"),
+      (900002L, "xx", "el gobierno de la ciudad aprobó los presupuestos para las escuelas"),
+      (900003L, "xx", "le conseil municipal est dans une situation difficile pour les écoles"),
+      (900004L, "xx", "der rat der stadt ist mit der planung nicht zufrieden"),
+      (900005L, "xx", "纽约市议会批准了新的预算计划 市长表示支持 社区居民参加了听证会"),
+      (900006L, "xx", ""),
+      (900007L, "xx", "xyzzy plugh 12345"),
+      (900008L, "xx", "la und the de der le"), // 1-1-1-1 tie → lexicographically greatest
+      (900009L, "xx", "  the   \t of\nthe  ")) // ragged whitespace
+    val fixDir = java.nio.file.Files.createTempDirectory("langid_fix").toString
+    fixtures.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("fix")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    for (dir <- Seq(sfDir, fixDir)) {
+      val rel = SparkEntry.queries("q_doc_langid")(spark, dir)
+        .select(col("doc_id"), col("lang_pred")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaUdf = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), langId(col("text")).as("p")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rel == viaUdf, s"relational != UDF on $dir")
+    }
+  }
+
   test("q_doc_langid is deterministic and stays in the known label domain") {
     val a = SparkEntry.queries("q_doc_langid")(spark, sfDir).collect()
     val b = SparkEntry.queries("q_doc_langid")(spark, sfDir).collect()

@@ -1148,7 +1148,82 @@ object SimilarityQ {
     topKPerQuery(scored)
   }
 
+  private[graft] val pcaAuxDir = s"${OracleAux.root}/pca_model"
+
+  /** Memoized PCA fit + oracle-aux publish: one row per kept component
+    * (axis, duplicated mean, eigenvalue, trace), all DOUBLE — binary64
+    * round-trips parquet exactly, so DuckDB replays the projection
+    * arithmetic bit-identically (same pattern as the IVF centroid and
+    * PQ codebook replays).
+    */
+  private def pcaModel(s: org.apache.spark.sql.SparkSession,
+                       d: String): graft.functions.Pca.Model =
+    SharedFrames.value(s, s"pca_model:$d") {
+      val emb = Tables.embeddings(s, d)
+      val m = graft.functions.Pca.fit(emb)
+      import s.implicits._
+      val df = m.components.zipWithIndex.map { case (w, i) =>
+        (i, w.toSeq, m.mean.toSeq, m.eigenvalues(i), m.totalVariance)
+      }.toSeq.toDF("comp", "w", "mu", "eigval", "total_var")
+      OracleAux.write(df, pcaAuxDir, corpusKey(emb))
+      m
+    }
+
+  /** Distributed PCA projection + whitening ([[graft.functions.Pca]]):
+    * each vector's coordinate along the top-8 principal axes of the
+    * corpus covariance, and the variance-normalized (whitened) form —
+    * the standard preprocessing for embedding dedup/clustering (e.g.
+    * SemDeDup §3 normalizes embeddings before clustering) and the
+    * diagnostic projection for corpus visualization.
+    *
+    * ORACLE REPLAY: the model publishes as DOUBLE arrays; coord is an
+    * order-pinned left fold over i of (x_i − μ_i)·w_i — engine
+    * `aggregate(..., 0D, +)` vs DuckDB `list_reduce(list_prepend(0.0,
+    * …))` fold the identical operand sequence, so coords (and the
+    * IEEE sqrt/divide whitening) are bit-identical.
+    *
+    * Scale shape: fitting is one mapPartitions pass (33 KB partials)
+    * + a driver-side 64×64 eigensolve; the projection broadcasts the
+    * 8-row model and fuses into the scan — no shuffle except the
+    * final presentation sort.
+    */
+  val qEmbPca: Q = Q.sql(
+    "q_emb_pca",
+    s"""WITH m AS (
+       |  SELECT comp, w, mu, eigval
+       |  FROM read_parquet('$pcaAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |proj AS (
+       |  SELECT e.vec_id, m.comp, m.eigval,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - m.mu[i]) * m.w[i])),
+       |      (x, y) -> x + y) AS coord
+       |  FROM embeddings e CROSS JOIN m)
+       |SELECT vec_id, comp, coord,
+       |  CASE WHEN sqrt(eigval) = 0 THEN NULL
+       |       ELSE coord / sqrt(eigval) END AS whitened
+       |FROM proj
+       |ORDER BY vec_id ASC, comp ASC""".stripMargin) { (s, d) =>
+    val m = pcaModel(s, d)
+    import s.implicits._
+    val model = m.components.zipWithIndex.map { case (w, i) =>
+      (i, w.toSeq, m.mean.toSeq, m.eigenvalues(i))
+    }.toSeq.toDF("comp", "w", "mu", "eigval")
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(model))
+      .withColumn("coord", expr(
+        """aggregate(
+          |  transform(sequence(0, 63),
+          |    i -> (CAST(embedding[i] AS DOUBLE) - mu[i]) * w[i]),
+          |  0D, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("vec_id"), col("comp"), col("coord"),
+        when(sqrt(col("eigval")) === 0.0, lit(null).cast(DoubleType))
+          .otherwise(col("coord") / sqrt(col("eigval"))).as("whitened"))
+      .orderBy(col("vec_id").asc, col("comp").asc)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance)
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
+    qEmbPca)
 }

@@ -418,4 +418,17 @@ class PlanAuditSpec extends SparkSpecBase {
       "multi-distinct aggregate should plan one Expand pass")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pca projection broadcasts the 8-row model into the scan — no pre-sort shuffle") {
+    val p = plan("q_emb_pca")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"model cross join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only shuffle Exchange is the final presentation sort's range
+    // partitioning (BroadcastExchange is the model broadcast itself)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"projection must fuse into the scan; found:\n${exchanges.mkString("\n")}")
+  }
 }

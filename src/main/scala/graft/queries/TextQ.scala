@@ -1261,9 +1261,121 @@ object TextQ {
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
+  // -------------------------------------------------------------------
+  // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+  // -------------------------------------------------------------------
+
+  val cmsDepth = 4
+  /** Hex chars of the salted md5 prefix → 16^len buckets per row. */
+  val cmsPrefixLen = 3
+  /** Survivor threshold = ⌈total gram occurrences / divisor⌉. */
+  val cmsThresholdDivisor = 1000L
+
+  private def cmsBucket(r: Int, gram: org.apache.spark.sql.Column,
+                        prefixLen: Int): org.apache.spark.sql.Column =
+    substring(md5(concat(lit(s"$r:"), gram)), 1, prefixLen)
+
+  /** Adjacent-bigram stream of a token array — the same slice/zip_with
+    * shape as dsirGrams' bigram half, so the oracle's
+    * `tok[i] || ' ' || tok[i+1]` multiset matches exactly.
+    */
+  private def bigramCol(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(
+      slice(tok, lit(1), size(tok) - 1),
+      slice(tok, lit(2), size(tok) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** The CMS heavy-hitter kernel over any (doc_id, text) frame,
+    * parameterized so the spec can force collisions with a tiny width.
+    *
+    * Pass 1 (sketch): every bigram occurrence increments `depth`
+    * salted-hash cells; the groupBy materializes only NONEMPTY cells
+    * (≤ depth·16^prefixLen rows — a fixed-size, mergeable sketch) and
+    * collects them to the driver: the CMS is the bounded summary that
+    * replaces a corpus-cardinality exact count.
+    *
+    * Pass 2 (filter + exact): each occurrence's estimate
+    * (min over rows of its cell count, the CMS point query) evaluates
+    * against literal maps IN THE SCAN — no join — and only occurrences
+    * of candidate-heavy grams (est ≥ threshold; CMS guarantees NO
+    * FALSE NEGATIVES) reach the exact groupBy, so the exact-count
+    * shuffle is ∝ heavy occurrences, not corpus grams. At 100 TB the
+    * literal maps become a broadcast variable feeding a native
+    * expression; the shape is identical.
+    */
+  def cmsTopGrams(docs: DataFrame, depth: Int, prefixLen: Int,
+                  divisor: Long): DataFrame = {
+    val tok = tokens(col("text"))
+    val occ = docs.filter(size(tok) >= 2)
+      .select(explode(bigramCol(tok)).as("gram"))
+    val sketch = occ
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(r, col("gram"), prefixLen)): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      .collect().map(row => (row.getInt(0), row.getString(1)) -> row.getLong(2))
+      .toMap
+    // total stream mass = sum of any one row's cells (row 0)
+    val n = sketch.collect { case ((0, _), c) => c }.sum
+    val threshold = (n + divisor - 1) / divisor
+    val maps = (0 until depth).map { r =>
+      val entries = sketch.collect { case ((`r`, b), c) => (b, c) }.toSeq.sortBy(_._1)
+      map_from_arrays(
+        typedLit(entries.map(_._1)), typedLit(entries.map(_._2)))
+    }
+    val est = least((0 until depth).map(r =>
+      coalesce(element_at(maps(r), cmsBucket(r, col("gram"), prefixLen)),
+        lit(0L))): _*)
+    occ.withColumn("est", est)
+      .filter(col("est") >= threshold)
+      .groupBy("gram").agg(min(col("est")).as("est"), count(lit(1)).as("n"))
+      .select(col("gram"), col("est"), col("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+  }
+
+  /** Heavy-hitter bigrams via count-min sketch: the bounded-memory
+    * frequent-pattern scan a 100 TB pipeline runs where an exact
+    * gram count would shuffle billions of keys (boilerplate detection,
+    * stop-phrase mining, dedup-candidate seeding). Survivors are the
+    * grams whose CMS estimate clears ⌈N/$cmsThresholdDivisor⌉;
+    * output carries the (over-)estimate next to the exact count so the
+    * false-positive margin is visible. ORACLE REPLAY: the salted-md5
+    * cells, the min-of-rows point query, and the integer threshold are
+    * all relational — DuckDB rebuilds the identical sketch (no aux
+    * table needed).
+    */
+  val qCmsTopGrams: Q = Q.sql(
+    "q_doc_cms_topgrams",
+    s"""WITH t AS (
+       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  FROM documents),
+       |occ AS (
+       |  SELECT tok[u.i] || ' ' || tok[u.i+1] AS gram
+       |  FROM t, unnest(range(1, len(tok))) AS u(i)
+       |  WHERE len(tok) >= 2),
+       |nt AS (SELECT COUNT(*) AS n FROM occ),
+       |cells AS (
+       |  SELECT r.r, substring(md5(CAST(r.r AS VARCHAR) || ':' || gram), 1, $cmsPrefixLen) AS b,
+       |    COUNT(*) AS c
+       |  FROM occ CROSS JOIN range(0, $cmsDepth) r(r)
+       |  GROUP BY 1, 2),
+       |g AS (SELECT gram, COUNT(*) AS n FROM occ GROUP BY gram),
+       |est AS (
+       |  SELECT g.gram, g.n, MIN(c.c) AS est
+       |  FROM g CROSS JOIN range(0, $cmsDepth) r(r)
+       |  JOIN cells c ON c.r = r.r
+       |    AND c.b = substring(md5(CAST(r.r AS VARCHAR) || ':' || g.gram), 1, $cmsPrefixLen)
+       |  GROUP BY g.gram, g.n)
+       |SELECT est.gram, est.est, est.n
+       |FROM est, nt
+       |WHERE est.est >= (nt.n + ${cmsThresholdDivisor - 1}) // $cmsThresholdDivisor
+       |ORDER BY est.n DESC, est.gram ASC""".stripMargin) { (s, d) =>
+    cmsTopGrams(Tables.documents(s, d), cmsDepth, cmsPrefixLen,
+      cmsThresholdDivisor)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
-    qLmPerplexity, qBm25)
+    qLmPerplexity, qBm25, qCmsTopGrams)
 }

@@ -419,6 +419,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cms filter pass evaluates the sketch in the scan — no join, partial exact count") {
+    val p = plan("q_doc_cms_topgrams")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the literal-map point query must not plan a join:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "survivor exact counts must map-side combine before the gram shuffle")
+  }
+
   test("pca projection broadcasts the 8-row model into the scan — no pre-sort shuffle") {
     val p = plan("q_emb_pca")
     assert(p.contains("BroadcastNestedLoopJoin"),

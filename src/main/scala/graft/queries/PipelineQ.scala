@@ -1588,6 +1588,67 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** TEMPERATURE-scaled mixture sampling (the mT5/multilingual-C4
+    * recipe, Xue et al. 2021 §3.1: sample domain s ∝ p_s^α) at
+    * α = 0.5 — between q_doc_mix_balance's full flattening (α→0 on
+    * char mass) and no rebalancing (α=1): over-represented sources
+    * down-sample toward √-share, rare sources keep everything. The
+    * output budget is half the corpus; keep rate_s =
+    * min(1, B·√n_s / (Σ√n · n_s)), realized by the same deterministic
+    * md5(doc_id) hash cut as the stratified sampler, so the survivor
+    * set is reproducible in any engine at any partitioning.
+    *
+    * α = 0.5 specifically because sqrt is CORRECTLY-ROUNDED IEEE in
+    * both engines — the rate doubles replay bit-identically (a general
+    * pow(p, α) is libm-dependent and would need the quantized-decimal
+    * aux pattern instead). Σ√n is an order-pinned fold over sources
+    * sorted lexicographically (≤ #sources terms, driver-side).
+    *
+    * Scale shape: one map-side-combined count per source (≤ #sources
+    * rows collected), the rate table broadcasts back, and the cut
+    * runs in the scan — the whole rebalance costs one aggregation
+    * pass + one filtered scan, no corpus shuffle.
+    */
+  val qTemperatureMix: Q = Q.sql(
+    "q_doc_temperature_mix",
+    """WITH stats AS (
+      |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS DOUBLE) AS nd,
+      |    list_reduce(
+      |      list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY source ASC)),
+      |      (x, y) -> x + y) AS ssum
+      |  FROM stats),
+      |rates AS (
+      |  SELECT source,
+      |    LEAST(1.0, (sqrt(CAST(n AS DOUBLE)) * (nd * 0.5))
+      |      / (ssum * CAST(n AS DOUBLE))) AS rate
+      |  FROM stats CROSS JOIN tot)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN rates r USING (source)
+      |WHERE r.rate >= 1.0
+      |   OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |      lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nd = stats.map(_._2).sum.toDouble
+    var ssum = 0.0 // fold in source order, 0-initialized — mirrors the oracle's pinned list fold
+    stats.foreach { case (_, n) => ssum += math.sqrt(n.toDouble) }
+    val rates = stats.map { case (src, n) =>
+      val nD = n.toDouble
+      (src, math.min(1.0, (math.sqrt(nD) * (nd * 0.5)) / (ssum * nD)))
+    }.toSeq
+    import s.implicits._
+    docs.join(broadcast(rates.toDF("source", "rate")), "source")
+      .filter(col("rate") >= 1.0 ||
+        docHashPrefix <
+          lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast(LongType))), 8, "0"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // -------------------------------------------------------------------
   // Incremental dedup (new crawl batch vs existing corpus)
   // -------------------------------------------------------------------
@@ -1754,5 +1815,6 @@ object PipelineQ {
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qIncrementalDedup, qSnapshotDiff, qCorpusProfile, qQualityCut)
+    qMixBalance, qTemperatureMix, qIncrementalDedup, qSnapshotDiff,
+    qCorpusProfile, qQualityCut)
 }

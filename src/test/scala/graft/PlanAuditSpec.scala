@@ -419,6 +419,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("temperature mix broadcasts the rate table — the cut runs in the scan") {
+    val p = plan("q_doc_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("cms filter pass evaluates the sketch in the scan — no join, partial exact count") {
     val p = plan("q_doc_cms_topgrams")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&

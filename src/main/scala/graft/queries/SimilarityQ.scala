@@ -1222,8 +1222,70 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc, col("comp").asc)
   }
 
+  /** Embedding OUTLIER detection via the fitted PCA model: each
+    * vector's Mahalanobis-style score Σ_c whitened_c² over the top-8
+    * axes (χ²₈-distributed under a Gaussian corpus) ranks how far it
+    * sits from the corpus distribution — the triage list for corrupt
+    * embeddings, mislabeled modalities, and off-distribution content
+    * before they poison dedup/clustering. Top-100 by (score desc,
+    * vec_id asc).
+    *
+    * ORACLE REPLAY: the whitened coords replay exactly as in
+    * [[qEmbPca]]; the per-vector score is an order-pinned fold over
+    * comp (engine: foldLeft over the 8 squared terms from lit(0.0);
+    * DuckDB: list_reduce over list(wh² ORDER BY comp) prepended with
+    * 0.0) — bit-identical, and both engines NULL the degenerate
+    * zero-eigenvalue case.
+    *
+    * Scale shape: the model rides as literals — the whole score
+    * computes IN THE SCAN with no join and no shuffle; top-100 lowers
+    * to TakeOrderedAndProject.
+    */
+  val qEmbOutliers: Q = Q.sql(
+    "q_emb_outliers",
+    s"""WITH m AS (
+       |  SELECT comp, w, mu, eigval
+       |  FROM read_parquet('$pcaAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |proj AS (
+       |  SELECT e.vec_id, e.label, m.comp,
+       |    CASE WHEN sqrt(m.eigval) = 0 THEN NULL ELSE
+       |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |          i -> (CAST(e.embedding[i] AS DOUBLE) - m.mu[i]) * m.w[i])),
+       |        (x, y) -> x + y) / sqrt(m.eigval)
+       |    END AS wh
+       |  FROM embeddings e CROSS JOIN m),
+       |score AS (
+       |  SELECT vec_id, label,
+       |    list_reduce(list_prepend(0.0, list(wh * wh ORDER BY comp ASC)),
+       |      (x, y) -> x + y) AS score
+       |  FROM proj GROUP BY vec_id, label)
+       |SELECT vec_id, label, score FROM score
+       |ORDER BY score DESC, vec_id ASC LIMIT 100""".stripMargin) { (s, d) =>
+    val m = pcaModel(s, d)
+    val muLit = typedLit(m.mean.toSeq)
+    val terms = (0 until graft.functions.Pca.kComponents).map { c =>
+      val wLit = typedLit(m.components(c).toSeq)
+      val coord = aggregate(
+        transform(sequence(lit(0), lit(63)), i =>
+          (element_at(col("embedding"), i + 1).cast(DoubleType) -
+            element_at(muLit, i + 1)) * element_at(wLit, i + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      val rootEig = math.sqrt(m.eigenvalues(c))
+      val wh =
+        if (rootEig == 0.0) lit(null).cast(DoubleType)
+        else coord / lit(rootEig)
+      wh * wh
+    }
+    val score = terms.foldLeft(lit(0.0))(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), score.as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
-    qEmbPca)
+    qEmbPca, qEmbOutliers)
 }

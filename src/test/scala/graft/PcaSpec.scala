@@ -121,6 +121,32 @@ class PcaSpec extends SparkSpecBase {
     }
   }
 
+  test("q_emb_outliers surfaces a planted far-out vector at rank 1") {
+    // amplify one vector far along the planted major axis, rewrite the
+    // fixture, and the outlier list must lead with it
+    val rnd = new java.util.Random(42)
+    val u = Array.tabulate(d)(i => if (i == 3) 0.8 else if (i == 17) 0.6 else 0.0)
+    val w = Array.tabulate(d)(i => if (i == 3) -0.6 else if (i == 17) 0.8 else 0.0)
+    val rows = (0 until 400).map { id =>
+      val a = 3.0 * rnd.nextGaussian()
+      val b = 1.0 * rnd.nextGaussian()
+      val boost = if (id == 123) 30.0 else 1.0
+      val vec = Array.tabulate(d) { i =>
+        (boost * a * u(i) + b * w(i) + 0.01 * (rnd.nextDouble() - 0.5)).toFloat
+      }
+      (id.toLong, vec.toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca_out_fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_emb_outliers")(spark, dir).collect()
+    assert(out.length == 100)
+    assert(out.head.getLong(0) == 123L,
+      s"planted outlier not at rank 1: ${out.take(3).mkString(", ")}")
+    assert(out.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)),
+      "scores not descending")
+  }
+
   test("q_emb_pca on the corpus: full coverage, deterministic, k rows per vector") {
     val rows = SparkEntry.queries("q_emb_pca")(spark, sfDir).collect()
     val nVec = graft.sources.Tables.embeddings(spark, sfDir).count()

@@ -435,6 +435,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "survivor exact counts must map-side combine before the gram shuffle")
   }
 
+  test("embedding outlier score computes in the scan and lowers to TakeOrderedAndProject") {
+    val p = plan("q_emb_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(6).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"literal-model scoring must be join- and shuffle-free:\n${p.linesIterator.take(10).mkString("\n")}")
+  }
+
   test("pca projection broadcasts the 8-row model into the scan — no pre-sort shuffle") {
     val p = plan("q_emb_pca")
     assert(p.contains("BroadcastNestedLoopJoin"),

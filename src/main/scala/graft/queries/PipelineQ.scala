@@ -204,6 +204,60 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-SOURCE duplication diagnostics over the shared near-dup
+    * component table — the observability rollup a crawl operator reads
+    * before deciding which feeds to throttle: how much of each source
+    * is involved in near-dup clusters (docs in comp are in a ≥2
+    * cluster by construction — membership requires an edge), and the
+    * largest cluster touching the source (boilerplate hubs show up
+    * here first). dup_frac is an IEEE divide of exact integer counts.
+    *
+    * Scale shape: consumes the ONE memoized component table
+    * (SharedFrames — computed for q_doc_dup_clusters/_cluster_rep and
+    * reused here at zero cost), joins it keys-only against (doc_id,
+    * source), and rolls up to ≤ #sources rows.
+    */
+  val qDupStats: Q = Q.sql(
+    "q_doc_dup_stats",
+    s"""${TextQ.jaccardPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |csizes AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id),
+       |dup AS (
+       |  SELECT d.source, COUNT(*) AS dup_docs, MAX(s.n) AS max_cluster
+       |  FROM comp c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN csizes s ON s.cluster_id = c.cluster_id
+       |  GROUP BY d.source),
+       |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(dup.dup_docs, 0) AS BIGINT) AS dup_docs,
+       |  CAST(COALESCE(dup.dup_docs, 0) AS DOUBLE) / t.n_docs AS dup_frac,
+       |  CAST(COALESCE(dup.max_cluster, 0) AS BIGINT) AS max_cluster
+       |FROM tot t LEFT JOIN dup USING (source)
+       |ORDER BY t.source ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val comp = dupComponents(s, d)
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("n"))
+    val dup = comp.join(docs, "doc_id").join(sizes, "cluster_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("dup_docs"), max(col("n")).as("max_cluster"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("dup_docs"), lit(0L)).cast(DoubleType)
+          / col("n_docs").cast(DoubleType) as "dup_frac",
+        coalesce(col("max_cluster"), lit(0L)).as("max_cluster"))
+      .orderBy(col("source").asc)
+  }
+
   // -------------------------------------------------------------------
   // Token-budget shard packing
   // -------------------------------------------------------------------
@@ -1816,5 +1870,5 @@ object PipelineQ {
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qIncrementalDedup, qSnapshotDiff,
-    qCorpusProfile, qQualityCut)
+    qCorpusProfile, qQualityCut, qDupStats)
 }

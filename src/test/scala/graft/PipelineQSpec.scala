@@ -86,6 +86,28 @@ class PipelineQSpec extends SparkSpecBase {
     }
   }
 
+  test("q_doc_dup_stats rolls the component table up by source, consistent with dup_clusters") {
+    val stats = SparkEntry.queries("q_doc_dup_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val clusters = SparkEntry.queries("q_doc_dup_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every source appears; totals cover the corpus
+    assert(stats.values.map(_._1).sum == srcOf.size)
+    // dup_docs and max_cluster recompute from the cluster table
+    val bySrc = clusters.keys.groupBy(srcOf)
+    stats.foreach { case (src, (n, dup, frac, maxc)) =>
+      val expected = bySrc.get(src).map(_.size.toLong).getOrElse(0L)
+      assert(dup == expected, s"$src dup_docs $dup != $expected")
+      val expMax = bySrc.get(src).map(_.map(clusters).max).getOrElse(0L)
+      assert(maxc == expMax, s"$src max_cluster $maxc != $expMax")
+      assert(math.abs(frac - dup.toDouble / n) < 1e-15)
+    }
+  }
+
   test("shard packing: docs fill a shard until the budget, oversized docs get their own") {
     val out = SparkEntry.queries("q_doc_shard_pack")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -205,6 +205,35 @@ object ScaleProbeMain {
     }
     spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")
 
+    // --- round-5 continuation 2: sketch / mixture / langid / PCA -------
+    // (cms is two scans + a 16k-cell collect; temperature mix is one
+    // count-per-source pass + a filtered scan; relational langid is the
+    // quality-model plan class; pca is one partial-accumulation pass +
+    // a literal-broadcast projection — all should track corpus size)
+    time(s"cms_topgrams_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_cms_topgrams")(spark, bigDir).count()
+    }
+    time("temperature_mix_10x") {
+      SparkEntry.queries("q_doc_temperature_mix")(spark, bigDir).count()
+    }
+    time("langid_relational_10x") {
+      SparkEntry.queries("q_doc_langid")(spark, bigDir).count()
+    }
+    // 10x embeddings: exact copies with distinct ids (covariance pass
+    // and outlier scan cost are content-independent)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val nEmb = emb.count()
+    emb.crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select((col("vec_id") + col("copy") * nEmb * 10).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    time(s"pca_fit_project_10x(${nEmb * 10} vecs)") {
+      SparkEntry.queries("q_emb_pca")(spark, bigDir).count()
+    }
+    time("emb_outliers_10x") {
+      SparkEntry.queries("q_emb_outliers")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

@@ -425,26 +425,95 @@ object EventsQ {
       .orderBy(col("day").asc)
   }
 
-  /** Rolling 7-day active users via MERGEABLE HLL sketches — the
-    * pattern that makes rolling distincts affordable at 100 TB: build
-    * one small sketch per day (a single scan of that day's events),
-    * then every rolling window is a MERGE of 7 daily sketches — raw
-    * events are never rescanned per window, and yesterday's sketches
-    * are reusable artifacts. Exact rolling distinct would re-shuffle
-    * every event into each of the 7 windows covering it.
+  /** Rolling 7-day active users via MERGEABLE bottom-k (KMV) sketches —
+    * the pattern that makes rolling distincts affordable at 100 TB:
+    * build one small sketch per day (a single scan of that day's
+    * events), then every rolling window is a MERGE of 7 daily sketches
+    * — raw events are never rescanned per window, and yesterday's
+    * sketches are reusable artifacts. Exact rolling distinct would
+    * re-shuffle every event into each of the 7 windows covering it.
     *
-    * Sketch bytes are engine-specific → rows-only gate; SketchSpec
-    * bounds the estimate against the exact 7-day distinct.
+    * KMV (k minimum values, the theta-sketch family): keep the k=64
+    * smallest md5-derived 60-bit hashes of the day's users. The union
+    * of daily bottom-k lists CONTAINS the bottom-k of the full window
+    * (a hash with < k smaller hashes window-wide has < k smaller in
+    * its own day), so merge = bottom-k of the concatenated lists —
+    * no rescan, and the merged sketch IS the window's KMV sketch.
+    * Estimate: exact count while the union holds < k hashes (all
+    * contributing days complete), else (k-1)*2^60/h_(k) — one
+    * int64→double conversion + IEEE divide, so DuckDB replays the
+    * whole query bit-identically (hash-verified, unlike an opaque
+    * binary HLL). RSE ~ 1/sqrt(k-2) ≈ 13%; SketchSpec bounds it
+    * against the exact rolling distinct.
+    *
+    * Scale shape: the per-day bottom-k cut is two-phase — bottom-k
+    * per (day, salt=h%64) in parallel, then bottom-k of the ≤ 64k
+    * salted survivors — so no single task ever sorts a whole day.
     */
-  val qWauSketch: Q = Q.rowsOnly("q_events_wau_sketch") { (s, d) =>
-    val daily = Tables.events(s, d)
-      .groupBy(epochDay(col("ts")).as("sk_day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val spine = daily.select(col("sk_day").as("day")).distinct()
-    spine.join(broadcast(daily),
+  val qWauSketch: Q = Q.sql(
+    "q_events_wau_sketch",
+    """WITH ev AS (
+      |  SELECT DISTINCT
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS sk_day,
+      |    CAST(user_id AS VARCHAR) AS uid
+      |  FROM events),
+      |hashed AS (
+      |  SELECT DISTINCT sk_day,
+      |    (SELECT SUM(CAST(strpos('0123456789abcdef',
+      |                 substr(md5(uid), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+      |            * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))
+      |     FROM range(15) t(i)) AS h
+      |  FROM ev),
+      |dailyk AS (
+      |  SELECT sk_day, h FROM (
+      |    SELECT sk_day, h, row_number() OVER (PARTITION BY sk_day ORDER BY h ASC) AS rn
+      |    FROM hashed)
+      |  WHERE rn <= 64),
+      |spine AS (SELECT DISTINCT sk_day AS day FROM dailyk),
+      |merged AS (
+      |  SELECT DISTINCT s.day, d.h
+      |  FROM spine s JOIN dailyk d ON d.sk_day BETWEEN s.day - 6 AND s.day),
+      |ranked AS (
+      |  SELECT day, h,
+      |    row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY day) AS cnt
+      |  FROM merged)
+      |SELECT day,
+      |  CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+      |       ELSE (63e0 * 1152921504606846976e0) / CAST(h AS DOUBLE) END AS wau_estimate
+      |FROM ranked
+      |WHERE rn = CASE WHEN cnt < 64 THEN cnt ELSE 64 END
+      |ORDER BY day ASC""".stripMargin) { (s, d) =>
+    val k = 64
+    val hashed = Tables.events(s, d)
+      .select(epochDay(col("ts")).as("sk_day"),
+        col("user_id").cast(StringType).as("uid"))
+      .distinct()
+      .select(col("sk_day"),
+        conv(substring(md5(col("uid").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .distinct()
+    // two-phase per-day bottom-k: parallel salted cut, then final cut
+    val w1 = Window.partitionBy("sk_day", "salt").orderBy(col("h").asc)
+    val cand = hashed.withColumn("salt", pmod(col("h"), lit(64)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k).drop("rn", "salt")
+    val w2 = Window.partitionBy("sk_day").orderBy(col("h").asc)
+    val dailyk = cand.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k).drop("rn")
+    val spine = dailyk.select(col("sk_day").as("day")).distinct()
+    val w3 = Window.partitionBy("day").orderBy(col("h").asc)
+    spine.join(broadcast(dailyk),
         col("sk_day").between(col("day") - 6, col("day")))
-      .groupBy("day")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_estimate"))
+      .select(col("day"), col("h")).distinct()
+      .withColumn("rn", row_number().over(w3))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("day")))
+      .filter(col("rn") === when(col("cnt") < k, col("cnt")).otherwise(lit(k)))
+      .select(col("day"),
+        when(col("cnt") < k, col("cnt").cast(DoubleType))
+          .otherwise(lit(63.0 * 1.152921504606846976e18)
+            / col("h").cast(DoubleType))
+          .as("wau_estimate"))
       .orderBy(col("day").asc)
   }
 

@@ -51,9 +51,9 @@ class SketchSpec extends SparkSpecBase {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
-  test("WAU sketch merge stays within HLL error of the exact rolling distinct") {
+  test("WAU KMV sketch merge stays within bottom-k error of the exact rolling distinct") {
     val est = SparkEntry.queries("q_events_wau_sketch")(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // exact 7-day rolling distinct, recomputed from raw events
     val days = graft.sources.Tables.events(spark, sfDir)
       .select(floor(floor(unix_micros(col("ts")).cast("double") / 1000000.0) / 86400.0)
@@ -65,8 +65,15 @@ class SketchSpec extends SparkSpecBase {
     assert(exact.nonEmpty && est.keySet == exact.keySet)
     exact.foreach { case (d, n) =>
       val e = est(d)
-      val rel = math.abs(e - n).toDouble / n
-      assert(rel <= 0.05, s"day $d: estimate $e vs exact $n (rel err $rel)")
+      if (n < 64) {
+        // union held < k hashes => every daily sketch was complete:
+        // the sketch answer is EXACT by construction
+        assert(e == n.toDouble, s"day $d: exact branch $e vs $n")
+      } else {
+        // KMV k=64: RSE ~ 1/sqrt(k-2) ~ 12.7%; allow ~2 sigma
+        val rel = math.abs(e - n) / n
+        assert(rel <= 0.25, s"day $d: estimate $e vs exact $n (rel err $rel)")
+      }
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -139,6 +139,23 @@ object SimilarityQ {
 
   private[graft] val annLshAuxDir = s"${OracleAux.root}/ann_lsh_keys"
 
+  /** Memoized (embedding, exploded band-key) frame — one band-key pass
+    * per session per corpus, shared by q_ann_lsh and q_emb_knn_graph;
+    * the oracle-aux write rides the same materialization.
+    */
+  private def annLshKeyedFrame(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    graft.expressions.LshBandKeys.ensureRegistered(s)
+    SharedFrames.frame(s, s"ann_lsh_keys:$d") {
+      val keyed = Tables.embeddings(s, d)
+        .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
+        .localCheckpoint(true)
+      OracleAux.write(keyed.select(col("vec_id"), col("bk")), annLshAuxDir,
+        corpusKey(Tables.embeddings(s, d)), singleFile = false)
+      keyed
+    }
+  }
+
   /** LSH-banded ANN: banded hyperplane keys generate candidates, exact
     * cosine reranks. ORACLE REPLAY: the engine materializes its
     * exploded (vec_id, bk) band-key table (kernel spec-pinned by
@@ -170,19 +187,7 @@ object SimilarityQ {
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= $topK
        |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
-    graft.expressions.CosineSimilarity.ensureRegistered(s)
-    graft.expressions.LshBandKeys.ensureRegistered(s)
-    // memoized checkpoint: one band-key pass per session per corpus;
-    // the corpus side and the query side of the candidate join read the
-    // checkpoint and the aux write rides the same materialization
-    val emb = SharedFrames.frame(s, s"ann_lsh_keys:$d") {
-      val keyed = Tables.embeddings(s, d)
-        .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
-        .localCheckpoint(true)
-      OracleAux.write(keyed.select(col("vec_id"), col("bk")), annLshAuxDir,
-        corpusKey(Tables.embeddings(s, d)), singleFile = false)
-      keyed
-    }
+    val emb = annLshKeyedFrame(s, d)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bk"))
@@ -193,6 +198,70 @@ object SimilarityQ {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", fastCosine(col("q_emb"), col("embedding")))
     topKPerQuery(cand)
+  }
+
+  private val knnK = 5
+
+  /** Approximate kNN GRAPH — every corpus vector's top-5 neighbors
+    * among its LSH band-collision candidates (directed edges; vectors
+    * whose buckets hold no other member are isolated and absent). The
+    * kNN graph is the substrate for graph-based corpus curation:
+    * SemDeDup-style cluster dedup, connected-component topic discovery,
+    * and diversity-aware sampling all consume it, so it ships as a
+    * first-class artifact rather than a per-query byproduct.
+    *
+    * Scale shape: unlike the fixed-query ANN paths this is a SELF-join
+    * — both sides corpus-sized — so candidates are generated from the
+    * keys-only (vec_id, bk) table (embeddings re-joined only for the
+    * rerank of surviving pairs) and the pair space is O(sum bucket^2),
+    * never all-pairs. The band-key frame, its aux write, and the
+    * memoized checkpoint are shared with q_ann_lsh — one kernel pass
+    * serves both. ORACLE REPLAY: DuckDB reads the materialized band
+    * keys (kernel spec-pinned by LshBandKeysFastSpec) and replays the
+    * candidate join, dedup, exact-cosine rerank, and ranking;
+    * KnnGraphSpec grades recall and pins graph invariants.
+    */
+  val qEmbKnnGraph: Q = Q.sql(
+    "q_emb_knn_graph",
+    s"""WITH keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM keyed a JOIN keyed b ON a.bk = b.bk
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    ${oracleCosine("ea.embedding", "eb.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $knnK
+       |ORDER BY vec_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    val keys = annLshKeyedFrame(s, d).select(col("vec_id"), col("bk"))
+    val cand = keys.join(
+        keys.select(col("vec_id").as("neighbor_id"), col("bk")), Seq("bk"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    val emb = Tables.embeddings(s, d)
+    cand
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .withColumn("score", fastCosine(col("embedding"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= knnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("vec_id").asc, col("rank").asc)
   }
 
   /** Embedding-cosine near-dup pairs over a deterministic sample of
@@ -1287,5 +1356,5 @@ object SimilarityQ {
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
-    qEmbPca, qEmbOutliers)
+    qEmbPca, qEmbOutliers, qEmbKnnGraph)
 }

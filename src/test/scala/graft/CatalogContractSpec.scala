@@ -16,13 +16,15 @@ class CatalogContractSpec extends AnyFunSuite {
     // q_doc_fingerprint's output IS the signature — materializing it
     // for a replay would make the oracle read back its own answer, so
     // it stays rows-only with the golden-window spec as ground truth.
-    // compress_ratio needs a kernel DuckDB lacks (deflate); sketches
-    // are approximate by definition. (langid flipped to hash-verified
-    // in round 5: the marker-table heuristic is fully relational.)
+    // compress_ratio needs a kernel DuckDB lacks (deflate);
+    // sketch_stats uses Spark's native HLL++/KLL whose estimates are
+    // engine-specific by definition. (langid flipped to hash-verified
+    // in round 5 via the relational marker-table plan; wau_sketch
+    // flipped in round 5 by replacing the opaque binary HLL with a
+    // md5-based KMV bottom-k sketch DuckDB replays bit-identically.)
     "q_doc_compress_ratio" -> "graft.TextFunctionsSpec",
     "q_doc_fingerprint" -> "graft.FingerprintSpec",
-    "q_events_sketch_stats" -> "graft.SketchSpec",
-    "q_events_wau_sketch" -> "graft.SketchSpec")
+    "q_events_sketch_stats" -> "graft.SketchSpec")
 
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth for q_emb_knn_graph beyond the band-key oracle replay:
+  * graph invariants and recall of the LSH-candidate edges against the
+  * exact cosine top-k computed brute-force on the same data.
+  */
+class KnnGraphSpec extends SparkSpecBase {
+
+  private lazy val graph =
+    SparkEntry.queries("q_emb_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+  test("graph invariants: no self-loops, ranks dense from 1, scores non-increasing") {
+    assert(graph.nonEmpty)
+    graph.foreach { case (v, n, _, _) => assert(v != n, s"self-loop at $v") }
+    graph.groupBy(_._1).foreach { case (v, edges) =>
+      val byRank = edges.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to edges.length),
+        s"$v: ranks not dense: ${byRank.map(_._3).toSeq}")
+      assert(byRank.length <= 5, s"$v: more than k edges")
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+            s"$v: rank order violates (score desc, id asc)")
+        case _ =>
+      }
+    }
+  }
+
+  test("recall vs exact top-5: LSH candidate edges find most true neighbors") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // exact top-5 per vector (sample every 10th vector to keep the
+    // O(n^2) test loop bounded)
+    val sample = emb.filter(_._1 % 10 == 0)
+    val got = graph.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val recalls = sample.map { case (v, ve) =>
+      val truth = emb.filter(_._1 != v)
+        .map { case (n, ne) => (n, cos(ve, ne)) }
+        .sortBy { case (n, sc) => (-sc, n) }.take(5).map(_._1).toSet
+      got.getOrElse(v, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // same LSH geometry as q_ann_lsh (measured ~0.9 there); 0.5 floor
+    // because kNN-graph neighbors sit at lower cosine than query tops
+    assert(mean >= 0.5, s"mean recall@5 $mean < 0.5")
+  }
+
+  test("returned scores are the exact cosine (rerank is not approximate)") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val fast = graph.take(50).map { case (v, n, _, s) =>
+      val a = emb(v); val b = emb(n)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      (dot / (math.sqrt(na) * math.sqrt(nb)), s)
+    }
+    fast.foreach { case (e, a) => assert(e == a, s"score mismatch: $e vs $a") }
+  }
+}

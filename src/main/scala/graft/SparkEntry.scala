@@ -44,5 +44,18 @@ object SparkEntry {
     * (q_doc_fingerprint_neardup), SketchSpec (q_events_sketch_stats).
     */
   def oracleSql: Map[String, String] =
-    catalog.collect { case Q(name, _, Some(sql), _) => name -> sql }.toMap
+    catalog.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }
+      .toMap
+
+  /** Oracle-aux PREPARE hooks (see [[graft.queries.Q.preparedBy]]):
+    * per-query side-effecting materializations of the replay artifacts
+    * (trained models, signature tables) the DuckDB oracles read back.
+    * The harness runs these OUTSIDE the verified/timed path — Verify
+    * before dumping a query's result, Bench before its first timing —
+    * so every `queries` fn is a pure read. Hooks are memoized per
+    * (session, aux dir, corpus): shared artifacts publish once.
+    */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    catalog.collect { case q if q.prepare.isDefined => q.name -> q.prepare.get }
+      .toMap
 }

@@ -11,12 +11,17 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
+    val prepares = SparkEntry.prepares
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // publish the query's oracle-replay artifact (trained model /
+        // signature table) first — fns are pure reads and never write
+        prepares.get(name).foreach(p => p(spark, sfDir))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -99,15 +99,24 @@ object BpeQ {
        |  GROUP BY w.doc_id)""".stripMargin
 
   /** Merge table trained once per (session, corpus) and shared by both
-    * BPE queries — each previously re-ran the frequency shuffle, the
-    * driver training, AND the word-token aux write per invocation.
+    * BPE queries; PURE — the word-token oracle publish is
+    * [[prepareBpe]].
     */
   private def sharedMerges(s: org.apache.spark.sql.SparkSession, d: String,
                            docs: DataFrame): IndexedSeq[String] =
     SharedFrames.value(s, s"bpe_merges:$d") {
-      val m = trainMerges(docs)
-      writeWordTokens(docs, m)
-      m
+      trainMerges(docs)
+    }
+
+  /** Prepare hook shared by both BPE queries: publish the (word,
+    * n_tokens) replay table under the trained merges.
+    */
+  private def prepareBpe(s: org.apache.spark.sql.SparkSession,
+                         d: String): Unit =
+    OracleAux.prepareOnce(s, auxDir, d) {
+      BpeTokenCount.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      writeWordTokens(docs, sharedMerges(s, d, docs))
     }
 
   /** Per-document real-BPE token counts (vs whitespace word counts). */
@@ -123,7 +132,7 @@ object BpeQ {
       size(tokens(col("text"))).as("n_words"),
       bpeCount(col("text"), merges).cast(LongType).as("n_tokens_bpe"))
       .orderBy(col("doc_id").asc)
-  }
+  }.preparedBy(prepareBpe)
 
   /** Shard packing re-run on REAL token counts: same two-phase
     * prefix-sum packer as q_doc_shard_pack (PipelineQ.packIntoShards),
@@ -145,7 +154,7 @@ object BpeQ {
       docs.select(col("doc_id"),
         bpeCount(col("text"), merges).cast(LongType).as("n_tokens")),
       PipelineQ.shardTokenBudget)
-  }
+  }.preparedBy(prepareBpe)
 
   val all: Seq[Q] = Seq(qTokenCountBpe, qShardPackBpe)
 }

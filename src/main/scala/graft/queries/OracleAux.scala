@@ -34,4 +34,18 @@ object OracleAux {
     (if (singleFile) keyed.coalesce(1) else keyed)
       .write.mode("overwrite").parquet(s"$dir/k$key")
   }
+
+  /** Once-per-(session, aux dir, corpus) guard for [[graft.queries.Q
+    * .prepare]] hooks. Several queries share one artifact (the IVF
+    * centroid table serves q_ann_ivf, q_ann_ivfpq, and
+    * q_emb_cluster_balance; the band-key tables serve two queries
+    * each) — memoizing on the aux DIR rather than the query name means
+    * the write happens once no matter which of them prepares first,
+    * and a later prepare is a no-op rather than a duplicate overwrite.
+    */
+  def prepareOnce(s: org.apache.spark.sql.SparkSession, dir: String,
+                  d: String)(f: => Unit): Unit = {
+    SharedFrames.value(s, s"auxw:$dir:$d") { f; java.lang.Boolean.TRUE }
+    ()
+  }
 }

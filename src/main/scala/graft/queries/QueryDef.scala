@@ -20,7 +20,21 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    prepare: Option[(SparkSession, String) => Unit] = None) {
+
+  /** Attach an oracle-aux PREPARE hook: the side-effecting
+    * materialization (trained model / signature-table parquet under
+    * [[OracleAux.root]]) that the DuckDB oracle replays. The harness
+    * (Verify, Bench) invokes it OUTSIDE the timed/verified path, so
+    * `fn` stays a pure read — the round-4 verdict's aux-hoisting ask.
+    * Hooks are memoized per (session, aux dir, corpus) via
+    * [[OracleAux.prepareOnce]], so shared artifacts (IVF centroids,
+    * band-key tables) publish once however many queries declare them.
+    */
+  def preparedBy(p: (SparkSession, String) => Unit): Q =
+    copy(prepare = Some(p))
+}
 
 object Q {
   def sql(name: String, oracle: String, doc: String = "")(

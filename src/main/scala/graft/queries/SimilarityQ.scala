@@ -141,20 +141,26 @@ object SimilarityQ {
 
   /** Memoized (embedding, exploded band-key) frame — one band-key pass
     * per session per corpus, shared by q_ann_lsh and q_emb_knn_graph;
-    * the oracle-aux write rides the same materialization.
+    * PURE (the oracle-replay publish is [[prepareAnnLshKeys]]).
     */
   private def annLshKeyedFrame(s: SparkSession, d: String): DataFrame = {
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     graft.expressions.LshBandKeys.ensureRegistered(s)
     SharedFrames.frame(s, s"ann_lsh_keys:$d") {
-      val keyed = Tables.embeddings(s, d)
+      Tables.embeddings(s, d)
         .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
         .localCheckpoint(true)
-      OracleAux.write(keyed.select(col("vec_id"), col("bk")), annLshAuxDir,
-        corpusKey(Tables.embeddings(s, d)), singleFile = false)
-      keyed
     }
   }
+
+  /** Prepare hook shared by q_ann_lsh and q_emb_knn_graph: publish the
+    * (vec_id, bk) band-key table both oracles replay.
+    */
+  private def prepareAnnLshKeys(s: SparkSession, d: String): Unit =
+    OracleAux.prepareOnce(s, annLshAuxDir, d) {
+      OracleAux.write(annLshKeyedFrame(s, d).select(col("vec_id"), col("bk")),
+        annLshAuxDir, corpusKey(Tables.embeddings(s, d)), singleFile = false)
+    }
 
   /** LSH-banded ANN: banded hyperplane keys generate candidates, exact
     * cosine reranks. ORACLE REPLAY: the engine materializes its
@@ -198,7 +204,7 @@ object SimilarityQ {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("score", fastCosine(col("q_emb"), col("embedding")))
     topKPerQuery(cand)
-  }
+  }.preparedBy(prepareAnnLshKeys)
 
   private val knnK = 5
 
@@ -262,7 +268,7 @@ object SimilarityQ {
       .filter(col("rank") <= knnK)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
       .orderBy(col("vec_id").asc, col("rank").asc)
-  }
+  }.preparedBy(prepareAnnLshKeys)
 
   /** Embedding-cosine near-dup pairs over a deterministic sample of
     * left anchors (every 20th vector) — the ORACLE-GATED form runs the
@@ -318,7 +324,7 @@ object SimilarityQ {
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     embeddingNearDupLshFromKeys(neardupBandKeys(s, d), emb, 0.55)
-  }
+  }.preparedBy(prepareNeardupKeys)
 
   /** Benchmark size / threshold for embedding-space decontamination:
     * vec_id < 25 stands in for an eval benchmark's embedded examples
@@ -416,14 +422,14 @@ object SimilarityQ {
     val assigned = SharedFrames.frame(s, s"ivf_assigned:$d") {
       import graft.functions.IvfFunctions
       val emb = Tables.embeddings(s, d)
-      val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+      val centroids = corpusCentroids(s, d, emb)
       val bc = IvfFunctions.broadcastCentroids(emb, centroids)
       emb.withColumn("cid", IvfFunctions.assignUdf(bc)(col("embedding")))
         .select(col("vec_id"), col("cid"))
         .localCheckpoint(true)
     }
     clusterBalance(assigned)
-  }
+  }.preparedBy(prepareCentroids(ivfAuxDir))
 
   /** The rate-table rebalance over any (vec_id, cid) assignment —
     * factored so the spec can feed hand-built skewed assignments and
@@ -448,22 +454,28 @@ object SimilarityQ {
 
   /** The 8-band × 8-plane LSH key table over the corpus embeddings —
     * memoized checkpoint shared by q_embedding_neardup_lsh AND
-    * q_emb_semdedup_lsh (one band-key pass per session per corpus; the
-    * aux write for both oracles rides the same materialization, so
-    * either query can run first in a fresh session).
+    * q_emb_semdedup_lsh (one band-key pass per session per corpus);
+    * PURE (the oracle-replay publish is [[prepareNeardupKeys]]).
     */
   private def neardupBandKeys(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame = {
     graft.expressions.LshBandKeys.ensureRegistered(s)
     SharedFrames.frame(s, s"neardup_lsh_keys:$d") {
-      val emb = Tables.embeddings(s, d)
-      val k = emb.select(col("vec_id"),
+      Tables.embeddings(s, d).select(col("vec_id"),
         explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
         .localCheckpoint(true)
-      OracleAux.write(k, neardupLshAuxDir, corpusKey(emb), singleFile = false)
-      k
     }
   }
+
+  /** Prepare hook shared by q_embedding_neardup_lsh and
+    * q_emb_semdedup_lsh: publish the 8×8 band-key table.
+    */
+  private def prepareNeardupKeys(s: org.apache.spark.sql.SparkSession,
+                                 d: String): Unit =
+    OracleAux.prepareOnce(s, neardupLshAuxDir, d) {
+      OracleAux.write(neardupBandKeys(s, d), neardupLshAuxDir,
+        corpusKey(Tables.embeddings(s, d)), singleFile = false)
+    }
 
   /** LSH-candidate + exact-rerank near-dup over any (vec_id, embedding)
     * frame; factored out so specs can run it on planted fixtures.
@@ -577,30 +589,35 @@ object SimilarityQ {
        |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
     import graft.functions.IvfFunctions
     val emb = Tables.embeddings(s, d)
-    val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+    val centroids = corpusCentroids(s, d, emb)
     IvfFunctions.annTopKWith(
       emb, emb.filter(col("vec_id") < nQueries),
       centroids, nProbe = ivfNProbe, topK = topK)
-  }
+  }.preparedBy(prepareCentroids(ivfAuxDir))
 
   /** The adaptive-k seed-42 coarse quantizer both q_ann_ivf and
     * q_emb_semdedup train — identical calls, so the centroid table is
-    * memoized per (session, corpus) and each query's aux dir gets its
-    * own replay copy on first use (the writes were per-invocation
-    * before; training twice per bench pass was pure duplicated work).
+    * memoized per (session, corpus). PURE — each query's aux dir gets
+    * its replay copy from [[prepareCentroids]].
     */
   private def corpusCentroids(s: org.apache.spark.sql.SparkSession, d: String,
-                              emb: DataFrame, auxDir: String): Array[Array[Double]] = {
-    val centroids = SharedFrames.value(s, s"corpus_centroids:$d") {
+                              emb: DataFrame): Array[Array[Double]] =
+    SharedFrames.value(s, s"corpus_centroids:$d") {
       val k = adaptiveK(emb.count())
       graft.functions.IvfFunctions.trainCentroids(emb, "embedding", k, seed = 42)
     }
-    SharedFrames.value(s, s"centroids_written:$auxDir:$d") {
-      writeCentroids(emb, centroids, auxDir)
-      java.lang.Boolean.TRUE
+
+  /** Prepare hook family: publish the shared centroid table to a
+    * query's aux dir (ivf_centroids serves q_ann_ivf / q_ann_ivfpq /
+    * q_emb_cluster_balance; semdedup_centroids serves both SemDeDup
+    * variants) — training happens once, each DIR publishes once.
+    */
+  private def prepareCentroids(auxDir: String)(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    OracleAux.prepareOnce(s, auxDir, d) {
+      val emb = Tables.embeddings(s, d)
+      writeCentroids(emb, corpusCentroids(s, d, emb), auxDir)
     }
-    centroids
-  }
 
   /** Int8 scalar quantization of the embedding column — the memory
     * lever that makes vector search shippable at 100 TB: per-dimension
@@ -818,8 +835,8 @@ object SimilarityQ {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    semDedupWith(emb, corpusCentroids(s, d, emb, semdedupAuxDir), semDedupTau)
-  }
+    semDedupWith(emb, corpusCentroids(s, d, emb), semDedupTau)
+  }.preparedBy(prepareCentroids(semdedupAuxDir))
 
   /** SemDeDup with LSH-bucketed within-cluster candidates — the shape
     * that survives cluster growth past the adaptive-k cap. Exact
@@ -910,8 +927,11 @@ object SimilarityQ {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    semDedupLshWith(emb, corpusCentroids(s, d, emb, semdedupAuxDir),
+    semDedupLshWith(emb, corpusCentroids(s, d, emb),
       semDedupTau, neardupBandKeys(s, d))
+  }.preparedBy { (s, d) =>
+    prepareCentroids(semdedupAuxDir)(s, d)
+    prepareNeardupKeys(s, d)
   }
 
   // -------------------------------------------------------------------
@@ -920,6 +940,15 @@ object SimilarityQ {
 
   private[graft] val pqAuxDir = s"${OracleAux.root}/pq_codebooks"
   private val pqCandidates = 64
+
+  /** Memoized raw-vector PQ codebooks; PURE — the oracle-replay
+    * publish is the q_ann_pq prepare hook.
+    */
+  private def pqCodebooks(s: org.apache.spark.sql.SparkSession, d: String,
+                          emb: DataFrame): Array[Array[Array[Double]]] =
+    SharedFrames.value(s, s"pq_codebooks:$d") {
+      graft.functions.PqFunctions.trainCodebooks(emb, "embedding")
+    }
 
   /** Materialize (sub, code, c: array<double>, corpus_key) — m×k rows. */
   private def writePqCodebooks(emb: DataFrame,
@@ -1006,11 +1035,7 @@ object SimilarityQ {
     import graft.functions.PqFunctions
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
-    val cb = SharedFrames.value(s, s"pq_codebooks:$d") {
-      val c = PqFunctions.trainCodebooks(emb, "embedding")
-      writePqCodebooks(emb, c)
-      c
-    }
+    val cb = pqCodebooks(s, d, emb)
     // memoized checkpoint: one encode pass per session per corpus
     val codes = SharedFrames.frame(s, s"pq_codes:$d") {
       val bcCb = PqFunctions.broadcastCodebooks(emb, cb)
@@ -1043,6 +1068,11 @@ object SimilarityQ {
       .select(col("query_id"), col("neighbor_id"),
         fastCosine(col("q_emb"), col("embedding")).as("score"))
     topKPerQuery(scored)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, pqAuxDir, d) {
+      val emb = Tables.embeddings(s, d)
+      writePqCodebooks(emb, pqCodebooks(s, d, emb))
+    }
   }
 
   // -------------------------------------------------------------------
@@ -1051,6 +1081,32 @@ object SimilarityQ {
   // -------------------------------------------------------------------
 
   private[graft] val ivfpqCbAuxDir = s"${OracleAux.root}/ivfpq_codebooks"
+
+  /** Memoized (vec_id, cid, r) assign + residual pass — one per
+    * session per corpus, shared by the codebook trainer and the
+    * encode pass.
+    */
+  private def ivfpqResidFrame(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    import graft.functions.IvfFunctions
+    val emb = Tables.embeddings(s, d)
+    val bcC = IvfFunctions.broadcastCentroids(emb, corpusCentroids(s, d, emb))
+    SharedFrames.frame(s, s"ivfpq_resid:$d") {
+      emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+        .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+        .select(col("vec_id"), col("cid"), col("r"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Memoized residual PQ codebooks; PURE — the oracle-replay publish
+    * is the q_ann_ivfpq prepare hook.
+    */
+  private def ivfpqCodebooks(s: org.apache.spark.sql.SparkSession,
+                             d: String): Array[Array[Array[Double]]] =
+    SharedFrames.value(s, s"ivfpq_codebooks:$d") {
+      graft.functions.PqFunctions.trainCodebooks(ivfpqResidFrame(s, d), "r")
+    }
 
   /** IVF-PQ ANN — the composition every production vector index ships
     * (FAISS IndexIVFPQ, Jégou 2011 §IV): the coarse k-means quantizer
@@ -1158,20 +1214,10 @@ object SimilarityQ {
     import graft.functions.{IvfFunctions, PqFunctions}
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
-    val centroids = corpusCentroids(s, d, emb, ivfAuxDir)
+    val centroids = corpusCentroids(s, d, emb)
     val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
-    // one assign + residual pass per session per corpus
-    val resid = SharedFrames.frame(s, s"ivfpq_resid:$d") {
-      emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
-        .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
-        .select(col("vec_id"), col("cid"), col("r"))
-        .localCheckpoint(true)
-    }
-    val cb = SharedFrames.value(s, s"ivfpq_codebooks:$d") {
-      val c = PqFunctions.trainCodebooks(resid, "r")
-      writePqCodebooks(emb, c, ivfpqCbAuxDir)
-      c
-    }
+    val resid = ivfpqResidFrame(s, d)
+    val cb = ivfpqCodebooks(s, d)
     val bcCb = PqFunctions.broadcastCodebooks(emb, cb)
     val lists = SharedFrames.frame(s, s"ivfpq_codes:$d") {
       resid.select(col("vec_id"), col("cid"),
@@ -1215,27 +1261,39 @@ object SimilarityQ {
       .select(col("query_id"), col("neighbor_id"),
         fastCosine(col("q_emb"), col("embedding")).as("score"))
     topKPerQuery(scored)
+  }.preparedBy { (s, d) =>
+    prepareCentroids(ivfAuxDir)(s, d)
+    OracleAux.prepareOnce(s, ivfpqCbAuxDir, d) {
+      writePqCodebooks(Tables.embeddings(s, d), ivfpqCodebooks(s, d),
+        ivfpqCbAuxDir)
+    }
   }
 
   private[graft] val pcaAuxDir = s"${OracleAux.root}/pca_model"
 
-  /** Memoized PCA fit + oracle-aux publish: one row per kept component
-    * (axis, duplicated mean, eigenvalue, trace), all DOUBLE — binary64
-    * round-trips parquet exactly, so DuckDB replays the projection
-    * arithmetic bit-identically (same pattern as the IVF centroid and
-    * PQ codebook replays).
+  /** Memoized PCA fit; PURE — [[preparePca]] publishes one row per
+    * kept component (axis, duplicated mean, eigenvalue, trace), all
+    * DOUBLE — binary64 round-trips parquet exactly, so DuckDB replays
+    * the projection arithmetic bit-identically (same pattern as the
+    * IVF centroid and PQ codebook replays).
     */
   private def pcaModel(s: org.apache.spark.sql.SparkSession,
                        d: String): graft.functions.Pca.Model =
     SharedFrames.value(s, s"pca_model:$d") {
+      graft.functions.Pca.fit(Tables.embeddings(s, d))
+    }
+
+  /** Prepare hook shared by q_emb_pca and q_emb_outliers. */
+  private def preparePca(s: org.apache.spark.sql.SparkSession,
+                         d: String): Unit =
+    OracleAux.prepareOnce(s, pcaAuxDir, d) {
       val emb = Tables.embeddings(s, d)
-      val m = graft.functions.Pca.fit(emb)
+      val m = pcaModel(s, d)
       import s.implicits._
       val df = m.components.zipWithIndex.map { case (w, i) =>
         (i, w.toSeq, m.mean.toSeq, m.eigenvalues(i), m.totalVariance)
       }.toSeq.toDF("comp", "w", "mu", "eigval", "total_var")
       OracleAux.write(df, pcaAuxDir, corpusKey(emb))
-      m
     }
 
   /** Distributed PCA projection + whitening ([[graft.functions.Pca]]):
@@ -1289,7 +1347,7 @@ object SimilarityQ {
         when(sqrt(col("eigval")) === 0.0, lit(null).cast(DoubleType))
           .otherwise(col("coord") / sqrt(col("eigval"))).as("whitened"))
       .orderBy(col("vec_id").asc, col("comp").asc)
-  }
+  }.preparedBy(preparePca)
 
   /** Embedding OUTLIER detection via the fitted PCA model: each
     * vector's Mahalanobis-style score Σ_c whitened_c² over the top-8
@@ -1351,7 +1409,7 @@ object SimilarityQ {
       .select(col("vec_id"), col("label"), score.as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(100)
-  }
+  }.preparedBy(preparePca)
 
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,

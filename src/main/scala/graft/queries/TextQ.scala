@@ -291,6 +291,41 @@ object TextQ {
 
   private[graft] val minhashBandsAuxDir = s"${OracleAux.root}/minhash_bands"
 
+  private val minhashBands = 4
+
+  /** Memoized (doc_id, sh) shingle frame — feeds the signature pass
+    * and both payload re-joins of the exact-Jaccard rerank.
+    */
+  private def minhashShingles(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame =
+    SharedFrames.frame(s, s"minhash_shingles:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
+        .localCheckpoint(true)
+    }
+
+  /** Memoized (doc_id, band, bh) MinHash band table — one signature
+    * pass per session per corpus; PURE (the oracle-replay parquet
+    * publish lives in the query's prepare hook).
+    */
+  private def minhashBandedFrame(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame = {
+    graft.expressions.MinhashSig.ensureRegistered(s)
+    val rowsPerBand = minhashK / minhashBands
+    SharedFrames.frame(s, s"minhash_bands:$d") {
+      minhashShingles(s, d)
+        .withColumn("sig", fastMinhashSig(col("sh")))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(minhashBands - 1)),
+            bb => struct(bb.as("band"),
+              bandHash(col("sig"), bb, lit(rowsPerBand)).as("bh")))).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        .localCheckpoint(true)
+    }
+  }
+
   val qMinhashLsh: Q = Q.sql(
     "q_doc_minhash_lsh",
     s"""WITH banded AS (
@@ -330,34 +365,8 @@ object TextQ {
       "generation, pair dedup, and the exact-Jaccard rerank from raw " +
       "documents — every relational step downstream of the seeded hash " +
       "is hash-verified.") { (s, d) =>
-    graft.expressions.MinhashSig.ensureRegistered(s)
-    val bands = 4
-    val rowsPerBand = minhashK / bands
-    // memoized checkpoint: feeds the signature pass and both payload
-    // re-joins, shared across invocations (SharedFrames scaladoc)
-    val docs = SharedFrames.frame(s, s"minhash_shingles:$d") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-        .localCheckpoint(true)
-    }
-    // memoized checkpoint: the signature pass runs once per session per
-    // corpus; the aux write (oracle replay input) rides the same block,
-    // so repeat invocations are pure reads of the band table
-    val banded = SharedFrames.frame(s, s"minhash_bands:$d") {
-      val b = docs
-        .withColumn("sig", fastMinhashSig(col("sh")))
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            bb => struct(bb.as("band"),
-              bandHash(col("sig"), bb, lit(rowsPerBand)).as("bh")))).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-        .localCheckpoint(true)
-      OracleAux.write(b, minhashBandsAuxDir, docsKey(Tables.documents(s, d)),
-        singleFile = false)
-      b
-    }
+    val docs = minhashShingles(s, d)
+    val banded = minhashBandedFrame(s, d)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -372,9 +381,27 @@ object TextQ {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, minhashBandsAuxDir, d) {
+      OracleAux.write(minhashBandedFrame(s, d), minhashBandsAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
   }
 
   private[graft] val simhashSigAuxDir = s"${OracleAux.root}/simhash_sig"
+
+  /** Memoized (doc_id, sim) SimHash signature frame — one signature
+    * pass per session per corpus; PURE (aux publish in prepare hook).
+    */
+  private def simhashSigFrame(s: org.apache.spark.sql.SparkSession,
+                              d: String): DataFrame = {
+    graft.expressions.Simhash64.ensureRegistered(s)
+    SharedFrames.frame(s, s"simhash_sig:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
+        .localCheckpoint(true)
+    }
+  }
 
   /** SimHash near-dup: 64-bit signatures, candidates via 16-bit band
     * equality (any of 4 bands), hamming ≤ 6 verified.
@@ -403,18 +430,9 @@ object TextQ {
        |SELECT doc_a, doc_b, hamming FROM pairs
        |WHERE hamming <= 6
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
-    graft.expressions.Simhash64.ensureRegistered(s)
     // memoized checkpoint: one signature pass per session per corpus;
-    // the band self-join reads both sides from the checkpoint and the
-    // aux write rides the same materialization
-    val docs = SharedFrames.frame(s, s"simhash_sig:$d") {
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
-        .localCheckpoint(true)
-      OracleAux.write(sig, simhashSigAuxDir, docsKey(Tables.documents(s, d)),
-        singleFile = false)
-      sig
-    }
+    // the band self-join reads both sides from the checkpoint
+    val docs = simhashSigFrame(s, d)
     val banded = docs.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*))
@@ -429,6 +447,11 @@ object TextQ {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 6)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, simhashSigAuxDir, d) {
+      OracleAux.write(simhashSigFrame(s, d), simhashSigAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
   }
 
   /** The marker table as SQL VALUES rows, from the ONE definition in
@@ -593,20 +616,27 @@ object TextQ {
        |SELECT doc_a, doc_b, shared_fps FROM pairs
        |WHERE shared_fps >= $fingerprintMinShared
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    // memoized checkpoint: one winnowing pass per session per corpus;
-    // the DF-cap aggregate and both join sides read the checkpoint and
-    // the aux write rides the same materialization
-    val fp = SharedFrames.frame(s, s"doc_fingerprints:$d") {
-      val f = docs
+    fingerprintNearDupFromFp(fingerprintFrame(s, d),
+      minShared = fingerprintMinShared)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, fingerprintAuxDir, d) {
+      OracleAux.write(fingerprintFrame(s, d), fingerprintAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
+  }
+
+  /** Memoized distinct (doc_id, fp) winnowed-fingerprint frame — one
+    * winnowing pass per session per corpus feeds the DF-cap aggregate
+    * and both join sides; PURE (aux publish in prepare hook).
+    */
+  private def fingerprintFrame(s: org.apache.spark.sql.SparkSession,
+                               d: String): DataFrame =
+    SharedFrames.frame(s, s"doc_fingerprints:$d") {
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
         .distinct()
         .localCheckpoint(true)
-      OracleAux.write(f, fingerprintAuxDir, docsKey(docs), singleFile = false)
-      f
     }
-    fingerprintNearDupFromFp(fp, minShared = fingerprintMinShared)
-  }
 
   /** The fingerprint-overlap pipeline over any (doc_id, text) frame —
     * factored out so the spec can grade recall on planted duplicates.
@@ -642,22 +672,29 @@ object TextQ {
 
   private[graft] val qualityModelAuxDir = s"${OracleAux.root}/quality_model"
 
-  /** Trained-once-per-(session, corpus) quantized weight table; the aux
-    * write for oracle replay rides the same memo (SharedFrames doc).
+  /** Trained-once-per-(session, corpus) quantized weight table; PURE —
+    * the oracle-replay publish is [[prepareQualityModel]].
     */
   private def qualityWeights(s: org.apache.spark.sql.SparkSession,
                              d: String): Seq[(String, java.math.BigDecimal)] =
     SharedFrames.value(s, s"quality_model:$d") {
-      val docs = Tables.documents(s, d)
-      val w = graft.functions.QualityModel.train(docs)
+      graft.functions.QualityModel.train(Tables.documents(s, d))
+    }
+
+  /** Prepare hook: publish the quantized weight table for the DuckDB
+    * replay of q_doc_quality_model.
+    */
+  private def prepareQualityModel(s: org.apache.spark.sql.SparkSession,
+                                  d: String): Unit =
+    OracleAux.prepareOnce(s, qualityModelAuxDir, d) {
+      val w = qualityWeights(s, d)
       val df = s.createDataFrame(
         java.util.Arrays.asList(
           w.map { case (t, wt) => org.apache.spark.sql.Row(t, wt) }: _*),
         StructType(Seq(
           StructField("term", StringType, nullable = false),
           StructField("weight", DecimalType(18, 6), nullable = false))))
-      OracleAux.write(df, qualityModelAuxDir, docsKey(docs))
-      w
+      OracleAux.write(df, qualityModelAuxDir, docsKey(Tables.documents(s, d)))
     }
 
   /** MODEL-BASED quality filtering (the GPT-3/CCNet stage that follows
@@ -731,7 +768,7 @@ object TextQ {
         score.as("model_score"),
         (score >= 0.0).as("pred_keep"))
       .orderBy(col("doc_id").asc)
-  }
+  }.preparedBy(prepareQualityModel)
 
   /** Sequence-LENGTH BUCKETING — the batching-shape audit a training
     * loader runs before fixing its bucket boundaries (docs batch with
@@ -833,22 +870,29 @@ object TextQ {
     }.sortBy(_._1).toSeq
   }
 
-  /** Memoized per-(session, corpus) λ table; the oracle-replay aux
-    * write rides the memo (SharedFrames contract).
+  /** Memoized per-(session, corpus) λ table; PURE — the oracle-replay
+    * publish is [[prepareDsir]].
     */
   private def dsirWeights(s: org.apache.spark.sql.SparkSession,
                           d: String): Seq[(String, java.math.BigDecimal)] =
     SharedFrames.value(s, s"dsir:$d") {
-      val docs = Tables.documents(s, d)
-      val lam = dsirLambdas(docs)
+      dsirLambdas(Tables.documents(s, d))
+    }
+
+  /** Prepare hook: publish the quantized λ table for the DuckDB replay
+    * of q_doc_dsir.
+    */
+  private def prepareDsir(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit =
+    OracleAux.prepareOnce(s, dsirAuxDir, d) {
+      val lam = dsirWeights(s, d)
       val df = s.createDataFrame(
         java.util.Arrays.asList(
           lam.map { case (bk, l) => org.apache.spark.sql.Row(bk, l) }: _*),
         StructType(Seq(
           StructField("bucket", StringType, nullable = false),
           StructField("lambda", DecimalType(18, 6), nullable = false))))
-      OracleAux.write(df, dsirAuxDir, docsKey(docs))
-      lam
+      OracleAux.write(df, dsirAuxDir, docsKey(Tables.documents(s, d)))
     }
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
@@ -913,7 +957,7 @@ object TextQ {
         col("s").cast(DoubleType).as("dsir_logw"))
       .orderBy(col("dsir_logw").desc_nulls_last, col("doc_id").asc)
       .limit(dsirSelectCount)
-  }
+  }.preparedBy(prepareDsir)
 
   private[graft] val lmAuxDir = s"${OracleAux.root}/lm_bigram"
 
@@ -981,8 +1025,7 @@ object TextQ {
     * logs — binary64 log + round-to-decimal can differ in the last
     * digit; the oracle reads the quantized table instead). Vocab rows
     * ride along (kind 'v') so the oracle replays the SAME token
-    * mapping. The aux write lives inside the memo (SharedFrames
-    * contract).
+    * mapping. PURE — the oracle-replay publish is [[prepareLm]].
     */
   private def lmTable(s: org.apache.spark.sql.SparkSession,
                       d: String): DataFrame =
@@ -1006,9 +1049,17 @@ object TextQ {
           .select(col("term"), lit(null).cast(DecimalType(18, 6)).as("lp"),
             lit("v").as("kind"))
       }
-      val out = lp.unionByName(vdf).localCheckpoint(true)
-      OracleAux.write(out, lmAuxDir, docsKey(docs))
-      out
+      lp.unionByName(vdf).localCheckpoint(true)
+    }
+
+  /** Prepare hook: publish the quantized LM table for the DuckDB
+    * replay of q_doc_lm_perplexity.
+    */
+  private[graft] def prepareLm(s: org.apache.spark.sql.SparkSession,
+                               d: String): Unit =
+    OracleAux.prepareOnce(s, lmAuxDir, d) {
+      OracleAux.write(lmTable(s, d), lmAuxDir,
+        docsKey(Tables.documents(s, d)))
     }
 
   /** Driver-side export of the trained LM for stateless broadcast use
@@ -1103,7 +1154,7 @@ object TextQ {
         when(ntile(3).over(w) === 1, "head")
           .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
       .orderBy(col("doc_id").asc)
-  }
+  }.preparedBy(prepareLm)
 
   private[graft] val bm25AuxDir = s"${OracleAux.root}/bm25_idf"
 
@@ -1141,14 +1192,23 @@ object TextQ {
           math.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0))
           .setScale(6, java.math.RoundingMode.HALF_UP))
       }.sortBy(_._1).toSeq
+      idf
+    }
+
+  /** Prepare hook: publish the quantized IDF table for the DuckDB
+    * replay of q_doc_bm25.
+    */
+  private def prepareBm25(s: org.apache.spark.sql.SparkSession,
+                          d: String): Unit =
+    OracleAux.prepareOnce(s, bm25AuxDir, d) {
+      val idf = bm25Idf(s, d)
       val df = s.createDataFrame(
         java.util.Arrays.asList(
           idf.map { case (t, v) => org.apache.spark.sql.Row(t, v) }: _*),
         StructType(Seq(
           StructField("term", StringType, nullable = false),
           StructField("idf", DecimalType(18, 6), nullable = false))))
-      OracleAux.write(df, bm25AuxDir, docsKey(docs))
-      idf
+      OracleAux.write(df, bm25AuxDir, docsKey(Tables.documents(s, d)))
     }
 
   /** BM25 top-k retrieval (Robertson et al., Okapi): rank every corpus
@@ -1259,7 +1319,7 @@ object TextQ {
       .filter(col("rnk") <= bm25TopK)
       .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("bm25"))
       .orderBy(col("qid").asc, col("rnk").asc)
-  }
+  }.preparedBy(prepareBm25)
 
   // -------------------------------------------------------------------
   // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)

@@ -92,6 +92,9 @@ class LmPerplexitySpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = fn(spark, dir).collect()
     assert(out.length == 300) // nothing dropped by the inner model join
+    // aux publish is the harness-side prepare hook now, not a query
+    // side effect — invoke it the way Verify/Bench do
+    SparkEntry.prepares("q_doc_lm_perplexity")(spark, dir)
     val aux = spark.read.parquet(
       s"${TextQ.lmAuxDir}/k${rows.map(_._5).sum}")
     assert(aux.filter(col("kind") === "v").count() == TextQ.lmVocabSize)

@@ -208,6 +208,57 @@ object SimilarityQ {
 
   private val knnK = 5
 
+  /** Shared oracle CTE chain replaying the kNN graph from the
+    * materialized band keys: candidate join, pair dedup, exact-cosine
+    * rerank, ranking — consumed by q_emb_knn_graph, q_emb_topic
+    * _clusters, and (with a label twist) q_emb_hard_negatives.
+    */
+  private def knnRankedCte: String =
+    s"""keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM keyed a JOIN keyed b ON a.bk = b.bk
+       |  WHERE a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |    ${oracleCosine("ea.embedding", "eb.embedding")} AS score
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+
+  /** Memoized kNN-graph edge table (vec_id, neighbor_id, rank, score)
+    * — one candidate-join + rerank pass per session per corpus, shared
+    * by q_emb_knn_graph and q_emb_topic_clusters.
+    */
+  private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.frame(s, s"knn_graph:$d") {
+      val keys = annLshKeyedFrame(s, d).select(col("vec_id"), col("bk"))
+      val cand = keys.join(
+          keys.select(col("vec_id").as("neighbor_id"), col("bk")), Seq("bk"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"))
+        .dropDuplicates("vec_id", "neighbor_id")
+      val emb = Tables.embeddings(s, d)
+      cand
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb")), Seq("neighbor_id"))
+        .withColumn("score", fastCosine(col("embedding"), col("n_emb")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .filter(col("rank") <= knnK)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+        .localCheckpoint(true)
+    }
+
   /** Approximate kNN GRAPH — every corpus vector's top-5 neighbors
     * among its LSH band-collision candidates (directed edges; vectors
     * whose buckets hold no other member are isolated and absent). The
@@ -229,13 +280,92 @@ object SimilarityQ {
     */
   val qEmbKnnGraph: Q = Q.sql(
     "q_emb_knn_graph",
+    s"""WITH $knnRankedCte
+       |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= $knnK
+       |ORDER BY vec_id ASC, rank ASC""".stripMargin) { (s, d) =>
+    knnGraphFrame(s, d)
+      .orderBy(col("vec_id").asc, col("rank").asc)
+  }.preparedBy(prepareAnnLshKeys)
+
+  /** Topic-cluster threshold: a kNN edge survives into the component
+    * graph only at cosine ≥ this (99th-pct corpus cosine ≈ 0.29, so
+    * the graph keeps the strongest tail, not the noise floor).
+    */
+  private val topicTau = 0.25
+
+  /** Semantic TOPIC CLUSTERS — connected components over the kNN
+    * graph's strong edges (score ≥ [[topicTau]]), labeled by component
+    * min vec_id with member counts: the corpus-discovery operator that
+    * turns the kNN artifact into browsable topics (and the first stage
+    * of cluster-level curation decisions — cap a topic, drop a topic,
+    * rebalance across topics). Vectors with no qualifying edge are
+    * absent by construction (singletons are not topics).
+    *
+    * Scale shape: edge generation reuses the memoized kNN frame (one
+    * candidate+rerank pass per session); components run the same
+    * large-star/small-star O(log n) contraction as the near-dup
+    * clusters ([[PipelineQ.connectedComponents]]) — keys-only shuffles,
+    * hybrid driver union-find under 2^18 edges. ORACLE REPLAY: DuckDB
+    * replays the kNN ranking from the band-key table, then a recursive
+    * min-label reach computes the identical components.
+    */
+  val qEmbTopicClusters: Q = Q.sql(
+    "q_emb_topic_clusters",
+    s"""WITH RECURSIVE $knnRankedCte,
+       |knn AS (
+       |  SELECT vec_id, neighbor_id FROM ranked
+       |  WHERE rank <= $knnK AND score >= $topicTau),
+       |edges AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM knn
+       |  UNION SELECT neighbor_id, vec_id FROM knn),
+       |reach AS (
+       |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.vec_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id)
+       |SELECT c.vec_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) s
+       |  ON c.cluster_id = s.cluster_id
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    val edges = knnGraphFrame(s, d)
+      .filter(col("score") >= topicTau)
+      .select(col("vec_id"), col("neighbor_id"))
+    val comp = PipelineQ.connectedComponents(edges)
+      .toDF("vec_id", "cluster_id")
+    val sizes = comp.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id").asc)
+  }.preparedBy(prepareAnnLshKeys)
+
+  private val hardNegK = 3
+
+  /** HARD-NEGATIVE MINING for retrieval/metric training (the standard
+    * contrastive-training data op: for each anchor, the most similar
+    * vectors of a DIFFERENT label are the negatives that actually move
+    * the loss — random negatives are too easy). Top-[[hardNegK]]
+    * cross-label neighbors per anchor among its LSH band collisions,
+    * exact-cosine ranked.
+    *
+    * Scale shape: same keys-only self-join as the kNN graph — the
+    * label filter applies to candidate PAIRS (labels ride the keyed
+    * frame, so no extra join), and only surviving pairs rerank.
+    * ORACLE REPLAY: band-key table + the embeddings' own labels.
+    */
+  val qEmbHardNegatives: Q = Q.sql(
+    "q_emb_hard_negatives",
     s"""WITH keyed AS (
-       |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
-       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |  SELECT k.vec_id, k.bk, e.label
+       |  FROM read_parquet('$annLshAuxDir/*/*.parquet') k
+       |  JOIN embeddings e ON e.vec_id = k.vec_id
+       |  WHERE k.corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
        |  FROM keyed a JOIN keyed b ON a.bk = b.bk
-       |  WHERE a.vec_id <> b.vec_id),
+       |  WHERE a.vec_id <> b.vec_id AND a.label <> b.label),
        |scored AS (
        |  SELECT c.vec_id, c.neighbor_id,
        |    ${oracleCosine("ea.embedding", "eb.embedding")} AS score
@@ -248,12 +378,15 @@ object SimilarityQ {
        |      ORDER BY score DESC, neighbor_id ASC) AS rank
        |  FROM scored)
        |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, score
-       |FROM ranked WHERE rank <= $knnK
+       |FROM ranked WHERE rank <= $hardNegK
        |ORDER BY vec_id ASC, rank ASC""".stripMargin) { (s, d) =>
-    val keys = annLshKeyedFrame(s, d).select(col("vec_id"), col("bk"))
+    val keys = annLshKeyedFrame(s, d)
+      .select(col("vec_id"), col("bk"), col("label"))
     val cand = keys.join(
-        keys.select(col("vec_id").as("neighbor_id"), col("bk")), Seq("bk"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
+        keys.select(col("vec_id").as("neighbor_id"), col("bk"),
+          col("label").as("n_label")), Seq("bk"))
+      .filter(col("vec_id") =!= col("neighbor_id") &&
+        col("label") =!= col("n_label"))
       .select(col("vec_id"), col("neighbor_id"))
       .dropDuplicates("vec_id", "neighbor_id")
     val emb = Tables.embeddings(s, d)
@@ -265,7 +398,7 @@ object SimilarityQ {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= knnK)
+      .filter(col("rank") <= hardNegK)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
       .orderBy(col("vec_id").asc, col("rank").asc)
   }.preparedBy(prepareAnnLshKeys)
@@ -1414,5 +1547,5 @@ object SimilarityQ {
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
-    qEmbPca, qEmbOutliers, qEmbKnnGraph)
+    qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives)
 }

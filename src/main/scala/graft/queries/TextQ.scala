@@ -1477,9 +1477,109 @@ object TextQ {
       cmsThresholdDivisor)
   }
 
+  // -------------------------------------------------------------------
+  // Gopher quality rules (Rae et al. 2021, §A1.1)
+  // -------------------------------------------------------------------
+
+  /** Gopher's "must contain ≥2 of these 8 words" stopword rule — the
+    * paper's fixed list, not the engine's longer scoring list.
+    */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val gopherMinWords = 50L
+  private val gopherMaxWords = 100000L
+
+  /** The GOPHER RULE FILTER (Rae et al. 2021) — the published
+    * heuristic gate most production text pipelines run before any
+    * model-based scoring: per document, every rule's measured value
+    * and bit, plus the conjunction `keep`. Rules: word count in
+    * [50, 100k]; mean word length in [3, 10]; ≤10% of words contain
+    * '#' or '...'; <90% of lines start with a bullet; <30% of lines
+    * end with an ellipsis; ≥80% of words contain an alphabetic
+    * character; ≥2 of Gopher's 8 stopwords present.
+    *
+    * DETERMINISM: every ratio is an IEEE divide of exact integer
+    * counts (both engines produce bit-identical doubles); the word
+    * multiset is the shared tokens() contract; lines split on
+    * '\n' of the RAW text.
+    *
+    * Scale shape: one projection — per-row array math in the scan, no
+    * shuffle but the output sort. The 100 TB form is identical.
+    */
+  val qGopherRules: Q = Q.sql(
+    "q_doc_gopher_rules",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tok,
+       |    string_split(text, chr(10)) AS ln
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tok) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_transform(tok, w -> CAST(len(w) AS BIGINT)),
+       |      (a, b) -> a + b) AS DOUBLE) / len(tok) AS mean_word_len,
+       |    CAST(len(list_filter(tok, w ->
+       |      contains(w, '#') OR contains(w, '...'))) AS DOUBLE)
+       |      / len(tok) AS symbol_frac,
+       |    CAST(len(list_filter(ln, l ->
+       |      starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+       |      AS DOUBLE) / len(ln) AS bullet_frac,
+       |    CAST(len(list_filter(ln, l ->
+       |      ends_with(trim(l), '...'))) AS DOUBLE) / len(ln) AS ellipsis_frac,
+       |    CAST(len(list_filter(tok, w -> regexp_matches(w, '[a-z]')))
+       |      AS DOUBLE) / len(tok) AS alpha_frac,
+       |    CAST(len(list_filter(
+       |      [${gopherStops.map("'" + _ + "'").mkString(",")}],
+       |      sw -> list_contains(tok, sw))) AS BIGINT) AS stop_hits
+       |  FROM t WHERE len(tok) >= 1)
+       |SELECT doc_id, n_words, mean_word_len, symbol_frac, bullet_frac,
+       |  ellipsis_frac, alpha_frac, stop_hits,
+       |  (n_words BETWEEN $gopherMinWords AND $gopherMaxWords
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_frac <= 0.1
+       |    AND bullet_frac < 0.9
+       |    AND ellipsis_frac < 0.3
+       |    AND alpha_frac >= 0.8
+       |    AND stop_hits >= 2) AS keep
+       |FROM m
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val lns = split(col("text"), "\n", -1)
+    val nWords = size(toks).cast(LongType)
+    val meanLen = aggregate(transform(toks, w => length(w).cast(LongType)),
+      lit(0L), (a, x) => a + x).cast(DoubleType) / size(toks)
+    val symbolFrac = size(filter(toks,
+      w => w.contains("#") || w.contains("..."))).cast(DoubleType) / size(toks)
+    val bulletFrac = size(filter(lns, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*")))
+      .cast(DoubleType) / size(lns)
+    val ellipsisFrac = size(filter(lns, l => trim(l).endsWith("...")))
+      .cast(DoubleType) / size(lns)
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast(DoubleType) / size(toks)
+    val stopHits = size(filter(typedLit(gopherStops),
+      sw => array_contains(toks, sw))).cast(LongType)
+    Tables.documents(s, d)
+      .filter(size(tokens(col("text"))) >= 1)
+      .select(col("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symbolFrac.as("symbol_frac"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(gopherMinWords, gopherMaxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_frac") <= 0.1 &&
+          col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2)
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
-    qLmPerplexity, qBm25, qCmsTopGrams)
+    qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules)
 }

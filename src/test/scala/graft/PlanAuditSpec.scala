@@ -454,4 +454,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges.forall(_.contains("rangepartitioning")),
       s"projection must fuse into the scan; found:\n${exchanges.mkString("\n")}")
   }
+
+  test("gopher rules compute per-row in the scan — no join, no pre-sort shuffle") {
+    val p = plan("q_doc_gopher_rules")
+    assert(!p.contains("Join"), p.linesIterator.take(8).mkString("\n"))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"rule math must fuse into the scan; found:\n${exchanges.mkString("\n")}")
+  }
+
+  test("knn graph candidates join keys only — embeddings stay out of the band self-join") {
+    // the band-key self-join must see (vec_id, bk) pairs, never the
+    // 64-float embedding column (it re-joins only for the rerank)
+    val p = optimized("q_emb_knn_graph")
+    val joinLine = p.linesIterator.find(_.trim.startsWith("Join")).getOrElse("")
+    assert(!joinLine.contains("embedding"),
+      s"band self-join must be keys-only:\n$joinLine")
+  }
+
+  test("hard negatives filter labels before the rerank join") {
+    // the cross-label predicate must apply to the keys-only candidate
+    // join (labels ride the keyed frame), upstream of any embedding
+    // re-join — candidate count shrinks before the expensive cosine
+    val p = optimized("q_emb_hard_negatives")
+    val txt = p.linesIterator.toSeq
+    val labelFilter = txt.indexWhere(l =>
+      l.contains("NOT (label") || (l.contains("label") && l.contains("n_label")))
+    assert(labelFilter >= 0, s"no cross-label predicate found:\n${txt.take(12).mkString("\n")}")
+  }
 }

@@ -234,6 +234,25 @@ object ScaleProbeMain {
       SparkEntry.queries("q_emb_outliers")(spark, bigDir).count()
     }
 
+    // --- round-5 continuation 3: graph ops + gopher -------------------
+    // The 10x embedding corpus is exact copies, so every band bucket
+    // holds all 10 twins of each member: candidate pairs grow ~100x
+    // while the corpus grows 10x — the WORST-case duplicate-heavy
+    // regime for the keys-only self-join (a dedup pipeline's actual
+    // input). Topic clusters then run CC over near-clique edges.
+    time(s"knn_graph_10x(${nEmb * 10} vecs, duplicate-heavy)") {
+      SparkEntry.queries("q_emb_knn_graph")(spark, bigDir).count()
+    }
+    time("topic_clusters_10x") {
+      SparkEntry.queries("q_emb_topic_clusters")(spark, bigDir).count()
+    }
+    time("hard_negatives_10x") {
+      SparkEntry.queries("q_emb_hard_negatives")(spark, bigDir).count()
+    }
+    time(s"gopher_rules_10x(${n * 10} docs)") {
+      SparkEntry.queries("q_doc_gopher_rules")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

@@ -137,7 +137,6 @@ object Bench {
       s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"adjudicated":$adjJson,"sf":"$sfDir"$subsetJson}"""
-    println(line)
     // stdout can get clipped by log interleaving (BENCH_r02 lost its
     // tail); the file is the durable artifact. Subset runs default to a
     // separate file so a focused investigation can never clobber the
@@ -146,6 +145,27 @@ object Bench {
       if (only.isDefined) "bench_out_subset.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line it finds there; with a 130+-query map the full line
+    // is ~5 KB, arrives truncated at the front, and fails to parse
+    // (BENCH_r04/r05 "parsed": null). So stdout gets ONLY a line that
+    // fits the tail window (with room for sbt's "[success]" trailer):
+    // the full line when short enough, else a compact variant whose
+    // "queries" map is trimmed to the slowest entries that fit a fixed
+    // budget. The complete map lives in the durable file above.
+    if (line.length <= 1600) println(line)
+    else {
+      val slowest = results.sortBy(-_._2)
+      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"regressions":$regJson,"queries_full":"$out","sf":"$sfDir"$subsetJson,"queries":{"""
+      val budget = 1600 - prefix.length - 2
+      val kept = new StringBuilder
+      var used = 0
+      slowest.foreach { case (k, v, _) =>
+        val item = (if (used == 0) "" else ",") + "\"" + k + "\":" + v
+        if (used + item.length <= budget) { kept ++= item; used += item.length }
+      }
+      println(prefix + kept.result() + "}}")
+    }
     // release the session-scoped shared checkpoints (the memo holds
     // corpus-scale blocks by design during the run; nothing should
     // outlive it)

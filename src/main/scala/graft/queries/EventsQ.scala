@@ -134,9 +134,19 @@ object EventsQ {
 
   /** Sketch aggregations — the mergeable approximations that replace
     * exact distinct/percentile at 100 TB: HLL++ distinct users and
-    * approximate percentiles per event type. Sketch values are
-    * engine-specific (no DuckDB hash parity) → rows-only gate;
-    * SketchSpec bounds the error against the exact answers.
+    * approximate percentiles per event type.
+    *
+    * IRREDUCIBLY rows-only (the one deliberate no-oracle query in the
+    * catalog): the outputs are estimates whose exact values depend on
+    * Spark's own sketch internals — HLL++ register assignment hashes
+    * with Spark's 64-bit xxhash of the unsafe row bytes, and
+    * percentile_approx's Greenwald-Khanna summary depends on merge
+    * order — so no DuckDB SQL can reproduce them bit-for-bit, and an
+    * aux replay of the engine's own output would verify nothing but
+    * the ORDER BY. Accuracy (the property that matters) is gated by
+    * SketchSpec instead: distinct counts within 5x the configured 2%
+    * rsd, percentiles bracketed by exact neighbors, determinism across
+    * runs (mergeable partials, fixed seeds).
     */
   val qSketchStats: Q = Q.rowsOnly("q_events_sketch_stats") { (s, d) =>
     Tables.events(s, d)

@@ -153,24 +153,59 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  private[graft] val deflateAuxDir = s"${OracleAux.root}/doc_deflate"
+
   /** Compression-ratio quality signal: DEFLATE size over byte length —
     * the cheap entropy proxy (Gopher/MassiveText rules family):
     * boilerplate and template spam compress far below natural prose.
-    * Per-row native expression, no shuffle. Compressed byte counts are
-    * zlib-build-specific → rows-only gate; TextFunctionsSpec pins the
-    * orderings (repetitive < prose < high-entropy) and determinism.
+    * Per-row native expression, no shuffle.
+    *
+    * ORACLE REPLAY (flipped from rows-only in round 6): compressed byte
+    * counts are zlib-build-specific, so the engine publishes its
+    * (doc_id, deflate_len) table as oracle-aux (kernel pinned by
+    * TextFunctionsSpec goldens: repetitive < prose < high-entropy
+    * orderings + determinism) and DuckDB independently recomputes the
+    * byte length (`octet_length(encode(text))` — engine-portable), the
+    * >0 filter, and the IEEE ratio division over the replayed sizes.
     */
-  val qCompressRatio: Q = Q.rowsOnly("q_doc_compress_ratio") { (s, d) =>
-    graft.expressions.DeflateSize.ensureRegistered(s)
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        octet_length(col("text")).cast(LongType).as("byte_len"),
-        call_function("deflate_size", col("text")).cast(LongType).as("deflate_len"))
+  val qCompressRatio: Q = Q.sql(
+    "q_doc_compress_ratio",
+    s"""WITH a AS (
+       |  SELECT doc_id, deflate_len FROM read_parquet('$deflateAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents))
+       |SELECT d.doc_id,
+       |  CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+       |  a.deflate_len,
+       |  CAST(a.deflate_len AS DOUBLE) / octet_length(encode(d.text)) AS compress_ratio
+       |FROM documents d JOIN a USING (doc_id)
+       |WHERE octet_length(encode(d.text)) > 0
+       |ORDER BY d.doc_id ASC""".stripMargin) { (s, d) =>
+    deflateFrame(s, d)
       .filter(col("byte_len") > 0)
       .withColumn("compress_ratio",
         col("deflate_len").cast(DoubleType) / col("byte_len"))
       .orderBy(col("doc_id").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, deflateAuxDir, d) {
+      OracleAux.write(deflateFrame(s, d).select(col("doc_id"), col("deflate_len")),
+        deflateAuxDir, docsKey(Tables.documents(s, d)), singleFile = false)
+    }
   }
+
+  /** Memoized per-doc (doc_id, byte_len, deflate_len) frame — one
+    * deflate pass per session per corpus feeds the catalog query and
+    * the aux publish; PURE (the write lives in the prepare hook).
+    */
+  private def deflateFrame(s: org.apache.spark.sql.SparkSession,
+                           d: String): DataFrame =
+    SharedFrames.frame(s, s"doc_deflate:$d") {
+      graft.expressions.DeflateSize.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("byte_len"),
+          call_function("deflate_size", col("text")).cast(LongType).as("deflate_len"))
+        .localCheckpoint(true)
+    }
 
   /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
     * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
@@ -527,13 +562,49 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Winnowed rolling-hash fingerprints — rows-only + spec. */
-  val qFingerprint: Q = Q.rowsOnly("q_doc_fingerprint") { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), fingerprints(col("text")).as("fps"))
-      .select(col("doc_id"), docFingerprint(col("fps")).as("fingerprint"),
-        size(col("fps")).as("n_fingerprints"))
+  // declared BEFORE the two query vals that interpolate it (object
+  // vals initialize in declaration order; a forward reference would
+  // silently read null into the oracle SQL)
+  private[graft] val fingerprintAuxDir = s"${OracleAux.root}/doc_fingerprints"
+
+  /** Winnowed rolling-hash fingerprint summary per document: the
+    * MOSS-style signature set's minimum (`docFingerprint` = min over
+    * the set — identical on the raw or distinct fingerprint list) and
+    * its distinct-set size.
+    *
+    * ORACLE REPLAY (flipped from rows-only in round 6): the seeded
+    * rolling hash itself is engine-specific, but the same distinct
+    * (doc_id, fp) table q_doc_fingerprint_neardup already publishes as
+    * oracle-aux (winnowing kernel pinned by FingerprintSpec golden
+    * windows) lets DuckDB independently replay the per-doc MIN/COUNT
+    * aggregation and the left join that keeps fingerprint-less (short)
+    * docs with a 0 count. One winnowing pass serves both queries.
+    */
+  val qFingerprint: Q = Q.sql(
+    "q_doc_fingerprint",
+    s"""WITH fps AS (
+       |  SELECT doc_id, fp FROM read_parquet('$fingerprintAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |agg AS (
+       |  SELECT doc_id, MIN(fp) AS fingerprint, COUNT(*) AS n_fingerprints
+       |  FROM fps GROUP BY doc_id)
+       |SELECT d.doc_id, a.fingerprint,
+       |  COALESCE(a.n_fingerprints, 0) AS n_fingerprints
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id ASC""".stripMargin) { (s, d) =>
+    val agg = fingerprintFrame(s, d).groupBy("doc_id")
+      .agg(min(col("fp")).as("fingerprint"),
+        count(lit(1)).as("n_fingerprints"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"))
       .orderBy(col("doc_id").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, fingerprintAuxDir, d) {
+      OracleAux.write(fingerprintFrame(s, d), fingerprintAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
   }
 
   /** Multimodal plumbing: opaque binary payload + typed metadata.
@@ -578,9 +649,9 @@ object TextQ {
     * fingerprints emit. Same scale shape as the shingle join — keys
     * only through the shuffle, df cap kills ubiquitous fingerprints.
     * Seeded hashes → rows-only; FingerprintNearDupSpec grades recall
-    * of exact-duplicate pairs.
+    * of exact-duplicate pairs. (The aux dir val is declared above
+    * [[qFingerprint]], which shares the same published table.)
     */
-  private[graft] val fingerprintAuxDir = s"${OracleAux.root}/doc_fingerprints"
 
   /** The shared ≥3-fingerprints threshold (engine + oracle). */
   val fingerprintMinShared = 3

@@ -33,19 +33,34 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf, set at session
-    * build by every entry point — see [[graft.Sessions]]) and truncate
-    * to microsecond TimestampType (`div` keeps the arithmetic integral —
-    * a double round-trip would lose exactness at 2^60 nanos). DuckDB's
-    * CAST(ts AS TIMESTAMP) truncates identically, keeping oracles exact.
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations: nanosecond-precision parquet (surfaced as LongType via
+    * the legacy nanosAsLong conf, which [[graft.Sessions]] still sets for
+    * backward compat) and plain `timestamp[us]` (surfaced as
+    * TimestampType or TimestampNTZType depending on the writer's
+    * isAdjustedToUTC flag). Branch on the read schema: longs are nanos
+    * and get an integral `div 1000` truncation to micros (a double
+    * round-trip would lose exactness at 2^60 nanos); timestamp columns
+    * pass through, NTZ normalized to session-tz TimestampType so every
+    * downstream consumer sees one type. DuckDB's CAST(ts AS TIMESTAMP)
+    * yields the same instants in both shapes, keeping oracles exact.
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events reads need spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(graft.Sessions.builder sets it)")
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeTs(load(spark, d, "events"))
+
+  /** Normalize the `ts` column of an events frame to session-tz
+    * TimestampType whatever physical shape it was read in (see
+    * [[events]]). Shared by the batch loader and the streaming file
+    * source ([[graft.streaming.StreamingEvents.readEventsStream]]).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => sys.error(s"events.ts: unsupported physical type $other")
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -23,19 +23,17 @@ object StreamingEvents {
   /** Production entry: stream the events table from a parquet path via
     * the file source (`spark.readStream`) — new files under the path
     * become micro-batches. Matches [[graft.sources.Tables.events]]'s
-    * read contract: nanosecond timestamps land as longs (the session's
-    * nanosAsLong conf) and truncate to microsecond TimestampType.
+    * read contract for every testdata generation: the physical `ts`
+    * shape (int64 nanos vs timestamp[us]) is discovered from the files
+    * already present (one driver-side footer peek — the file source
+    * cannot infer schemas itself) and normalized by
+    * [[graft.sources.Tables.normalizeTs]]. Later-arriving files must
+    * match the discovered schema, which is the file source's standard
+    * fixed-schema contract.
     */
   def readEventsStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val physical = spark.read.parquet(path).schema
+    graft.sources.Tables.normalizeTs(spark.readStream.schema(physical).parquet(path))
   }
 
   /** One emitted session — mirrors q_events_sessionize's output. */

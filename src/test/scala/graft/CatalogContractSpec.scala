@@ -13,17 +13,15 @@ class CatalogContractSpec extends AnyFunSuite {
 
   /** rows-only query → its ground-truth spec class (must exist). */
   private val rowsOnlySpecs: Map[String, String] = Map(
-    // q_doc_fingerprint's output IS the signature — materializing it
-    // for a replay would make the oracle read back its own answer, so
-    // it stays rows-only with the golden-window spec as ground truth.
-    // compress_ratio needs a kernel DuckDB lacks (deflate);
-    // sketch_stats uses Spark's native HLL++/KLL whose estimates are
-    // engine-specific by definition. (langid flipped to hash-verified
-    // in round 5 via the relational marker-table plan; wau_sketch
-    // flipped in round 5 by replacing the opaque binary HLL with a
-    // md5-based KMV bottom-k sketch DuckDB replays bit-identically.)
-    "q_doc_compress_ratio" -> "graft.TextFunctionsSpec",
-    "q_doc_fingerprint" -> "graft.FingerprintSpec",
+    // The ONE deliberate no-oracle query: sketch_stats uses Spark's
+    // native HLL++/GK whose estimates are engine-specific by
+    // definition (irreducibility argument in EventsQ.qSketchStats's
+    // scaladoc); SketchSpec bounds the error vs the exact answers.
+    // (langid + wau_sketch flipped to hash-verified in round 5;
+    // fingerprint + compress_ratio flipped in round 6 via the
+    // oracle-aux replay pattern — the engine-specific kernel output is
+    // published once, spec-pinned by goldens, and DuckDB independently
+    // replays the relational shell around it.)
     "q_events_sketch_stats" -> "graft.SketchSpec")
 
   /** Global single-row aggregates — the only queries exempt from the

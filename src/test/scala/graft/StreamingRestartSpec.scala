@@ -24,7 +24,12 @@ class StreamingRestartSpec extends SparkSpecBase {
   private type E = RestartEv
   private val E = RestartEv
 
-  test("checkpointed tumbling rollup survives a restart without duplicate windows") {
+  // the testdata generator has shipped events.ts as BOTH int64 nanos and
+  // timestamp[us] (NTZ) across regenerations; the restart contract must
+  // hold for either physical shape, so the same scenario runs once per
+  // shape with a fixture written in that shape
+  for (shape <- Seq("int64-nanos", "timestamp-us"))
+  test(s"checkpointed tumbling rollup survives a restart without duplicate windows ($shape)") {
     val t0 = 1700000000L
     val srcDir = Files.createTempDirectory("restart_src").toString
     val outDir = Files.createTempDirectory("restart_out").toString
@@ -34,14 +39,19 @@ class StreamingRestartSpec extends SparkSpecBase {
       // the file source watches a flat directory: stage the batch, then
       // drop its single parquet file in atomically (as an ingester would)
       val tmp = Files.createTempDirectory("restart_stage").toString
-      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val df =
+        if (shape == "int64-nanos") rows.toDF()
+        else rows.toDF().withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
       Files.copy(Paths.get(part), Paths.get(s"$srcDir/$name.parquet"))
     }
 
     def startQuery() = {
-      // nanos contract: readEventsStream expects int64 nanos in `ts`
+      // readEventsStream discovers the physical ts shape from the files
+      // present and normalizes (Tables.normalizeTs)
       val stream = StreamingEvents.readEventsStream(spark, srcDir)
       StreamingEvents.tumblingCounts(stream)
         .writeStream.format("parquet")

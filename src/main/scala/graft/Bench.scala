@@ -36,6 +36,22 @@ object Bench {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** First failure message per query, kept for the artifact's "errors"
+    * map: a 75-query fast-fail cascade with a silently-swallowed root
+    * cause (the r05→r06 sf1 pin attempt) is undiagnosable from times
+    * alone. One line per query, truncated — this is a breadcrumb, not a
+    * stack dump.
+    */
+  private val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  private def recordError(name: String, t: Throwable): Unit =
+    if (!errors.contains(name)) {
+      val root = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .foldLeft(t)((_, c) => c)
+      val msg = (root.getClass.getSimpleName + ": " +
+        Option(root.getMessage).getOrElse("").takeWhile(_ != '\n')).take(300)
+      errors(name) = msg
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated subset for focused investigation runs
@@ -63,7 +79,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
+          catch { case t: Throwable => recordError(name, t); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = timeOnce()
@@ -114,7 +130,7 @@ object Bench {
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { materialize(fn(spark, sfDir)); true }
-        catch { case _: Throwable => false }
+        catch { case t: Throwable => recordError(name, t); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = once()
@@ -135,8 +151,17 @@ object Bench {
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val subsetJson = only.fold("")(s =>
       s""","subset":${s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"regressions":$regJson,"adjudicated":$adjJson,"sf":"$sfDir"$subsetJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errJson,"regressions":$regJson,"adjudicated":$adjJson,"sf":"$sfDir"$subsetJson}"""
     // stdout can get clipped by log interleaving (BENCH_r02 lost its
     // tail); the file is the durable artifact. Subset runs default to a
     // separate file so a focused investigation can never clobber the

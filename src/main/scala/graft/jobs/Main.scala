@@ -126,17 +126,31 @@ object Main {
     IngestJob.run(spark, spec, raw, transformerFor(key, zips), warehouse, dryRun)
   }
 
-  /** Register every warehouse table directory as a temp view (the
-    * serving layer's session setup); returns the view names.
+  /** Register every table under a directory as a temp view (the
+    * serving layer's session setup); returns the view names. Handles
+    * both on-disk layouts: warehouse table DIRECTORIES (ingest output)
+    * and flat `<table>.parquet` FILES (the benchmark sf dirs), so the
+    * whole catalog — events/documents/embeddings included — is
+    * queryable interactively with `Main sql <sfDir> "..."`. An
+    * `events` table with a `ts` column goes through
+    * [[graft.sources.Tables.normalizeTs]], the same physical-shape
+    * normalization every engine query gets.
     */
   def registerWarehouse(spark: SparkSession, warehouseDir: String): Seq[String] = {
     val dir = new java.io.File(warehouseDir)
     require(dir.isDirectory, s"warehouse dir not found: $warehouseDir")
-    val tables = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
-    tables.foreach { t =>
-      spark.read.parquet(s"$warehouseDir/$t").createOrReplaceTempView(t)
+    val entries = dir.listFiles()
+    val tables = (entries.filter(_.isDirectory).map(f => f.getName -> f.getPath) ++
+      entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName.stripSuffix(".parquet") -> f.getPath))
+      .sortBy(_._1).toSeq
+    tables.foreach { case (t, path) =>
+      val raw = spark.read.parquet(path)
+      val df = if (t == "events" && raw.columns.contains("ts"))
+        graft.sources.Tables.normalizeTs(raw) else raw
+      df.createOrReplaceTempView(t)
     }
-    tables
+    tables.map(_._1)
   }
 
   /** Ad-hoc SQL over the warehouse (the FastAPI layer's per-request

@@ -134,4 +134,19 @@ class JobsCliSpec extends SparkSpecBase {
       col("text").contains("  ")).count()
     assert(dirty == 0, "shard text must be the normalized payload, not raw bytes")
   }
+
+  test("sql command serves the flat sf-table layout, events ts normalized") {
+    // interactive SQL over the benchmark dirs (flat <table>.parquet
+    // files, not warehouse subdirectories) — the full catalog must
+    // register, and events.ts must arrive timestamp-typed whichever
+    // physical shape the testdata generation used
+    val names = JobsMain.registerWarehouse(spark, sfDir)
+    assert(graft.sources.Tables.names.forall(names.contains),
+      s"missing tables: ${graft.sources.Tables.names.diff(names)}")
+    val out = JobsMain.sqlOverWarehouse(spark, sfDir,
+      "SELECT COUNT(*) AS n, MIN(ts) AS lo FROM events WHERE ts IS NOT NULL")
+    assert(out.schema("lo").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.head().getLong(0) > 0)
+  }
 }

@@ -233,31 +233,61 @@ object SimilarityQ {
        |      ORDER BY score DESC, neighbor_id ASC) AS rank
        |  FROM scored)""".stripMargin
 
-  /** Memoized kNN-graph edge table (vec_id, neighbor_id, rank, score)
-    * — one candidate-join + rerank pass per session per corpus, shared
-    * by q_emb_knn_graph and q_emb_topic_clusters.
+  private val hardNegK = 3
+
+  /** Memoized ranked candidate-edge table — ONE candidate self-join +
+    * exact-cosine rerank + one WindowExec pass per session per corpus
+    * serves the whole graph family. Two ranks come out of the same
+    * window (identical partition/order spec, so Spark evaluates both in
+    * a single sort): `rank` = row_number over ALL of an anchor's
+    * candidate neighbors (q_emb_knn_graph, q_emb_topic_clusters), and
+    * `xrank` = running count of CROSS-LABEL neighbors in the same
+    * (score desc, neighbor_id asc) order — which for a cross-label row
+    * equals its row_number within the cross-label subset, i.e. the
+    * hard-negative rank (q_emb_hard_negatives). Only rows any consumer
+    * can keep survive into the checkpoint (≤ knnK + hardNegK per
+    * anchor), so the memo stays anchor-bounded, never pair-bounded.
+    *
+    * Before this was shared, q_emb_hard_negatives re-ran the full
+    * candidate+rerank pass on every materialization: 28.2 s of a
+    * 133 s sf1 catalog for a query whose steady-state work is a filter.
     */
-  private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
-    SharedFrames.frame(s, s"knn_graph:$d") {
-      val keys = annLshKeyedFrame(s, d).select(col("vec_id"), col("bk"))
+  private def rankedPairsFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.frame(s, s"knn_ranked_pairs:$d") {
+      val keys = annLshKeyedFrame(s, d)
+        .select(col("vec_id"), col("bk"), col("label"))
       val cand = keys.join(
-          keys.select(col("vec_id").as("neighbor_id"), col("bk")), Seq("bk"))
+          keys.select(col("vec_id").as("neighbor_id"), col("bk"),
+            col("label").as("n_label")), Seq("bk"))
         .filter(col("vec_id") =!= col("neighbor_id"))
-        .select(col("vec_id"), col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"), col("label"), col("n_label"))
         .dropDuplicates("vec_id", "neighbor_id")
       val emb = Tables.embeddings(s, d)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val xlabel = col("label") =!= col("n_label")
       cand
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .join(emb.select(col("vec_id").as("neighbor_id"),
           col("embedding").as("n_emb")), Seq("neighbor_id"))
         .withColumn("score", fastCosine(col("embedding"), col("n_emb")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("score").desc, col("neighbor_id").asc)))
-        .filter(col("rank") <= knnK)
-        .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+        .select(col("vec_id"), col("neighbor_id"), col("label"),
+          col("n_label"), col("score"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("xrank",
+          sum(when(xlabel, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= knnK || (xlabel && col("xrank") <= hardNegK))
         .localCheckpoint(true)
     }
+
+  /** kNN-graph edge view (vec_id, neighbor_id, rank, score) over the
+    * shared [[rankedPairsFrame]].
+    */
+  private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
+    rankedPairsFrame(s, d)
+      .filter(col("rank") <= knnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
 
   /** Approximate kNN GRAPH — every corpus vector's top-5 neighbors
     * among its LSH band-collision candidates (directed edges; vectors
@@ -341,8 +371,6 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }.preparedBy(prepareAnnLshKeys)
 
-  private val hardNegK = 3
-
   /** HARD-NEGATIVE MINING for retrieval/metric training (the standard
     * contrastive-training data op: for each anchor, the most similar
     * vectors of a DIFFERENT label are the negatives that actually move
@@ -350,9 +378,11 @@ object SimilarityQ {
     * cross-label neighbors per anchor among its LSH band collisions,
     * exact-cosine ranked.
     *
-    * Scale shape: same keys-only self-join as the kNN graph — the
-    * label filter applies to candidate PAIRS (labels ride the keyed
-    * frame, so no extra join), and only surviving pairs rerank.
+    * Scale shape: rides the shared [[rankedPairsFrame]] — the label
+    * filter applies to candidate PAIRS (labels ride the keyed frame,
+    * so no extra join), and the cross-label rank (`xrank`) comes out
+    * of the same single window pass that ranks the kNN graph, so this
+    * query's own work is a filter over the memoized edge table.
     * ORACLE REPLAY: band-key table + the embeddings' own labels.
     */
   val qEmbHardNegatives: Q = Q.sql(
@@ -380,26 +410,10 @@ object SimilarityQ {
        |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= $hardNegK
        |ORDER BY vec_id ASC, rank ASC""".stripMargin) { (s, d) =>
-    val keys = annLshKeyedFrame(s, d)
-      .select(col("vec_id"), col("bk"), col("label"))
-    val cand = keys.join(
-        keys.select(col("vec_id").as("neighbor_id"), col("bk"),
-          col("label").as("n_label")), Seq("bk"))
-      .filter(col("vec_id") =!= col("neighbor_id") &&
-        col("label") =!= col("n_label"))
-      .select(col("vec_id"), col("neighbor_id"))
-      .dropDuplicates("vec_id", "neighbor_id")
-    val emb = Tables.embeddings(s, d)
-    cand
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(emb.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb")), Seq("neighbor_id"))
-      .withColumn("score", fastCosine(col("embedding"), col("n_emb")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= hardNegK)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+    rankedPairsFrame(s, d)
+      .filter(col("label") =!= col("n_label") && col("xrank") <= hardNegK)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("xrank").cast(IntegerType).as("rank"), col("score"))
       .orderBy(col("vec_id").asc, col("rank").asc)
   }.preparedBy(prepareAnnLshKeys)
 

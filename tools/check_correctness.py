@@ -7,6 +7,7 @@ row count, and exact values (columns sorted by name, rows in result
 order). Reports per-query PASS/FAIL with first-diff detail.
 
 Usage: python3 tools/check_correctness.py [sfDir] [outDir] [--skip-verify]
+         [--only q_a,q_b]   # local iteration: verify+check only these
 """
 import json
 import math
@@ -16,6 +17,11 @@ from pathlib import Path
 import duckdb
 import pyarrow.parquet as pq
 
+ONLY = None
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = set(sys.argv[i + 1].split(","))
+    del sys.argv[i:i + 2]
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,7 +30,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def run_verify():
     import subprocess
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    names = f" {','.join(sorted(ONLY))}" if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}{names}']
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
@@ -51,7 +58,7 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     n_pass = n_fail = 0
-    for name in sorted(oracle):
+    for name in sorted(n for n in oracle if ONLY is None or n in ONLY):
         sql = oracle[name]
         res_dir = OUT_DIR / name
         files = list(res_dir.glob("*.parquet")) if res_dir.exists() else []

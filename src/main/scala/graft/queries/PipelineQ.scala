@@ -1765,6 +1765,89 @@ object PipelineQ {
       .orderBy(col("doc_id").asc, col("copy").asc)
   }
 
+  /** UNIMAX language mixing (Chung et al., ICLR 2023): distribute a
+    * total char budget UNIFORMLY across languages, except that no
+    * language may repeat more than `unimaxEpochCap` epochs — the
+    * closed-form waterfilling that paper shows beats temperature
+    * sampling for multilingual pretraining. Languages in ascending
+    * char-mass order: each takes min(cap · mass, remaining / langs
+    * left); a language that saturates at the cap frees its unused
+    * share for the larger languages after it. epochs_l = alloc_l /
+    * mass_l is then REALIZED exactly like [[qEpochMix]]: floor(epochs)
+    * full copies + one md5-cut fractional copy, so expected char mass
+    * per language lands on the allocation.
+    *
+    * Determinism: the allocation is a sequential fold over ≤ #langs
+    * rows — driver-side here, a pinned-order recursive CTE in the
+    * oracle — with every step a single IEEE double op on identical
+    * operands (masses are exact integer-valued doubles; sums stay
+    * below 2^53), so the fold replays bit-identically. Budget = half
+    * the corpus chars, cap = 2 epochs.
+    *
+    * Scale shape: identical to the other mixing ops — one map-side-
+    * combined per-lang aggregate (≤ #langs rows collected), a
+    * broadcast rate table, and the copy count computed in the scan;
+    * the corpus itself never shuffles.
+    */
+  private[graft] val unimaxEpochCap = 2.0
+
+  val qUnimaxMix: Q = Q.sql(
+    "q_doc_unimax_mix",
+    """WITH RECURSIVE stats AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS mass,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(n_chars) AS DOUBLE) ASC, lang ASC) AS rn
+      |  FROM documents GROUP BY lang),
+      |meta AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nl, SUM(mass) * 0.5 AS budget
+      |  FROM stats),
+      |alloc AS (
+      |  SELECT s.rn, s.lang, s.mass, m.nl,
+      |    LEAST(2.0 * s.mass, m.budget / CAST(m.nl AS DOUBLE)) AS a,
+      |    m.budget - LEAST(2.0 * s.mass, m.budget / CAST(m.nl AS DOUBLE)) AS remaining
+      |  FROM stats s CROSS JOIN meta m WHERE s.rn = 1
+      |  UNION ALL
+      |  SELECT s.rn, s.lang, s.mass, p.nl,
+      |    LEAST(2.0 * s.mass, p.remaining / CAST(p.nl - s.rn + 1 AS DOUBLE)),
+      |    p.remaining - LEAST(2.0 * s.mass, p.remaining / CAST(p.nl - s.rn + 1 AS DOUBLE))
+      |  FROM alloc p JOIN stats s ON s.rn = p.rn + 1),
+      |rates AS (SELECT lang, a / mass AS epochs FROM alloc),
+      |counted AS (
+      |  SELECT d.doc_id, d.lang,
+      |    CAST(floor(r.epochs) AS BIGINT)
+      |    + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |        lpad(lower(to_hex(CAST(floor((r.epochs - floor(r.epochs)) * 4294967296.0) AS BIGINT))), 8, '0')
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN rates r USING (lang))
+      |SELECT doc_id, lang, unnest(range(0, n_copies)) AS copy
+      |FROM counted WHERE n_copies > 0
+      |ORDER BY doc_id ASC, copy ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("lang").agg(sum("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy { case (lang, mass) => (mass, lang) }
+    val nl = stats.length
+    val budget = stats.map(_._2).sum * 0.5
+    var remaining = budget
+    val rates = stats.zipWithIndex.map { case ((lang, mass), i) =>
+      // mirrors the oracle's recursive step: fair share over langs left
+      val alloc = math.min(unimaxEpochCap * mass, remaining / (nl - i).toDouble)
+      remaining -= alloc
+      (lang, alloc / mass)
+    }.toSeq
+    import s.implicits._
+    val frac = col("epochs") - floor(col("epochs"))
+    docs.join(broadcast(rates.toDF("lang", "epochs")), "lang")
+      .withColumn("n_copies",
+        floor(col("epochs")).cast(LongType) +
+          when(docHashPrefix <
+            lpad(lower(hex(floor(frac * lit(4294967296.0)).cast(LongType))), 8, "0"),
+            lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .orderBy(col("doc_id").asc, col("copy").asc)
+  }
+
   // -------------------------------------------------------------------
   // Incremental dedup (new crawl batch vs existing corpus)
   // -------------------------------------------------------------------
@@ -1931,6 +2014,6 @@ object PipelineQ {
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
-    qMixBalance, qTemperatureMix, qEpochMix, qIncrementalDedup, qSnapshotDiff,
-    qCorpusProfile, qQualityCut, qDupStats)
+    qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
+    qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats)
 }

@@ -568,19 +568,77 @@ object SimilarityQ {
        |   OR substring(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) <
        |      lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
-    // clusterBalance reads the assignment twice (rate subtree + output
-    // join); checkpoint so the O(n·k·d) assignUdf scan runs once, and
-    // memoize it per (session, corpus) like the sibling IVF frames
-    val assigned = SharedFrames.frame(s, s"ivf_assigned:$d") {
+    clusterBalance(assignedWithDist(s, d).select(col("vec_id"), col("cid")))
+  }.preparedBy(prepareCentroids(ivfAuxDir))
+
+  /** Memoized (vec_id, cid, cdist) nearest-centroid assignment over
+    * the corpus — ONE O(n·k·d) argmin scan per (session, corpus),
+    * checkpointed, shared by q_emb_cluster_balance (which only needs
+    * the cid) and q_emb_prune_prototypes (which ranks on the
+    * distance). The single-pass assignWithDistUdf means adding the
+    * distance consumer cost nothing over the old cid-only frame.
+    */
+  private def assignedWithDist(s: org.apache.spark.sql.SparkSession,
+                               d: String): DataFrame =
+    SharedFrames.frame(s, s"ivf_assigned:$d") {
       import graft.functions.IvfFunctions
       val emb = Tables.embeddings(s, d)
       val centroids = corpusCentroids(s, d, emb)
       val bc = IvfFunctions.broadcastCentroids(emb, centroids)
-      emb.withColumn("cid", IvfFunctions.assignUdf(bc)(col("embedding")))
-        .select(col("vec_id"), col("cid"))
+      emb.withColumn("__a", IvfFunctions.assignWithDistUdf(bc)(col("embedding")))
+        .select(col("vec_id"), col("__a._1").as("cid"), col("__a._2").as("cdist"))
         .localCheckpoint(true)
     }
-    clusterBalance(assigned)
+
+  /** PROTOTYPICALITY pruning (Sorscher et al., NeurIPS 2022 "Beyond
+    * neural scaling laws"): when data is abundant, dropping the
+    * EASIEST examples beats random pruning — and the self-supervised
+    * prototypicality metric is exactly the distance to the example's
+    * k-means centroid. Keep the hard half of every cluster: rank
+    * within cluster by squared-L2 distance to the assigned centroid
+    * DESCENDING and keep ceil(cluster/2) (ceil so singleton clusters
+    * survive — a topic with one document is not "easy", it's rare).
+    *
+    * HASH-VERIFIED including the distance column: both engines run
+    * the identical ascending-dimension (v−c)² fold on identical
+    * operands, so the doubles replay bit-exactly (same argument as
+    * the ANN cosine scores).
+    *
+    * Scale shape: assignment fuses into the scan (broadcast
+    * centroids, memoized frame shared with cluster balance); the
+    * rank/count windows shuffle (vec_id, cid, cdist) triples only —
+    * 20 bytes/row, never the vectors. Cluster sizes are bounded by
+    * the adaptive-k trainer (k ≈ n/125), so per-cluster sorts stay
+    * flat as the corpus grows.
+    */
+  val qEmbPrunePrototypes: Q = Q.sql(
+    "q_emb_prune_prototypes",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid, d AS cdist FROM (
+       |    SELECT vec_id, cid, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT vec_id, cid, cdist,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY cdist DESC, vec_id ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cid) AS cnt
+       |  FROM assigned)
+       |SELECT vec_id, cid, cdist FROM ranked
+       |WHERE rk * 2 <= cnt + 1
+       |ORDER BY vec_id ASC""".stripMargin,
+    doc = "ORACLE REPLAY: engine-trained k-means centroids (kernel " +
+      "pinned by DistributedKMeansSpec); DuckDB replays assignment, " +
+      "hardness ranking, and the keep-half cut.") { (s, d) =>
+    assignedWithDist(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("cdist").desc, col("vec_id").asc)))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .filter(col("rk") * 2 <= col("cnt") + 1)
+      .select(col("vec_id"), col("cid"), col("cdist"))
+      .orderBy(col("vec_id").asc)
   }.preparedBy(prepareCentroids(ivfAuxDir))
 
   /** The rate-table rebalance over any (vec_id, cid) assignment —
@@ -1566,5 +1624,6 @@ object SimilarityQ {
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
-    qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives)
+    qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
+    qEmbPrunePrototypes)
 }

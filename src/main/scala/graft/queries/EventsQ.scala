@@ -565,7 +565,45 @@ object EventsQ {
       .orderBy(col("event_id").asc)
   }
 
+  /** DEBOUNCE — burst suppression per (user_id, event_type): keep an
+    * event iff it is the first of its key or ≥ 60 s after the
+    * PREVIOUS event of that key (lag semantics, the stateless cousin
+    * of sessionization's gap test: a long burst emits its first event
+    * plus one per quiet-gap crossing, not one per minute). The
+    * telemetry-ingest dedup for retry storms and double-fires.
+    *
+    * Scale shape: one window keyed by (user_id, event_type) — the
+    * same natural shuffle key as every per-user op here, no skew
+    * beyond the per-user event count, and the comparison is integer
+    * microseconds (exact in both engines).
+    */
+  val qDebounce: Q = Q.sql(
+    "q_events_debounce",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT event_id, user_id, event_type, ts_us,
+      |    lag(ts_us) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts_us ASC, event_id ASC) AS prev_us
+      |  FROM e)
+      |SELECT event_id, user_id, event_type, ts_us
+      |FROM flagged
+      |WHERE prev_us IS NULL OR ts_us - prev_us >= 60000000
+      |ORDER BY event_id ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("ts_us") - col("prev_us") >= 60000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
-    qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange)
+    qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{stopwords, tokens}
 
 /** Training-data pipeline operators beyond pairwise dedup — the
   * operations that turn a cleaned corpus into training shards at
@@ -2009,11 +2009,85 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** TOKEN-BUDGET corpus selection — the data-constrained-scaling op
+    * (Muennighoff et al. 2023 territory): given a training budget of
+    * B tokens (here half the corpus), keep the BEST B tokens, where
+    * "best" ranks documents by a quality tier (stopword density as
+    * the natural-language signal, quantized to integer permille so
+    * the rank key is engine-exact) and the budget line is drawn by an
+    * exclusive prefix sum of token counts in (tier DESC, doc_id ASC)
+    * order — a document is kept iff its tokens START inside the
+    * budget, so exactly one document straddles the line.
+    *
+    * Scale shape: a GLOBAL quality-ordered running sum would be a
+    * single-task window, so the prefix sum is two-phase like
+    * [[packIntoShards]] — but bucketed by the quality TIER itself
+    * (≤ 1001 integer permille values): per-tier partial sums, a
+    * ≤ 1001-row driver prefix in descending-tier order, then a
+    * per-tier window + broadcast offset join. Ordering by (tier DESC,
+    * doc_id) IS the global quality order because the tier is the
+    * leading sort key — the same bucket-is-a-prefix-of-the-key trick
+    * as the global shuffle's hex buckets.
+    */
+  val qTokenBudgetSelect: Q = Q.sql(
+    "q_doc_token_budget_select",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      w -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], w))) AS BIGINT) AS n_stop
+       |  FROM documents WHERE length(text) > 0),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(floor(CAST(1000 * n_stop AS DOUBLE) / n_tokens) AS BIGINT) AS tier
+       |  FROM t WHERE n_tokens > 0),
+       |b AS (SELECT SUM(n_tokens) // 2 AS budget FROM s),
+       |r AS (
+       |  SELECT doc_id, n_tokens, tier,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY tier DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+       |  FROM s)
+       |SELECT doc_id, tier, n_tokens
+       |FROM r CROSS JOIN b
+       |WHERE strt < budget
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val toks = tokens(col("text"))
+    val scored0 = Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+        size(filter(toks, w => w.isin(stopwords: _*))).cast(LongType).as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tier",
+        floor((col("n_stop") * 1000).cast(DoubleType) / col("n_tokens"))
+          .cast(LongType))
+      .select(col("doc_id"), col("n_tokens"), col("tier"))
+    val scored =
+      if (scored0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        scored0.cache()
+      else scored0
+    val budget = scored.agg(sum("n_tokens")).head.getLong(0) / 2
+    // two-phase prefix: per-tier sums, driver prefix in tier-DESC order
+    val tierSums = scored.groupBy("tier").agg(sum("n_tokens").as("tsum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (tier, _) => -tier }
+    val offsets = prefixOffsets(tierSums.toSeq)
+    val offsetDf = broadcast(offsets.toDF("tier", "__offset"))
+    val w = Window.partitionBy("tier").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(offsetDf, "tier")
+      .withColumn("strt",
+        sum(col("n_tokens")).over(w) + col("__offset") - col("n_tokens"))
+      .filter(col("strt") < budget)
+      .select(col("doc_id"), col("tier"), col("n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
-    qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats)
+    qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect)
 }

@@ -516,6 +516,76 @@ class PlanAuditSpec extends SparkSpecBase {
       s"band self-join must be keys-only:\n$joinLine")
   }
 
+  test("soft dedup aggregates hashes partially and joins back without text payload") {
+    val p = plan("q_doc_softdedup")
+    // multiplicity count is a partial-then-final hash aggregate on h
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+    // the count side of the join carries the 16-byte hash only — text is
+    // consumed by md5 in the scan and never crosses an exchange
+    val o = optimized("q_doc_softdedup")
+    val aggLine = o.linesIterator.find(_.contains("Aggregate")).getOrElse("")
+    assert(aggLine.contains("h") && !aggLine.contains("text"), aggLine)
+  }
+
+  test("edit-distance rerank joins keys only — prefixes attach per candidate pair") {
+    // pair dedup groups on exactly (doc_a, doc_b): neither the band
+    // table payload nor a text column may ride the candidate self-join
+    val o = optimized("q_doc_editdist_neardup")
+    val dedupLine = o.linesIterator.find(l =>
+      l.contains("Aggregate") && l.contains("doc_a") && l.contains("doc_b"))
+    assert(dedupLine.isDefined, o.linesIterator.take(8).mkString("\n"))
+    assert(!dedupLine.get.contains("text") && !dedupLine.get.contains("pa"),
+      s"payload leaked into the candidate join: ${dedupLine.get}")
+  }
+
+  test("unimax mix broadcasts the rate table and expands copies in the scan stage") {
+    val p = plan("q_doc_unimax_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate join must broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val gen = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val exch = p.linesIterator.indexWhere(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(gen >= 0, p.linesIterator.take(10).mkString("\n"))
+    assert(exch < 0 || exch < gen,
+      "explode must run before any shuffle (only the output sort exchanges)")
+  }
+
+  test("prototype pruning windows over cid triples — no vectors, no single partition") {
+    val p = plan("q_emb_prune_prototypes")
+    assert(!p.contains("SinglePartition"),
+      s"per-cluster ranking regressed to a global window:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("cid"), s"window must partition by cid: $windowLine")
+    // past the memoized assignment checkpoint only (vec_id, cid, cdist)
+    // triples flow — the embedding column must not reappear
+    assert(!p.contains("embedding"),
+      "embedding payload leaked past the assignment checkpoint")
+  }
+
+  test("token-budget selection is two-phase — tier-partitioned window, broadcast offsets") {
+    val p = plan("q_doc_token_budget_select")
+    assert(!p.contains("SinglePartition"),
+      s"budget prefix sum regressed to a global window:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("tier"), s"window must partition by tier: $windowLine")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=1001-row tier offset table must broadcast")
+  }
+
+  test("debounce windows on the (user, type) key and prunes unused event columns") {
+    val p = plan("q_events_debounce")
+    assert(!p.contains("SinglePartition"), p)
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("user_id") && windowLine.contains("event_type"),
+      s"window must partition by the debounce key: $windowLine")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"),
+      s"scan reads the unused props column: $readSchema")
+  }
+
   test("hard negatives filter labels on the shared ranked-edge frame") {
     // labels ride the keyed frame into the ONE shared candidate+rerank
     // pass (rankedPairsFrame), so the cross-label predicate must appear

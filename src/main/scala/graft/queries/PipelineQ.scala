@@ -1310,6 +1310,90 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** WITHIN-document line dedup — the self-repetition scrub the
+    * C4/RefinedWeb recipes run before any cross-corpus dedup: a line
+    * survives iff it is the FIRST occurrence of its exact text inside
+    * its own document (nav menus, cookie banners, and boilerplate
+    * footers repeated down a page collapse to one copy; cross-document
+    * boilerplate is q_doc_paragraph_dedup's job). Reassembly preserves
+    * original line order by construction.
+    *
+    * Scale shape: pure per-row array work in the scan — zero shuffle
+    * before the output sort. The first-occurrence test is
+    * list_position (first index) against the line's own index, O(L²)
+    * string compares per doc worst case, bounded by per-document line
+    * counts — never by corpus size.
+    */
+  val qSelfDedupLines: Q = Q.sql(
+    "q_doc_selfdedup_lines",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents),
+      |k AS (
+      |  SELECT doc_id, ln,
+      |    list_transform(
+      |      list_filter(range(1, len(ln) + 1), i -> list_position(ln, ln[i]) = i),
+      |      i -> ln[i]) AS kept
+      |  FROM l)
+      |SELECT doc_id,
+      |  CAST(len(ln) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(kept, chr(10)) AS clean_text
+      |FROM k
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val lns = split(col("text"), "\n", -1)
+    val kept = filter(lns, (l, i) => array_position(lns, l) === (i + 1).cast(LongType))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(lns).cast(LongType).as("n_lines"),
+        size(kept).cast(LongType).as("n_kept"),
+        array_join(kept, "\n").as("clean_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** PII exposure AUDIT — the aggregate sibling of [[qRedact]]: instead
+    * of rewriting documents, report per source how much redactable
+    * surface exists (total email/URL hits and the fraction of
+    * documents carrying any). The triage signal that decides which
+    * sources need the redaction pass at all.
+    *
+    * Scale shape: regexp_extract_all counts compute per-row in the
+    * scan; the rollup is one map-side-combined aggregate to ≤ #sources
+    * rows. Patterns are the proven Java/RE2-compatible pair from
+    * qRedact, so counts agree across engines.
+    */
+  val qPiiStats: Q = Q.sql(
+    "q_doc_pii_stats",
+    """WITH per_doc AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  SUM(n_url) AS total_urls,
+      |  SUM(n_email) AS total_emails,
+      |  CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS pii_doc_frac
+      |FROM per_doc
+      |GROUP BY source
+      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
+          .cast(LongType).as("n_url"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast(LongType).as("n_email"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_url").as("total_urls"),
+        sum("n_email").as("total_emails"),
+        (sum(when(col("n_url") + col("n_email") > 0, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1))).as("pii_doc_frac"))
+      .orderBy(col("source").asc)
+  }
+
   // -------------------------------------------------------------------
   // Cluster representative selection (quality-aware dedup)
   // -------------------------------------------------------------------
@@ -2089,5 +2173,6 @@ object PipelineQ {
     qContamination, qRedact,
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
-    qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect)
+    qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect,
+    qSelfDedupLines, qPiiStats)
 }

@@ -586,6 +586,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"scan reads the unused props column: $readSchema")
   }
 
+  test("self line-dedup is per-row array work — shuffle-free up to the output sort") {
+    val p = plan("q_doc_selfdedup_lines")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges <= 1, s"more than the output-sort exchange:\n$p")
+    assert(!p.contains("Join"), "no join belongs in a per-row scrub")
+  }
+
+  test("pii stats aggregate partially — regex counts compute in the scan") {
+    val p = plan("q_doc_pii_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(10).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("SinglePartition"), p)
+  }
+
   test("hard negatives filter labels on the shared ranked-edge frame") {
     // labels ride the keyed frame into the ONE shared candidate+rerank
     // pass (rankedPairsFrame), so the cross-label predicate must appear

@@ -268,6 +268,43 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_ngram_diversity")(spark, bigDir).count()
     }
 
+    // --- round-6 continuation: dedup-adjacent + selection ops ---------
+    // softdedup on the 90%-dup corpus is the op's DESIGN case (every
+    // cluster size 10 → weight 0.1). editdist rides the same
+    // duplicate-heavy band-collision worst case as knn_graph_10x, with
+    // the per-pair cost capped by the 256-char prefix DP. unimax and
+    // token-budget are scan + tiny-table ops and must scale linearly.
+    time(s"softdedup_10x(${n * 10} docs, 90% dups)") {
+      SparkEntry.queries("q_doc_softdedup")(spark, bigDir).count()
+    }
+    time("editdist_neardup_10x(duplicate-heavy candidates)") {
+      SparkEntry.queries("q_doc_editdist_neardup")(spark, bigDir).count()
+    }
+    time("unimax_mix_10x") {
+      SparkEntry.queries("q_doc_unimax_mix")(spark, bigDir).count()
+    }
+    time("token_budget_select_10x") {
+      SparkEntry.queries("q_doc_token_budget_select")(spark, bigDir).count()
+    }
+    time(s"prune_prototypes_10x(${nEmb * 10} vecs)") {
+      SparkEntry.queries("q_emb_prune_prototypes")(spark, bigDir).count()
+    }
+    // debounce at 10x users: replicate events with disjoint user ids —
+    // key cardinality grows 10x, per-key history stays constant (the
+    // window op's scaling axis)
+    locally {
+      val events = graft.sources.Tables.events(spark, sfDir)
+      val nu = events.agg(max("user_id")).head.getLong(0) + 1
+      events.crossJoin(spark.range(10).select(col("id").as("copy")))
+        .select((col("event_id") * 10 + col("copy")).as("event_id"), col("ts"),
+          (col("user_id") + col("copy") * nu).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      time("debounce_10x(10x users)") {
+        SparkEntry.queries("q_events_debounce")(spark, bigDir).count()
+      }
+    }
+
     spark.stop()
   }
 }

@@ -1343,10 +1343,14 @@ object TextQ {
     * (vocab, bigrams); scoring explodes mapped bigrams, pre-aggregates
     * per (doc, gram) map-side, broadcast-joins the model table, and
     * re-aggregates per doc — same plan class as q_doc_quality_model.
-    * The tercile NTILE is a single-partition window over doc-count
-    * rows (exact, catalog-sized); at 100 TB you replace it with
-    * CCNet's actual production shape — cutoffs computed once from a
-    * sample and broadcast as constants — without touching the scorer.
+    * The tercile is EXACT NTILE(3) semantics computed without a
+    * single-partition window: two-phase global rank over a quantized
+    * lm_bits bucketing (the same prefix-sum machinery as the shard
+    * packer and q_doc_token_budget_select), then the NTILE cut
+    * arithmetic on the exact rank — so the op survives corpus-scale
+    * doc counts as-is. (CCNet's production shape — sampled cutoffs
+    * broadcast as constants — remains the cheaper approximation if
+    * exactness is ever relaxed.)
     */
   val qLmPerplexity: Q = Q.sql(
     "q_doc_lm_perplexity",
@@ -1383,11 +1387,10 @@ object TextQ {
        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
        |FROM e
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
     val vocab = lmVocab(s, d)
     val lp = lmTable(s, d).filter(col("kind") === "b").select("term", "lp")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("lm_bits").asc, col("doc_id").asc)
-    lmPairs(Tables.documents(s, d), vocab)
+    val scored0 = lmPairs(Tables.documents(s, d), vocab)
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .join(broadcast(lp), col("term") === col("gram"))
       .groupBy("doc_id")
@@ -1395,9 +1398,36 @@ object TextQ {
         sum(col("c")).cast(LongType).as("np"))
       .select(col("doc_id"), (col("np") + 1).as("n_tokens"),
         (negate(col("s")).cast(DoubleType) / col("np")).as("lm_bits"))
+    val scored =
+      if (scored0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        scored0.cache()
+      else scored0
+    // exact NTILE(3) without a single-partition window: global rank by
+    // (lm_bits, doc_id) via the two-phase prefix pattern — bucket on a
+    // 1/16-bit quantization of lm_bits (a PREFIX of the sort key, so
+    // (bucket, lm_bits, doc_id) order IS the global order), per-bucket
+    // counts to a bounded driver prefix, per-bucket row_number +
+    // broadcast offsets, then the standard NTILE cut arithmetic on the
+    // exact rank. Replaces the documented single-partition tercile —
+    // the same rank machinery as q_doc_token_budget_select.
+    val bucketed = scored.withColumn("__b",
+      floor(col("lm_bits") * 16).cast(LongType))
+    val sums = bucketed.groupBy("__b").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = sums.map(_._2).sum
+    var acc = 0L
+    val offsets = sums.map { case (b, bn) => val o = acc; acc += bn; (b, o) }
+    val (q3, r3) = (total / 3, total % 3)
+    val cut1 = q3 + (if (r3 >= 1) 1L else 0L)
+    val cut2 = cut1 + q3 + (if (r3 >= 2) 1L else 0L)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("lm_bits").asc, col("doc_id").asc)
+    bucketed.join(broadcast(offsets.toSeq.toDF("__b", "__offset")), "__b")
+      .withColumn("__rn", row_number().over(wB) + col("__offset"))
       .withColumn("ppl_bucket",
-        when(ntile(3).over(w) === 1, "head")
-          .when(ntile(3).over(w) === 2, "middle").otherwise("tail"))
+        when(col("__rn") <= cut1, "head")
+          .when(col("__rn") <= cut2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col("n_tokens"), col("lm_bits"), col("ppl_bucket"))
       .orderBy(col("doc_id").asc)
   }.preparedBy(prepareLm)
 

@@ -148,6 +148,66 @@ object StreamingEvents {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
   }
 
+  /** A debounced event row (event-time microseconds). */
+  final case class DebEv(event_id: Long, user_id: Long, event_type: String,
+                         ts_us: Long)
+  /** Debounce state: the last SEEN event time per key — lag semantics,
+    * matching the batch q_events_debounce (the gap is measured from
+    * the previous event, kept or not).
+    */
+  final case class DebState(lastUs: Long)
+
+  /** Streaming debounce — the streaming form of q_events_debounce:
+    * per (user_id, event_type), an event is emitted iff it is the
+    * key's first or ≥ `gapUs` after the PREVIOUS event of that key.
+    * Batch parity holds under event-time-ordered arrival (each
+    * micro-batch is sorted by event time before the state fold, so
+    * intra-batch disorder is corrected; an event arriving in a LATER
+    * batch than a successor — late data past the batch boundary — is
+    * judged against the state as-of its arrival, the same contract as
+    * dropDuplicatesWithinWatermark).
+    *
+    * State per key is O(1) (one timestamp), expired by event-time
+    * timeout once the watermark passes `gapUs` beyond the last event —
+    * after expiry the key's next event counts as a first again, which
+    * is exactly what the batch lag test would conclude for a gap that
+    * large. State is O(active keys within the horizon), never
+    * O(stream length).
+    */
+  def debounceStream(events: DataFrame, gapUs: Long = 60000000L,
+                     watermarkDelay: String = "30 minutes"): Dataset[DebEv] = {
+    import events.sparkSession.implicits._
+
+    def flush(key: (Long, String), rows: Iterator[DebEv],
+              state: GroupState[DebState]): Iterator[DebEv] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+        var last = state.getOption.map(_.lastUs)
+        val out = sorted.flatMap { e =>
+          val keep = last.forall(l => e.ts_us - l >= gapUs)
+          last = Some(e.ts_us)
+          if (keep) Some(e) else None
+        }
+        last.foreach { l =>
+          state.update(DebState(l))
+          state.setTimeoutTimestamp(l / 1000L + gapUs / 1000L + 1L)
+        }
+        out.iterator
+      }
+    }
+
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      // ts stays in the frame (not projected away): the event-time
+      // timeout needs the watermarked column to reach the stateful op
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .as[DebEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
+  }
+
   /** Stream-stream view→click attribution join — the streaming form of
     * the batch q_events_attribution. Both sides are watermarked and the
     * join carries an event-time range (`c_ts ∈ [v_ts, v_ts + maxLag]`),

@@ -387,6 +387,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("CartesianProduct"), p)
+    // the tercile rank is two-phase (quantized-bits buckets), never the
+    // old single-partition NTILE window
+    assert(!p.contains("SinglePartition"),
+      s"tercile regressed to a global window:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__b"),
+      s"rank window must partition by the bits bucket: $windowLine")
   }
 
   test("bm25 broadcasts query terms and idf — postings shuffle, corpus doesn't") {

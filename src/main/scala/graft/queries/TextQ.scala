@@ -505,7 +505,7 @@ object TextQ {
   /** Memoized (doc_id, sh) shingle frame — feeds the signature pass
     * and both payload re-joins of the exact-Jaccard rerank.
     */
-  private def minhashShingles(s: org.apache.spark.sql.SparkSession,
+  private[graft] def minhashShingles(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
     SharedFrames.frame(s, s"minhash_shingles:$d") {
       Tables.documents(s, d)
@@ -519,7 +519,7 @@ object TextQ {
     * pass per session per corpus; PURE (the oracle-replay parquet
     * publish lives in the query's prepare hook).
     */
-  private def minhashBandedFrame(s: org.apache.spark.sql.SparkSession,
+  private[graft] def minhashBandedFrame(s: org.apache.spark.sql.SparkSession,
                                  d: String): DataFrame = {
     graft.expressions.MinhashSig.ensureRegistered(s)
     val rowsPerBand = minhashK / minhashBands
@@ -1958,10 +1958,98 @@ object TextQ {
     }
   }
 
+  /** INCREMENTAL near-dup — a new crawl batch against the EXISTING
+    * corpus (the near-dup sibling of q_doc_incremental_dedup's exact
+    * pass): batch docs whose MinHash bands collide with any corpus
+    * doc's are candidates, candidates are verified by exact shingle
+    * Jaccard ≥ 0.5, and the query returns the batch's SURVIVORS —
+    * documents that are near-duplicates of nothing already kept. The
+    * deterministic doc_id%3 split stands in for the batch boundary.
+    *
+    * Scale shape: candidates come from a keys-only (band, bh) join —
+    * at production scale the corpus side IS the persistent BUCKETED
+    * band index ([[graft.sink.BandIndex]]: batch-only shuffle,
+    * index read bucket-aligned with zero Exchange, appends preserve
+    * the spec; BandIndexSpec proves result-identity with this
+    * query's join and pins the single-Exchange plan). The Jaccard
+    * rerank joins shingles for candidate pairs only.
+    *
+    * ORACLE REPLAY: DuckDB reads the published band table, splits it
+    * by the same %3 rule, and replays candidates, exact rerank, and
+    * the anti-join from raw documents.
+    */
+  val qIncrementalNearDup: Q = Q.sql(
+    "q_doc_incremental_neardup",
+    s"""WITH banded AS (
+       |  SELECT doc_id, band, bh
+       |  FROM read_parquet('$minhashBandsAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh
+       |   AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.batch_doc, c.corpus_doc, COUNT(*) AS shr
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.batch_doc
+       |  JOIN sh b ON b.doc_id = c.corpus_doc AND b.shingle = a.shingle
+       |  GROUP BY c.batch_doc, c.corpus_doc),
+       |hit AS (
+       |  SELECT DISTINCT s.batch_doc
+       |  FROM shared s
+       |  JOIN sizes sa ON s.batch_doc = sa.doc_id
+       |  JOIN sizes sb ON s.corpus_doc = sb.doc_id
+       |  WHERE CAST(s.shr AS DOUBLE) / (sa.n + sb.n - s.shr) >= 0.5)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT batch_doc FROM hit)
+       |ORDER BY doc_id ASC""".stripMargin,
+    doc = "ORACLE REPLAY: engine-published MinHash band table; DuckDB " +
+      "replays the batch/corpus split, candidates, exact-Jaccard " +
+      "rerank, and the survivor anti-join.") { (s, d) =>
+    val banded = minhashBandedFrame(s, d)
+    val sh = minhashShingles(s, d)
+    val cand = banded.filter(col("doc_id") % 3 === 0).as("a")
+      .join(banded.filter(col("doc_id") % 3 =!= 0).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .dropDuplicates("batch_doc", "corpus_doc")
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+      size(array_union(col("sh_a"), col("sh_b")))
+    val hit = cand
+      .join(sh.select(col("doc_id").as("batch_doc"), col("sh").as("sh_a")),
+        Seq("batch_doc"))
+      .join(sh.select(col("doc_id").as("corpus_doc"), col("sh").as("sh_b")),
+        Seq("corpus_doc"))
+      .filter(jac >= 0.5)
+      .select(col("batch_doc").as("doc_id"))
+      .distinct()
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+      .join(hit, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, minhashBandsAuxDir, d) {
+      OracleAux.write(minhashBandedFrame(s, d), minhashBandsAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
-    qNgramDiversity, qSoftDedup, qEditDistNearDup)
+    qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup)
 }

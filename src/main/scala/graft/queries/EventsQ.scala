@@ -603,7 +603,57 @@ object EventsQ {
       .orderBy(col("event_id").asc)
   }
 
+  /** Event-type TRANSITION matrix — first-order behavioral sequence
+    * mining: per user, order events by time and count (prev_type →
+    * type) transitions across the whole population, with each type's
+    * outgoing total alongside so a consumer can read P(next | prev)
+    * off the row (the probability itself stays a ratio of exact
+    * counts — engine-portable by construction).
+    *
+    * Scale shape: ONE window keyed by user_id (the same natural
+    * shuffle as sessionize — per-user history, no cross-user state),
+    * then a map-side-combined aggregate to ≤ |types|² rows. The
+    * outgoing totals re-aggregate the 25-row transition table itself,
+    * not the events.
+    */
+  val qTransitions: Q = Q.sql(
+    "q_events_transitions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type AS next_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS prev_type
+      |  FROM e),
+      |t AS (
+      |  SELECT prev_type, next_type, COUNT(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type),
+      |o AS (SELECT prev_type, SUM(n) AS out_n FROM t GROUP BY prev_type)
+      |SELECT t.prev_type, t.next_type, t.n,
+      |  CAST(t.n AS DOUBLE) / o.out_n AS p
+      |FROM t JOIN o USING (prev_type)
+      |ORDER BY prev_type ASC, next_type ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type").as("next_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val o = t.groupBy("prev_type").agg(sum("n").as("out_n"))
+    t.join(broadcast(o), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast(DoubleType) / col("out_n")).as("p"))
+      .orderBy(col("prev_type").asc, col("next_type").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
-    qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce)
+    qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
+    qTransitions)
 }

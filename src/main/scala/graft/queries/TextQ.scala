@@ -2046,10 +2046,74 @@ object TextQ {
     }
   }
 
+  /** VOCABULARY coverage curve — the Zipf head-mass diagnostic every
+    * tokenizer budget decision starts from: the minimal number of
+    * distinct token types that covers ≥ 50 / 90 / 99 % of all token
+    * occurrences when types rank by (count DESC, term ASC). A type is
+    * in the p% head iff the mass STRICTLY BEFORE it is under the
+    * threshold (so exactly the crossing type is included), tested in
+    * exact integer arithmetic (cum·100 < total·pct — no ratios, no
+    * rounding).
+    *
+    * Scale shape: term counts are one map-side-combined shuffle; the
+    * global frequency rank is the two-phase prefix pattern with
+    * bucket = BIT LENGTH of the count (length(bin(n)) — integer,
+    * exactly monotone in n, so (bucket DESC, n DESC, term ASC) IS the
+    * global order; ≤ 64 buckets ever, driver prefix is ≤ 64 rows).
+    * The final rollup reduces to 3 rows.
+    */
+  val qVocabCoverage: Q = Q.sql(
+    "q_doc_vocab_coverage",
+    """WITH c AS (
+      |  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |        FROM documents WHERE length(trim(text)) > 0)
+      |  GROUP BY t),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c),
+      |r AS (
+      |  SELECT term, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY n DESC, term ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum
+      |  FROM c)
+      |SELECT p.pct, COUNT(*) AS n_types
+      |FROM r CROSS JOIN tot
+      |CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      |WHERE r.cum * 100 < tot.tn * p.pct
+      |GROUP BY p.pct
+      |ORDER BY p.pct ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val counts0 = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val counts =
+      if (counts0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        counts0.cache()
+      else counts0
+    val bucketed = counts.withColumn("__b", length(bin(col("n"))))
+    val sums = bucketed.groupBy("__b").agg(sum("n").as("bsum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val total = sums.map(_._2).sum
+    var acc = 0L
+    val offsets = sums.map { case (b, bs) => val o = acc; acc += bs; (b, o) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("n").desc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed.join(broadcast(offsets.toSeq.toDF("__b", "__offset")), "__b")
+      .withColumn("cum", sum(col("n")).over(w) + col("__offset") - col("n"))
+      .crossJoin(broadcast(Seq(50, 90, 99).toDF("pct")))
+      .filter(col("cum") * 100 < lit(total) * col("pct"))
+      .groupBy("pct").agg(count(lit(1)).as("n_types"))
+      .orderBy(col("pct").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
-    qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup)
+    qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
+    qVocabCoverage)
 }

@@ -608,6 +608,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join") && !p.contains("SinglePartition"), p)
   }
 
+  test("vocab coverage ranks two-phase — bit-length buckets, no global window") {
+    val p = plan("q_doc_vocab_coverage")
+    assert(!p.contains("SinglePartition"),
+      s"frequency rank regressed to a global window:\n$p")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("__b"),
+      s"rank window must partition by the bit-length bucket: $windowLine")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the <=64-row offset table and 3-row pct table must broadcast")
+  }
+
+  test("transitions window on user_id and reduce to the type-pair table") {
+    val p = plan("q_events_transitions")
+    assert(!p.contains("SinglePartition"), p)
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("user_id"),
+      s"sequence window must partition by user: $windowLine")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(10).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=|types| outgoing-total table must broadcast")
+  }
+
   test("hard negatives filter labels on the shared ranked-edge frame") {
     // labels ride the keyed frame into the ONE shared candidate+rerank
     // pass (rankedPairsFrame), so the cross-label predicate must appear

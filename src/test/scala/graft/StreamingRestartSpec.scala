@@ -93,4 +93,52 @@ class StreamingRestartSpec extends SparkSpecBase {
     assert(byKey.contains((t0 + 8 * 3600) / 3600 * 3600 -> "view"),
       s"hour closed by incarnation 2 missing: ${rows.toSeq.sortBy(_._1)}")
   }
+
+  for (shape <- Seq("int64-nanos", "timestamp-us"))
+  test(s"debounce lag state survives a restart — in-gap event stays suppressed ($shape)") {
+    val t0 = 1700000000L
+    val srcDir = Files.createTempDirectory("deb_restart_src").toString
+    val outDir = Files.createTempDirectory("deb_restart_out").toString
+    val ckpt = Files.createTempDirectory("deb_restart_ckpt").toString
+
+    def writeBatch(name: String, rows: Seq[E]): Unit = {
+      val tmp = Files.createTempDirectory("deb_restart_stage").toString
+      val df =
+        if (shape == "int64-nanos") rows.toDF()
+        else rows.toDF().withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), Paths.get(s"$srcDir/$name.parquet"))
+    }
+
+    def startQuery() = {
+      val stream = StreamingEvents.readEventsStream(spark, srcDir)
+      StreamingEvents.debounceStream(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+
+    def ev(id: Long, sec: Long): E =
+      E(id, sec * 1000000000L, 1L, "click", 1.0, "{}")
+
+    // incarnation 1: the key's first event is emitted, state = t0
+    writeBatch("b1", Seq(ev(1, t0)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // incarnation 2, same checkpoint: +30 s must stay SUPPRESSED (lag
+    // state recovered — a state loss would emit it as a first), +100 s
+    // revives (gap 70 s from the +30 event)
+    writeBatch("b2", Seq(ev(2, t0 + 30), ev(3, t0 + 100)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val kept = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"restart broke the debounce state: kept $kept")
+  }
 }

@@ -652,8 +652,33 @@ object EventsQ {
       .orderBy(col("prev_type").asc, col("next_type").asc)
   }
 
+  /** Fixed-width value HISTOGRAM per event type — the monitoring
+    * primitive behind every latency/value dashboard: bucket =
+    * floor(value / 10), exact counts. One map-side-combined aggregate
+    * to ≤ |types| · |buckets| rows; floor of an IEEE divide on
+    * identical operands is engine-exact, and NaNs are excluded
+    * explicitly (ANSI long-cast of NaN would error, and a NaN bucket
+    * is meaningless in both engines).
+    */
+  val qValueHistogram: Q = Q.sql(
+    "q_events_value_histogram",
+    """SELECT event_type,
+      |  CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM events
+      |WHERE NOT isnan(value)
+      |GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
+      |ORDER BY event_type ASC, bucket ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .groupBy(col("event_type"),
+        floor(col("value") / 10.0).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc, col("bucket").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
-    qTransitions)
+    qTransitions, qValueHistogram)
 }

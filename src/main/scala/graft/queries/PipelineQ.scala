@@ -1394,6 +1394,67 @@ object PipelineQ {
       .orderBy(col("source").asc)
   }
 
+  /** CORPUS-frequent boilerplate line removal — the cross-document
+    * sibling of [[qSelfDedupLines]] (and the REMOVE-ALL counterpart of
+    * q_doc_paragraph_dedup's keep-first): a line whose exact text
+    * appears in ≥ 3 DISTINCT documents is boilerplate (nav chrome,
+    * cookie banners, license footers) and is deleted from every
+    * document; surviving lines reassemble in original order. The
+    * Dolma/RefinedWeb-style frequency scrub.
+    *
+    * Scale shape: document TEXT never crosses a shuffle — the document
+    * frequency pass and the keep-decision join move (doc_id, pos,
+    * 16-byte line hash) triples only, the kept POSITIONS (ints) group
+    * back per doc, and reassembly filters the original line array in
+    * the scan against that position list. Hot lines are naturally
+    * bounded: the df table only carries hashes seen ≥ 3 times.
+    */
+  val qBoilerplateLines: Q = Q.sql(
+    "q_doc_boilerplate_lines",
+    """WITH l AS (
+      |  SELECT doc_id, ln FROM (
+      |    SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents)),
+      |x AS (
+      |  SELECT doc_id, i AS pos, md5(ln[i]) AS h
+      |  FROM l CROSS JOIN unnest(range(1, len(ln) + 1)) AS t(i)),
+      |hot AS (
+      |  SELECT h FROM x GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 3),
+      |kept AS (
+      |  SELECT doc_id, list(pos ORDER BY pos ASC) AS ks
+      |  FROM x WHERE h NOT IN (SELECT h FROM hot)
+      |  GROUP BY doc_id)
+      |SELECT l.doc_id,
+      |  CAST(len(l.ln) AS BIGINT) AS n_lines,
+      |  CAST(COALESCE(len(k.ks), 0) AS BIGINT) AS n_kept,
+      |  array_to_string(
+      |    list_transform(COALESCE(k.ks, []), i -> l.ln[i]), chr(10))
+      |    AS clean_text
+      |FROM l LEFT JOIN kept k USING (doc_id)
+      |ORDER BY l.doc_id ASC""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val lns = split(col("text"), "\n", -1)
+    // (doc_id, pos, line-hash) triples — the only corpus-scale shuffle
+    val x = docs.select(col("doc_id"), posexplode(lns).as(Seq("p0", "line")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        md5(col("line").cast(BinaryType)).as("h"))
+    val hot = x.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3)
+      .select("h")
+    val kept = x.join(hot, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ks"))
+    docs.select(col("doc_id"), lns.as("ln"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("ks", coalesce(col("ks"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("ln")).cast(LongType).as("n_lines"),
+        size(col("ks")).cast(LongType).as("n_kept"),
+        array_join(transform(col("ks"), i => element_at(col("ln"), i)), "\n")
+          .as("clean_text"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // -------------------------------------------------------------------
   // Cluster representative selection (quality-aware dedup)
   // -------------------------------------------------------------------
@@ -2174,5 +2235,5 @@ object PipelineQ {
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
     qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect,
-    qSelfDedupLines, qPiiStats)
+    qSelfDedupLines, qPiiStats, qBoilerplateLines)
 }

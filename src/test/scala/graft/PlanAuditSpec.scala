@@ -631,6 +631,25 @@ class PlanAuditSpec extends SparkSpecBase {
       "the <=|types| outgoing-total table must broadcast")
   }
 
+  test("boilerplate removal shuffles (doc,pos,hash) triples — text never crosses an exchange") {
+    val o = optimized("q_doc_boilerplate_lines")
+    // both corpus-scale aggregates key on hash / doc_id with no line text
+    val aggLines = o.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.nonEmpty, o.linesIterator.take(8).mkString("\n"))
+    aggLines.foreach(l =>
+      assert(!l.contains("line") && !l.contains("text#"),
+        s"line text leaked into a shuffled aggregate: $l"))
+    val p = plan("q_doc_boilerplate_lines")
+    assert(!p.contains("SinglePartition") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("value histogram is one partial-final aggregate over the scan") {
+    val p = plan("q_events_value_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      p.linesIterator.take(8).mkString("\n"))
+    assert(!p.contains("Join") && !p.contains("SinglePartition"), p)
+  }
+
   test("hard negatives filter labels on the shared ranked-edge frame") {
     // labels ride the keyed frame into the ONE shared candidate+rerank
     // pass (rankedPairsFrame), so the cross-label predicate must appear

@@ -403,6 +403,123 @@ object MediaContainers {
       (c >>> 8).toByte, c.toByte))
   }
 
+  /** Valid 8-bit grayscale PNG CARRYING REAL PIXELS: signature, IHDR,
+    * filter-0 scanlines deflate-compressed into IDAT, IEND — every
+    * chunk CRC32'd for real. `pix` is row-major, length w*h, values
+    * taken as unsigned bytes.
+    */
+  def pngBytesGray(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h,
+      s"pixel buffer must be ${w}x$h row-major, got ${pix.length}")
+    val out = new ByteArrayOutputStream()
+    out.write(pngSig)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    pngChunk(out, "IHDR", ihdr)
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      // raw(r * (w + 1)) = 0: filter type None for every scanline
+      System.arraycopy(pix, r * w, raw, r * (w + 1) + 1, w)
+      r += 1
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    pngChunk(out, "IDAT", idat.toByteArray)
+    pngChunk(out, "IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** REAL grayscale PNG pixel decode — the full read path a perceptual
+    * hash needs: chunk walk with CRC32 verification, IDAT
+    * concatenation, zlib inflate, and per-scanline UNFILTERING for all
+    * five PNG filter types (None/Sub/Up/Average/Paeth — our encoder
+    * emits 0, a real-world PNG may use any). Returns (w, h, row-major
+    * pixels). Throws on a corrupt signature, CRC mismatch, truncated
+    * stream, or unsupported color layout (only 8-bit grayscale,
+    * non-interlaced — the fixture contract).
+    */
+  def pngGrayPixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isPng(b), "not a PNG signature")
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new ByteArrayOutputStream()
+    while (off + 8 <= b.length) {
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      require(off + 8 + len + 4 <= b.length, s"truncated $typ chunk")
+      val crc = new CRC32()
+      crc.update(b, off + 4, 4 + len)
+      val stored = ((b(off + 8 + len) & 0xffL) << 24) |
+        ((b(off + 9 + len) & 0xffL) << 16) |
+        ((b(off + 10 + len) & 0xffL) << 8) | (b(off + 11 + len) & 0xffL)
+      require(crc.getValue == stored, s"$typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          w = ((b(off + 8) & 0xff) << 24) | ((b(off + 9) & 0xff) << 16) |
+            ((b(off + 10) & 0xff) << 8) | (b(off + 11) & 0xff)
+          h = ((b(off + 12) & 0xff) << 24) | ((b(off + 13) & 0xff) << 16) |
+            ((b(off + 14) & 0xff) << 8) | (b(off + 15) & 0xff)
+          require(b(off + 16) == 8 && b(off + 17) == 0 && b(off + 20) == 0,
+            "only 8-bit non-interlaced grayscale supported")
+        case "IDAT" => idat.write(b, off + 8, len)
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0, "missing IHDR")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w + 1))
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "truncated IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"short pixel data: $got of ${raw.length}")
+    // unfilter: prev = byte to the left, up = byte above (0 past edges)
+    val pix = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (w + 1)) & 0xff
+      var c = 0
+      while (c < w) {
+        val x = raw(r * (w + 1) + 1 + c) & 0xff
+        val a = if (c > 0) pix(r * w + c - 1) & 0xff else 0
+        val u = if (r > 0) pix((r - 1) * w + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) pix((r - 1) * w + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + (a + u) / 2
+          case 4 => // Paeth predictor
+            val p = a + u - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else ul)
+          case other => throw new IllegalArgumentException(s"bad filter type $other")
+        }
+        pix(r * w + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    (w, h, pix)
+  }
+
   /** Valid 8-bit grayscale PNG: signature, IHDR, deflate-compressed
     * zero-filled IDAT (one filter byte per scanline, per the spec),
     * IEND — every chunk CRC32'd for real.

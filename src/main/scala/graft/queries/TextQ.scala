@@ -381,11 +381,13 @@ object TextQ {
         .localCheckpoint(true)
     }
 
-  /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
-    * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
-    * Emits pairs(doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
+  /** Candidate-pair CTE prefix (toks → sh → sizes → rare → prepairs):
+    * the DF-capped shared-shingle candidate machinery common to the
+    * Jaccard and containment rerank oracles. `prepairs.shared` counts
+    * shared RARE shingles (the declared candidate cap — see
+    * [[maxShingleDf]]).
     */
-  val jaccardPairsSql: String =
+  val candidatePairsSqlPrefix: String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
        |  FROM documents),
@@ -403,7 +405,14 @@ object TextQ {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  JOIN rare r ON a.shingle = r.shingle
-       |  GROUP BY a.doc_id, b.doc_id),
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** The jaccard-pair CTE chain (no final ORDER BY) — shared between
+    * q_doc_ngram_jaccard's oracle and q_doc_dup_clusters' edge set.
+    * Emits pairs(doc_a, doc_b, jaccard) with jaccard ≥ 0.5.
+    */
+  val jaccardPairsSql: String =
+    s"""$candidatePairsSqlPrefix,
        |pairs AS (
        |  SELECT p.doc_a, p.doc_b,
        |    CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
@@ -466,10 +475,45 @@ object TextQ {
     * table is near-dup-sized (tiny relative to the corpus), so the
     * checkpoint is cheap to hold.
     */
+  /** Memoized UNFILTERED candidate-pair stats (doc_a, doc_b, shared,
+    * n_a, n_b): every DF-capped shared-shingle candidate pair with its
+    * shared-rare-shingle count and both set sizes — the single
+    * candidate-join pass that the Jaccard AND containment reranks both
+    * derive from (one more metric costs a filter, not a second corpus
+    * join). Candidate-pair-sized (≥ 1 shared rare shingle), so the
+    * checkpoint stays near-dup-cheap.
+    */
+  private[graft] def candidatePairStats(s: org.apache.spark.sql.SparkSession,
+                                        d: String): DataFrame =
+    SharedFrames.frame(s, s"cand_pair_stats:$d") {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle")
+      sh.join(rare, "shingle").as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        .localCheckpoint(true)
+    }
+
   def jaccardPairsShared(s: org.apache.spark.sql.SparkSession,
                          d: String): DataFrame =
     SharedFrames.frame(s, s"jaccard_pairs:$d") {
-      ngramJaccardPairs(s, d).localCheckpoint(true)
+      val jac = col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared"))
+      candidatePairStats(s, d)
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .localCheckpoint(true)
     }
 
   val qNgramJaccard: Q = Q.sql(
@@ -478,6 +522,43 @@ object TextQ {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
     jaccardPairsShared(s, d).orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** CONTAINMENT near-dup — the asymmetric overlap coefficient
+    * |A∩B| / min(|A|, |B|) over the same DF-capped candidate pairs:
+    * catches a document QUOTED OR EMBEDDED inside a much larger one
+    * (containment 1.0) that symmetric Jaccard scores near 0 — the
+    * quote/subset leak class that pure Jaccard dedup ships to
+    * training. Output keeps both metrics so the gap is visible.
+    *
+    * Scale shape: a filter over [[candidatePairStats]] — the memoized
+    * candidate-join pass Jaccard already pays; no additional scan or
+    * shuffle. Inherits the [[maxShingleDf]] candidate cap (a subset
+    * whose every shingle is corpus-hot is invisible — disclosed, same
+    * as the Jaccard family).
+    */
+  val qContainment: Q = Q.sql(
+    "q_doc_containment",
+    s"""$candidatePairsSqlPrefix,
+       |cont AS (
+       |  SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       |    CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       |    CAST(p.shared AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       |    CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
+       |  FROM prepairs p
+       |  JOIN sizes sa ON p.doc_a = sa.doc_id
+       |  JOIN sizes sb ON p.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, shared, n_a, n_b, containment, jaccard
+       |FROM cont WHERE containment >= 0.8
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    val cont = col("shared").cast(DoubleType) / least(col("n_a"), col("n_b"))
+    val jac = col("shared").cast(DoubleType) /
+      (col("n_a") + col("n_b") - col("shared"))
+    candidatePairStats(s, d)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        cont.as("containment"), jac.as("jaccard"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** MinHash + LSH near-dup: per-row signatures → band buckets →
@@ -2109,11 +2190,144 @@ object TextQ {
       .orderBy(col("pct").asc)
   }
 
+  /** CROSS-SOURCE CONTENT-OVERLAP MATRIX — the contamination triage
+    * that tells you WHICH source pairs share material (mirror sites,
+    * syndicated feeds, scrape-of-a-scrape) before any pairwise doc
+    * dedup runs: for every source pair, the number of distinct
+    * 3-token shingles present in both, and the shingle-set Jaccard.
+    * A high-overlap pair routes into the pairwise near-dup operators;
+    * everything else skips them.
+    *
+    * Scale shape: the unit of work is the distinct (shingle-md5,
+    * source) key stream — document text never leaves the scan.
+    * Per-shingle source sets are bounded by #sources (thousands at
+    * worst, vs billions of docs), pair expansion happens INSIDE the
+    * aggregation scan (sorted-set combinations, codegen'd array
+    * builtins), and the output is at most C(#sources, 2) rows with
+    * map-side-combined counts. No all-pairs doc join anywhere.
+    */
+  val qSourceOverlap: Q = Q.sql(
+    "q_doc_source_overlap",
+    """WITH toks AS (
+      |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+      |  FROM toks WHERE len(tk) >= 3),
+      |sh AS (SELECT DISTINCT source, md5(g) AS gh FROM g),
+      |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST(p.n_shared AS DOUBLE) / (sa.n + sb.n - p.n_shared) AS jaccard
+      |FROM p
+      |JOIN sizes sa ON p.src_a = sa.source
+      |JOIN sizes sb ON p.src_b = sb.source
+      |ORDER BY src_a ASC, src_b ASC""".stripMargin) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(shingles(col("tk"), 3)).as("g"))
+      .select(col("source"), md5(col("g").cast(BinaryType)).as("gh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    // Pair expansion in the scan: sorted source set -> (a, b) combos with
+    // a < b by construction (slice past a's position in the sorted array).
+    val combos = sh.groupBy("gh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val jac = col("n_shared").cast(DoubleType) /
+      (col("n_a") + col("n_b") - col("n_shared"))
+    combos
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"), jac.as("jaccard"))
+      .orderBy(col("src_a").asc, col("src_b").asc)
+  }
+
+  /** PER-SOURCE UNIGRAM KL DIVERGENCE to the corpus — the domain-shift
+    * triage (which sources are distributionally far from the mixture
+    * they'll be blended into): KL(P_src ‖ P_corpus) in the same
+    * QUANTIZED integer bits as [[qUnigramSurprisal]] — per token type,
+    * (ilog2 corpus-surprisal − ilog2 source-surprisal) weighted by the
+    * source count, so the whole divergence is an exact integer sum and
+    * only the final per-token mean divides (IEEE division of identical
+    * operands — the QueryDef hash contract). The quantized estimator
+    * keeps KL's shape (0 for an exactly corpus-shaped source, growing
+    * with skew) within 1 bit per term of the true value.
+    *
+    * Scale shape: per-(source, token) counts are one map-side-combined
+    * shuffle on uniform keys; corpus counts REUSE those partials
+    * (second-level rollup, no second scan of the text); the (token,
+    * corpus-bits) table broadcasts exactly like the surprisal vocab
+    * (top-K + OOV ceiling at web scale); per-source totals are a
+    * ≤ #sources-row broadcast. Output is #sources rows.
+    */
+  val qSourceKl: Q = Q.sql(
+    "q_doc_source_kl",
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |sc AS (SELECT source, tok, COUNT(*) AS cs FROM t GROUP BY source, tok),
+      |st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sc GROUP BY source),
+      |cv AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS cc FROM sc GROUP BY tok),
+      |ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM cv),
+      |terms AS (
+      |  SELECT sc.source,
+      |    sc.cs * ((length(bin(ct.nc)) - length(bin(cv.cc)))
+      |           - (length(bin(st.ns)) - length(bin(sc.cs)))) AS term
+      |  FROM sc
+      |  JOIN cv USING (tok)
+      |  JOIN st USING (source)
+      |  CROSS JOIN ct)
+      |SELECT st.source, st.ns AS n_tokens,
+      |  CAST(x.se AS BIGINT) AS sum_excess_bits,
+      |  CAST(x.se AS DOUBLE) / st.ns AS kl_bits
+      |FROM (SELECT source, SUM(term) AS se FROM terms GROUP BY source) x
+      |JOIN st USING (source)
+      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val sc = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val st = sc.groupBy("source").agg(sum("cs").as("ns"))
+    val cv = sc.groupBy("tok").agg(sum("cs").as("cc"))
+    val ct = cv.agg(sum("cc").as("nc"))
+    val corpusBits = cv.crossJoin(broadcast(ct))
+      .select(col("tok"),
+        (length(bin(col("nc"))) - length(bin(col("cc")))).cast(LongType)
+          .as("bits_c"))
+    sc.join(broadcast(corpusBits), "tok")
+      .join(broadcast(st), "source")
+      .select(col("source"), col("ns"),
+        (col("cs") * (col("bits_c") -
+          (length(bin(col("ns"))) - length(bin(col("cs")))).cast(LongType)))
+          .as("term"))
+      .groupBy("source")
+      .agg(first(col("ns")).as("n_tokens"), sum("term").as("sum_excess_bits"))
+      .select(col("source"), col("n_tokens"), col("sum_excess_bits"),
+        (col("sum_excess_bits").cast(DoubleType) / col("n_tokens")).as("kl_bits"))
+      .orderBy(col("source").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
-    qVocabCoverage)
+    qVocabCoverage, qSourceOverlap, qSourceKl, qContainment)
 }

@@ -660,4 +660,42 @@ class PlanAuditSpec extends SparkSpecBase {
       l.contains("NOT (label") || (l.contains("label") && l.contains("n_label")))
     assert(labelFilter >= 0, s"no cross-label predicate found:\n${txt.take(12).mkString("\n")}")
   }
+
+  test("dhash near-dup self-joins 16-bit band keys off the decoded-hash checkpoint") {
+    val p = plan("q_media_dhash_neardup")
+    assert(p.contains("ExistingRDD"),
+      s"band join must read the one-decode-pass checkpoint:\n$p")
+    assert(!p.contains("FileScan"), "no corpus re-scan past the decode pass")
+    assert(!p.contains("CartesianProduct"), "banding must prevent all-pairs")
+  }
+
+  test("containment is a pure filter over the shared candidate-pair checkpoint") {
+    val p = plan("q_doc_containment")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"),
+      s"containment must ride the memoized candidate-pair pass, not re-scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "second metric must not pay a second join")
+  }
+
+  test("source overlap moves shingle-md5 keys only and broadcasts the size table") {
+    val p = plan("q_doc_source_overlap")
+    // pair expansion is array builtins in the agg scan — no doc-level join
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source size table must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    // text is consumed in the scan stage: no exchange carries the text column
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text")), "text crossed an exchange")
+  }
+
+  test("source KL broadcasts corpus bits + source totals over the count partials") {
+    val p = plan("q_doc_source_kl")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab/totals joins must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded token stream must never SMJ against the vocab table")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-(source,tok) counts must map-side combine before the shuffle")
+  }
 }

@@ -141,8 +141,11 @@ object MultimodalQ {
     while (r < dhH) {
       var c = 0
       while (c < dhW) {
-        val q = scene * 2654435761L + r * 40503L + c * 69061L
-        val base = (q / 256) % 251
+        // xor-fold the high bits in before the mod so gradient SIGNS are
+        // uniform across scenes (a linear-only mix leaves most gradients
+        // positive -> near-constant hashes -> band-bucket blowup)
+        val m = scene * 2654435761L + (r * dhW + c) * 40503L
+        val base = (m ^ (m / 65536)) % 251
         val p = if (r == v && c == 8) (base + 97) % 251 else base
         pix(r * dhW + c) = p.toByte
         c += 1
@@ -214,15 +217,18 @@ object MultimodalQ {
     */
   val qMediaDhashNearDup: Q = Q.sql(
     "q_media_dhash_neardup",
-    s"""WITH px AS (
+    s"""WITH pm AS (
        |  SELECT d.doc_id, r.r, c.c,
-       |    CASE WHEN r.r = d.doc_id % 4 AND c.c = 8
-       |      THEN ((((d.doc_id // 4) % 100003) * 2654435761
-       |             + r.r * 40503 + c.c * 69061) // 256 % 251 + 97) % 251
-       |      ELSE (((d.doc_id // 4) % 100003) * 2654435761
-       |             + r.r * 40503 + c.c * 69061) // 256 % 251
-       |    END AS p
+       |    ((d.doc_id // 4) % 100003) * 2654435761
+       |      + (r.r * $dhW + c.c) * 40503 AS m
        |  FROM documents d, range(0, $dhH) r(r), range(0, $dhW) c(c)),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE WHEN r = doc_id % 4 AND c = 8
+       |      THEN (xor(m, m // 65536) % 251 + 97) % 251
+       |      ELSE xor(m, m // 65536) % 251
+       |    END AS p
+       |  FROM pm),
        |bytes AS (
        |  SELECT a.doc_id, a.r,
        |    SUM(CASE WHEN b.p > a.p THEN (1 << a.c) ELSE 0 END) AS byte

@@ -581,7 +581,7 @@ object TextQ {
 
   private[graft] val minhashBandsAuxDir = s"${OracleAux.root}/minhash_bands"
 
-  private val minhashBands = 4
+  private[graft] val minhashBands = 4
 
   /** Memoized (doc_id, sh) shingle frame — feeds the signature pass
     * and both payload re-joins of the exact-Jaccard rerank.

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
-import graft.queries.PipelineQ
+import graft.queries.{PipelineQ, TextQ}
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions.tokens
 
 /** Streaming document curation — the ingest-time form of the batch
@@ -333,4 +334,46 @@ object StreamingDocs {
         packCuratedBatch(b.select(col("doc_id"), col("n_tokens")), epochId, dir)
       }
       .start()
+
+  /** Streaming NEAR-dup ingest gate against the persistent corpus band
+    * index ([[graft.sink.BandIndex]]) — the streaming form of
+    * q_doc_incremental_neardup's candidate pass: per-row MinHash band
+    * keys (the same stateless codegen signature expression as the
+    * batch kernel), then one stream-static LEFT ANTI join PER BAND
+    * against the index — a document any of whose bands collides with a
+    * kept corpus doc is dropped at ingest; a document with no
+    * collision in any band passes.
+    *
+    * Zero streaming state: the band index IS the state — durable,
+    * shared with the batch path, grown via [[graft.sink.BandIndex
+    * .append]] from a foreachBatch tail (where the exact-Jaccard
+    * rerank of the dropped candidates also belongs, exactly as in the
+    * batch operator — the gate itself is the conservative
+    * candidate-level cut, the same contract as the streaming bloom
+    * decontamination gate). Documents too short to shingle (< 3
+    * tokens) carry NULL band keys, which an equi anti-join never
+    * matches — they pass, mirroring the batch semantics where an
+    * unshingled doc is never a candidate.
+    */
+  def neardupGateStream(docs: DataFrame, indexTable: String): DataFrame = {
+    val s = docs.sparkSession
+    graft.expressions.MinhashSig.ensureRegistered(s)
+    val bands = TextQ.minhashBands
+    val rpb = TextFunctions.minhashK / bands
+    val sig = TextFunctions.fastMinhashSig(
+      TextFunctions.shingles(tokens(col("text")), 3))
+    val shingled = size(tokens(col("text"))) >= 3
+    val keyed = (0 until bands).foldLeft(docs.withColumn("__sig", sig)) {
+      (df, b) =>
+        df.withColumn(s"__bh$b",
+          when(shingled, TextFunctions.bandHash(col("__sig"), lit(b), lit(rpb))))
+    }
+    val index = s.table(indexTable)
+    val gated = (0 until bands).foldLeft(keyed) { (df, b) =>
+      df.join(
+        index.filter(col("band") === b).select(col("bh").as(s"__bh$b")),
+        Seq(s"__bh$b"), "left_anti")
+    }
+    gated.drop("__sig" +: (0 until bands).map(b => s"__bh$b"): _*)
+  }
 }

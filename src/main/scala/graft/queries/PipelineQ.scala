@@ -2228,6 +2228,154 @@ object PipelineQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** DEDUP SELECTION-BIAS AUDIT — near-dup dedup is not neutral: it
+    * deletes boilerplate, but it also deletes POPULAR text (widely
+    * mirrored articles, canonical references), and keep-min-id picks
+    * an arbitrary witness. This rollup compares the prose-ness
+    * (stopword ratio — boilerplate and template spam run stopword-
+    * light) of each source's KEPT vs DROPPED documents under the
+    * near-dup cluster keep-first policy, so a source where dedup is
+    * systematically removing the GOOD half shows up before training
+    * does. Ratios are group-level (exact integer token/stop sums,
+    * one IEEE division) — never means of per-doc doubles, which would
+    * be accumulation-order-dependent.
+    *
+    * Scale shape: consumes the memoized component table (zero extra
+    * candidate work); the dropped-id set is near-dup-sized and
+    * broadcasts; everything else is one scan with map-side-combined
+    * conditional sums to ≤ #sources rows.
+    */
+  val qDedupBias: Q = Q.sql(
+    "q_doc_dedup_bias",
+    s"""${TextQ.jaccardPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |reps AS (SELECT cluster_id, MIN(doc_id) AS rep FROM comp GROUP BY cluster_id),
+       |dropped AS (
+       |  SELECT c.doc_id FROM comp c
+       |  JOIN reps rp ON c.cluster_id = rp.cluster_id
+       |  WHERE c.doc_id <> rp.rep),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |agg AS (
+       |  SELECT q.source,
+       |    SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+       |    SUM(CASE WHEN dr.doc_id IS NULL THEN q.n_tokens ELSE 0 END) AS kept_tokens,
+       |    SUM(CASE WHEN dr.doc_id IS NULL THEN q.n_stop ELSE 0 END) AS kept_stop,
+       |    SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dropped,
+       |    SUM(CASE WHEN dr.doc_id IS NOT NULL THEN q.n_tokens ELSE 0 END) AS dropped_tokens,
+       |    SUM(CASE WHEN dr.doc_id IS NOT NULL THEN q.n_stop ELSE 0 END) AS dropped_stop
+       |  FROM q LEFT JOIN dropped dr ON q.doc_id = dr.doc_id
+       |  GROUP BY q.source)
+       |SELECT source,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CASE WHEN kept_tokens > 0
+       |    THEN CAST(kept_stop AS DOUBLE) / kept_tokens END AS kept_stop_ratio,
+       |  CASE WHEN dropped_tokens > 0
+       |    THEN CAST(dropped_stop AS DOUBLE) / dropped_tokens END AS dropped_stop_ratio
+       |FROM agg
+       |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val comp = dupComponents(s, d)
+    val reps = comp.groupBy("cluster_id").agg(min("doc_id").as("rep"))
+    val dropped = comp.join(reps, "cluster_id")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), lit(1).as("is_dropped"))
+    val toks = tokens(col("text"))
+    val q = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType).as("n_stop"))
+    q.join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        sum(when(col("is_dropped").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dropped").isNull, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("is_dropped").isNull, col("n_stop")).otherwise(0L))
+          .as("kept_stop"),
+        sum(when(col("is_dropped").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("dropped_tokens"),
+        sum(when(col("is_dropped").isNotNull, col("n_stop")).otherwise(0L))
+          .as("dropped_stop"))
+      .select(col("source"), col("n_kept"), col("n_dropped"),
+        when(col("kept_tokens") > 0,
+          col("kept_stop").cast(DoubleType) / col("kept_tokens"))
+          .as("kept_stop_ratio"),
+        when(col("dropped_tokens") > 0,
+          col("dropped_stop").cast(DoubleType) / col("dropped_tokens"))
+          .as("dropped_stop_ratio"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Continuation-STITCH detection — crawl chunking and context-window
+    * truncation split documents mid-stream; downstream, the halves
+    * train as two broken documents. A doc pair (a, b) where a's LAST
+    * k tokens equal b's FIRST k tokens is a stitch candidate for
+    * boundary reassembly (the inverse of q_doc_chunk's overlapped
+    * split). k = 5; both endpoint keys are md5'd, and corpus-hot keys
+    * (common openings/closings, df > [[TextQ.maxShingleDf]]) are
+    * excluded from matching — the same disclosed DF-cap discipline as
+    * the shingle candidate family, and what keeps the equi-join's
+    * buckets bounded at corpus scale.
+    *
+    * Scale shape: two (doc_id, 16-byte key) key streams, DF-capped,
+    * one equi-join — text never shuffles; output is stitch-pair-sized.
+    */
+  val stitchK = 5
+  val qStitchPairs: Q = Q.sql(
+    "q_doc_stitch_pairs",
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  FROM documents),
+       |ends AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(tk[1:$stitchK], ' ')) AS pre,
+       |    md5(array_to_string(list_slice(tk, len(tk) - ${stitchK - 1}, len(tk)), ' ')) AS suf
+       |  FROM t WHERE len(tk) >= $stitchK),
+       |pre_ok AS (
+       |  SELECT pre FROM ends GROUP BY pre
+       |  HAVING COUNT(*) <= ${TextQ.maxShingleDf}),
+       |suf_ok AS (
+       |  SELECT suf FROM ends GROUP BY suf
+       |  HAVING COUNT(*) <= ${TextQ.maxShingleDf})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM ends a
+       |JOIN suf_ok so ON a.suf = so.suf
+       |JOIN ends b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+       |JOIN pre_ok po ON b.pre = po.pre
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    val tk = tokens(col("text"))
+    val ends = Tables.documents(s, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= stitchK)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), 1, stitchK)).cast(BinaryType))
+          .as("pre"),
+        md5(concat_ws(" ", slice(col("tk"), -stitchK, stitchK)).cast(BinaryType))
+          .as("suf"))
+    val preOk = ends.groupBy("pre").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= TextQ.maxShingleDf).select("pre")
+    val sufOk = ends.groupBy("suf").agg(count(lit(1)).as("c"))
+      .filter(col("c") <= TextQ.maxShingleDf).select("suf")
+    ends.select(col("doc_id").as("doc_a"), col("suf"))
+      .join(sufOk, "suf")
+      .join(ends.select(col("doc_id").as("doc_b"), col("pre")).join(preOk, "pre"),
+        col("suf") === col("pre") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
@@ -2235,5 +2383,5 @@ object PipelineQ {
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
     qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect,
-    qSelfDedupLines, qPiiStats, qBoilerplateLines)
+    qSelfDedupLines, qPiiStats, qBoilerplateLines, qDedupBias, qStitchPairs)
 }

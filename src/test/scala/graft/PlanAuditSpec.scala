@@ -661,6 +661,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(labelFilter >= 0, s"no cross-label predicate found:\n${txt.take(12).mkString("\n")}")
   }
 
+  test("dedup bias broadcasts the near-dup-sized dropped set over one scan") {
+    val p = plan("q_doc_dedup_bias")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dropped-id set must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("text")),
+      "document text must never shuffle for the audit")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "conditional sums must map-side combine")
+  }
+
+  test("stitch pairs join 16-byte endpoint keys only — text stays in the scan") {
+    val p = plan("q_doc_stitch_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "text crossed an exchange")
+  }
+
   test("dhash near-dup self-joins 16-bit band keys off the decoded-hash checkpoint") {
     val p = plan("q_media_dhash_neardup")
     assert(p.contains("ExistingRDD"),

@@ -305,6 +305,30 @@ object ScaleProbeMain {
       }
     }
 
+    // --- round-6 session 3: triage matrices + containment + dhash -----
+    // source_overlap on the 10x corpus: the distinct (shingle, source)
+    // stream grows 10x but collapses back to the base cardinality (the
+    // copies repeat (g, source) keys) — probes the distinct, the combo
+    // expansion is #sources-bounded by construction. source_kl counts
+    // scale 10x with identical output. containment rides the SAME
+    // duplicate-heavy candidate blowup as editdist (disclosed O(Σ
+    // bucket²) family) but pays only a filter over the memoized pair
+    // stats. dhash pairs stay linear: fixture clusters are fixed at 4
+    // docs regardless of corpus size (amplified ids land in new
+    // scenes).
+    time("source_overlap_10x") {
+      SparkEntry.queries("q_doc_source_overlap")(spark, bigDir).count()
+    }
+    time("source_kl_10x") {
+      SparkEntry.queries("q_doc_source_kl")(spark, bigDir).count()
+    }
+    time("containment_10x(duplicate-heavy candidates)") {
+      SparkEntry.queries("q_doc_containment")(spark, bigDir).count()
+    }
+    time(s"dhash_neardup_10x(${n * 10} images)") {
+      SparkEntry.queries("q_media_dhash_neardup")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

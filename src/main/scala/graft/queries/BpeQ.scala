@@ -156,5 +156,55 @@ object BpeQ {
       PipelineQ.shardTokenBudget)
   }.preparedBy(prepareBpe)
 
-  val all: Seq[Q] = Seq(qTokenCountBpe, qShardPackBpe)
+  /** TOKENIZER FERTILITY by language — the multilingual-fairness
+    * metric (tokens-per-word and chars-per-token): a tokenizer trained
+    * on a skewed mix fragments under-represented languages into many
+    * short tokens, silently taxing their context budget and compute
+    * share. Per-language fertility over the corpus-trained merge table
+    * is the triage that decides whether the vocab (or the mix feeding
+    * it — q_doc_unimax_mix) needs rebalancing.
+    *
+    * Scale shape: one scan with the codegen'd BPE count expression,
+    * map-side-combined integer sums to ≤ #languages rows; ratios are
+    * single IEEE divisions of exact sums (never means of per-doc
+    * ratios). Oracle replays from the published (word, n_tokens)
+    * table — exact integer parity with the engine's encoder.
+    */
+  val qBpeFertility: Q = Q.sql(
+    "q_doc_bpe_fertility",
+    s"""$perDocCte,
+       |l AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_calc
+       |  FROM documents)
+       |SELECT l.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bt.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(bt.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+       |  CAST(SUM(l.n_chars_calc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(bt.n_tokens_bpe) AS DOUBLE) / SUM(bt.n_words) AS fertility,
+       |  CAST(SUM(l.n_chars_calc) AS DOUBLE) / SUM(bt.n_tokens_bpe) AS chars_per_token
+       |FROM bt JOIN l USING (doc_id)
+       |GROUP BY l.lang
+       |ORDER BY lang ASC""".stripMargin) { (s, d) =>
+    BpeTokenCount.ensureRegistered(s)
+    val docs = Tables.documents(s, d)
+    val merges = sharedMerges(s, d, docs)
+    docs.select(col("lang"),
+      length(col("text")).cast(org.apache.spark.sql.types.LongType).as("n_chars_calc"),
+      size(tokens(col("text"))).cast(org.apache.spark.sql.types.LongType).as("n_words"),
+      bpeCount(col("text"), merges)
+        .cast(org.apache.spark.sql.types.LongType).as("n_tokens_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens_bpe").as("n_tokens_bpe"), sum("n_chars_calc").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens_bpe"),
+        col("n_chars"),
+        (col("n_tokens_bpe").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_words")).as("fertility"),
+        (col("n_chars").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_tokens_bpe")).as("chars_per_token"))
+      .orderBy(col("lang").asc)
+  }.preparedBy(prepareBpe)
+
+  val all: Seq[Q] = Seq(qTokenCountBpe, qShardPackBpe, qBpeFertility)
 }

@@ -2376,6 +2376,92 @@ object PipelineQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Integer-exact PageRank over an undirected pair table — the graph
+    * kernel behind [[qPagerank]], factored out so PagerankSpec can feed
+    * planted graphs. Ranks live in integer mass units (INIT = 1e9 per
+    * node); each of the `iters` rounds moves `rank div outdeg` along
+    * every edge and damps with new = 150e6 + (17·Σ) div 20 — i.e. the
+    * classic 0.15/0.85 split done entirely in BIGINT truncating
+    * division, so the sums are accumulation-order-independent and a
+    * DuckDB replay of the same unrolled arithmetic is bit-identical
+    * (the same libm-free discipline as q_doc_temperature_mix). Mass is
+    * conserved up to truncation, so every intermediate is bounded by
+    * n·1e9: the 17·S multiply stays inside Long for graphs up to
+    * ~5·10⁸ in-graph docs; past that you rescale INIT down — a one-
+    * constant change, not a new algorithm.
+    *
+    * Scale shape: the edge table is near-dup-sized (nodes are docs
+    * with at least one ≥0.5-jaccard pair, NOT the corpus) and is
+    * checkpointed once; each round is one keys-only join + one
+    * map-side-combined sum — 2 shuffles per round, 5 rounds, no text
+    * movement anywhere.
+    */
+  private[graft] def pagerank(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.toDF("doc_a", "doc_b")
+        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var rank = deg.select(col("src").as("doc_id"),
+      lit(1000000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = edges
+        .join(rank.select(col("doc_id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("doc_id"),
+          (lit(150000000L) + expr("(17 * s) div 20")).as("rank"))
+    }
+    rank.join(deg.select(col("src").as("doc_id"),
+        col("outdeg").as("n_neighbors")), Seq("doc_id"))
+  }
+
+  /** One unrolled PageRank round in DuckDB SQL — same integer
+    * arithmetic as [[pagerank]] (`//` floor-div equals Spark's `div`
+    * truncation on the all-positive mass values).
+    */
+  private def prRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT e.dst AS doc_id,
+       |    CAST(150000000 + (17 * SUM(p.rank // dg.outdeg)) // 20 AS BIGINT) AS rank
+       |  FROM edges e
+       |  JOIN $prev p ON e.src = p.doc_id
+       |  JOIN deg dg ON e.src = dg.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  /** NEAR-DUP GRAPH CENTRALITY — PageRank over the exact-jaccard
+    * near-dup graph as the canonical-witness selector: min-doc_id
+    * keep-first (q_doc_dup_clusters' policy) picks an ARBITRARY
+    * cluster member, but the highest-centrality member is the
+    * most-mirrored version — the best canonical text to keep and the
+    * first place to look when a boilerplate hub is inflating the
+    * graph (hubs separate from spokes by an order of magnitude of
+    * rank). Rides the memoized jaccard pair table: zero additional
+    * candidate-generation work.
+    */
+  val qPagerank: Q = Q.sql(
+    "q_doc_pagerank",
+    s"""${TextQ.jaccardPairsSql},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT src AS doc_id, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+       |${prRoundSql("pr0", "pr1")},
+       |${prRoundSql("pr1", "pr2")},
+       |${prRoundSql("pr2", "pr3")},
+       |${prRoundSql("pr3", "pr4")},
+       |${prRoundSql("pr4", "pr5")}
+       |SELECT p.doc_id, p.rank, CAST(dg.outdeg AS BIGINT) AS n_neighbors
+       |FROM pr5 p JOIN deg dg ON p.doc_id = dg.src
+       |ORDER BY rank DESC, doc_id ASC""".stripMargin) { (s, d) =>
+    pagerank(TextQ.jaccardPairsShared(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qDupClusters, qShardPack, qSeqSpans, qChunk, qStratifiedSample, qSplit, qSamplePerGroup, qNormalize,
     qRepetition, qDupSpans, qDespan, qDecontamSpans, qTruncatePack,
     qParagraphDedup, qGlobalShuffle, qSplitLeakage,
@@ -2383,5 +2469,6 @@ object PipelineQ {
     qClusterRep, qContaminationBloom, qTfidfTopTerms, qCurate,
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
     qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect,
-    qSelfDedupLines, qPiiStats, qBoilerplateLines, qDedupBias, qStitchPairs)
+    qSelfDedupLines, qPiiStats, qBoilerplateLines, qDedupBias, qStitchPairs,
+    qPagerank)
 }

@@ -715,4 +715,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
+
+  test("pagerank iterates keys-only joins off the edge checkpoint — no text, no corpus re-scan") {
+    val p = plan("q_doc_pagerank")
+    assert(p.contains("ExistingRDD"),
+      s"rounds must ride the checkpointed near-dup edge table:\n$p")
+    assert(!p.contains("FileScan"), "no corpus re-scan inside the power iteration")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      "rank state is (doc_id, rank) longs — text never enters the graph")
+    // each round's contribution sum must map-side combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

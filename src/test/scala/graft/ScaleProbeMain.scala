@@ -329,6 +329,15 @@ object ScaleProbeMain {
       SparkEntry.queries("q_media_dhash_neardup")(spark, bigDir).count()
     }
 
+    // pagerank on the 10x duplicate-heavy corpus: the near-dup edge
+    // table rides the same O(Σ bucket²) candidate hazard as the rest
+    // of the family (pipeline ordering is the mitigation), but the
+    // POWER ITERATION itself is linear in edges — this probes that the
+    // 5 rounds stay edge-bounded once the pair table exists.
+    time("pagerank_10x(duplicate-heavy edges)") {
+      SparkEntry.queries("q_doc_pagerank")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

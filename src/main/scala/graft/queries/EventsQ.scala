@@ -677,8 +677,78 @@ object EventsQ {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** SESSION PATH MINING — the top-25 three-step user journeys, where
+    * a journey never crosses a session boundary (the q_events_sessionize
+    * 30-minute gaps-and-islands split): q_events_transitions' bigram
+    * matrix says which single step follows which, but product flows are
+    * diagnosed on longer paths, and counting trigrams ACROSS a session
+    * gap would invent journeys no user took. Trigrams come from two
+    * leads over the per-(user, session) window; ties in the top-k break
+    * on the path string, so the cut is total.
+    *
+    * Scale shape: every window (session lag, session-id cumsum, the
+    * trigram leads) runs over the SAME (user_id; ts, event_id)
+    * partitioning — the leads read session ids ahead and filter on
+    * session equality instead of re-partitioning by (user, session),
+    * so ONE sort shuffle covers the whole stream; path counts map-side
+    * combine to ≤ |types|³ rows; the top-25 lowers to
+    * TakeOrderedAndProject (no global sort).
+    */
+  val qPaths: Q = Q.sql(
+    "q_events_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |tri AS (
+      |  SELECT event_type AS t1, session_id,
+      |    lead(event_type, 1) OVER w2 AS t2,
+      |    lead(event_type, 2) OVER w2 AS t3,
+      |    lead(session_id, 2) OVER w2 AS s3
+      |  FROM sess
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+      |paths AS (
+      |  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      |  FROM tri WHERE t3 IS NOT NULL AND s3 = session_id
+      |  GROUP BY 1)
+      |SELECT path, n FROM paths
+      |ORDER BY n DESC, path ASC
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+    sess
+      .select(col("event_type").as("t1"), col("session_id"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"),
+        lead(col("session_id"), 2).over(w).as("s3"))
+      .filter(col("t3").isNotNull && col("s3") === col("session_id"))
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(25)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
-    qTransitions, qValueHistogram)
+    qTransitions, qValueHistogram, qPaths)
 }

@@ -1621,9 +1621,106 @@ object SimilarityQ {
       .limit(100)
   }.preparedBy(preparePca)
 
+  /** CLASS SEPARATION AUDIT — per-label compactness vs nearest-class
+    * distance in the int8 CODE space the quantized index actually
+    * serves: intra = mean squared code-distance to the label's rounded
+    * code-centroid, inter = squared distance to the nearest OTHER
+    * class centroid. A label whose nearest_d2 dips under its intra_msd
+    * is confusable at retrieval time — the triage that decides whether
+    * a labeled slice needs re-embedding or re-labeling before it feeds
+    * hard-negative mining. Code space keeps every sum an exact
+    * integer (codes 0..255, centroids rounded with (2S+n) div (2n)),
+    * so the aggregation is accumulation-order-independent and the
+    * DuckDB replay is bit-identical — no aux table, no libm.
+    *
+    * Scale shape: one posexplode scan joined to the broadcast 64-row
+    * dim stats; centroid table is |labels|·64 rows (broadcast back);
+    * intra partials map-side combine to |labels| rows; the centroid
+    * pairwise join is |labels|²·64 — label cardinality, not corpus.
+    */
+  val qClassSeparation: Q = Q.sql(
+    "q_emb_class_separation",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
+      |    embedding[CAST(i AS INT)] AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+      |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim),
+      |codes AS (
+      |  SELECT e.vec_id, e.label, e.dim,
+      |    CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(least(255.0, floor(
+      |           (CAST(e.x AS DOUBLE) - CAST(st.mn AS DOUBLE)) * 255.0
+      |             / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)))) AS BIGINT)
+      |    END AS code
+      |  FROM e JOIN st USING (dim)),
+      |cent AS (
+      |  SELECT label, dim,
+      |    (2 * SUM(code) + COUNT(*)) // (2 * COUNT(*)) AS crd
+      |  FROM codes GROUP BY label, dim),
+      |sizes AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |intra AS (
+      |  SELECT c.label, SUM((c.code - ct.crd) * (c.code - ct.crd)) AS d2
+      |  FROM codes c JOIN cent ct ON c.label = ct.label AND c.dim = ct.dim
+      |  GROUP BY c.label),
+      |inter AS (
+      |  SELECT a.label, b.label AS other_label,
+      |    SUM((a.crd - b.crd) * (a.crd - b.crd)) AS cd2
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      |  GROUP BY a.label, b.label),
+      |nearest AS (
+      |  SELECT label, other_label, cd2,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY cd2 ASC, other_label ASC) AS rk
+      |  FROM inter)
+      |SELECT s.label AS label, CAST(s.n AS BIGINT) AS n,
+      |  CAST(i.d2 AS DOUBLE) / s.n AS intra_msd,
+      |  nr.other_label AS nearest_label, CAST(nr.cd2 AS BIGINT) AS nearest_d2
+      |FROM sizes s
+      |JOIN intra i ON s.label = i.label
+      |JOIN nearest nr ON s.label = nr.label AND nr.rk = 1
+      |ORDER BY s.label ASC""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val codes = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(broadcast(dimStats(emb)), "dim")
+      .select(col("label"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255.0), floor(
+            (col("x").cast(DoubleType) - col("mn").cast(DoubleType)) * 255.0
+              / (col("mx").cast(DoubleType) - col("mn").cast(DoubleType))))
+            .cast(LongType))
+          .as("code"))
+    val cent = codes.groupBy("label", "dim")
+      .agg(expr("(2 * sum(code) + count(*)) div (2 * count(*))").as("crd"))
+      .localCheckpoint(true)
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val intra = codes.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("label"),
+        ((col("code") - col("crd")) * (col("code") - col("crd"))).as("sq"))
+      .groupBy("label").agg(sum("sq").as("d2"))
+    // every post-centroid table is |labels|-sized; the checkpointed
+    // frames carry no stats, so hint the broadcasts explicitly
+    val inter = cent.as("a")
+      .join(broadcast(cent.as("b")),
+        col("a.dim") === col("b.dim") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other_label"))
+      .agg(sum((col("a.crd") - col("b.crd")) * (col("a.crd") - col("b.crd")))
+        .as("cd2"))
+    val wN = Window.partitionBy(col("label"))
+      .orderBy(col("cd2").asc, col("other_label").asc)
+    val nearest = inter.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") === 1)
+    sizes.join(broadcast(intra), "label").join(broadcast(nearest), "label")
+      .select(col("label"), col("n"),
+        (col("d2").cast(DoubleType) / col("n")).as("intra_msd"),
+        col("other_label").as("nearest_label"), col("cd2").as("nearest_d2"))
+      .orderBy(col("label").asc)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
-    qEmbPrunePrototypes)
+    qEmbPrunePrototypes, qClassSeparation)
 }

@@ -716,6 +716,29 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
 
+  test("event paths run every window over ONE user_id partitioning and top-k lowers") {
+    val p = plan("q_events_paths")
+    val winExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(winExchanges == 1,
+      s"sessionize + trigram leads must share one sort shuffle, saw $winExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must not global-sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "path counts must map-side combine")
+  }
+
+  test("class separation broadcasts dim stats + centroids — label-sized joins only") {
+    val p = plan("q_emb_class_separation")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim stats and centroid joins must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+    // the exploded code stream must never sort-merge against anything
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-sized code stream must only meet broadcast tables")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "intra partials must map-side combine")
+  }
+
   test("pagerank iterates keys-only joins off the edge checkpoint — no text, no corpus re-scan") {
     val p = plan("q_doc_pagerank")
     assert(p.contains("ExistingRDD"),

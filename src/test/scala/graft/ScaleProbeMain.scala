@@ -329,6 +329,17 @@ object ScaleProbeMain {
       SparkEntry.queries("q_media_dhash_neardup")(spark, bigDir).count()
     }
 
+    // paths at 10x events (10x users from the debounce amplification
+    // above): per-user window state is constant, the path-count key
+    // space is |types|³-bounded. class separation at 10x embeddings:
+    // the only corpus-sized stage is the explode+broadcast-join scan.
+    time("event_paths_10x(10x users)") {
+      SparkEntry.queries("q_events_paths")(spark, bigDir).count()
+    }
+    time(s"class_separation_10x(${nEmb * 10} vecs)") {
+      SparkEntry.queries("q_emb_class_separation")(spark, bigDir).count()
+    }
+
     // pagerank on the 10x duplicate-heavy corpus: the near-dup edge
     // table rides the same O(Σ bucket²) candidate hazard as the rest
     // of the family (pipeline ordering is the mitigation), but the

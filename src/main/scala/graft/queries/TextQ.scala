@@ -1521,6 +1521,8 @@ object TextQ {
   val bm25QueryDocs = 5
   val bm25QueryLen = 8
   val bm25TopK = 10
+  /** Hard negatives per query in q_doc_retrieval_triplets. */
+  val bm25TripletNegs = 3
 
   /** Robertson–Spärck Jones IDF per query term, ln((N−df+0.5)/(df+0.5)+1),
     * computed ONCE engine-side and quantized to DECIMAL(18,6) (engines
@@ -1594,8 +1596,11 @@ object TextQ {
     * one scalar aggregate broadcast as a literal. No global sort
     * until the final catalog ORDER BY.
     */
-  val qBm25: Q = Q.sql(
-    "q_doc_bm25",
+  /** The full BM25 ranking CTE chain (ends at `r(qid, rnk, doc_id,
+    * n_match, bm25)`, no rank cut) — shared by q_doc_bm25's oracle and
+    * the retrieval-triplet oracle.
+    */
+  private def bm25RankedSql: String =
     s"""WITH idf AS (
        |  SELECT term, idf FROM read_parquet('$bm25AuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
@@ -1632,49 +1637,123 @@ object TextQ {
        |  SELECT qid, CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rnk,
        |    doc_id, n_match, bm25
-       |  FROM g)
+       |  FROM g)""".stripMargin
+
+  /** The memoized Spark side of [[bm25RankedSql]]: every (query,
+    * matching doc) scored and rank-numbered, checkpointed once per
+    * (session, corpus) — q_doc_bm25 cuts it at top-k, the retrieval
+    * triplets split it gold-vs-negatives; the postings join runs once.
+    */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
+                         d: String): DataFrame =
+    SharedFrames.frame(s, s"bm25_ranked:$d") {
+      bm25RankedRaw(s, d).localCheckpoint(true)
+    }
+
+  /** The un-checkpointed ranked pipeline — split out so PlanAuditSpec
+    * can pin the BUILD plan (broadcasts, window partitioning) that the
+    * memo otherwise hides behind an ExistingRDD scan.
+    */
+  private[graft] def bm25RankedRaw(s: org.apache.spark.sql.SparkSession,
+                                   d: String): DataFrame = {
+      val idf = bm25Idf(s, d)
+      val idfDf = {
+        import s.implicits._
+        idf.map { case (t, v) => (t, scala.math.BigDecimal(v)) }
+          .toDF("term", "idf")
+          .select(col("term"), col("idf").cast(DecimalType(18, 6)).as("idf"))
+      }
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("tok"))
+      val dl = toks.select(col("doc_id"), size(col("tok")).cast(LongType).as("dl"))
+      val st = dl.agg(sum(col("dl")), count(lit(1))).head()
+      val s0 = st.getLong(0)
+      val n0 = st.getLong(1)
+      val tf = toks.select(col("doc_id"), explode(col("tok")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val qt = docs.filter(col("doc_id") < bm25QueryDocs)
+        .select(col("doc_id").as("qid"),
+          explode(slice(tokens(col("text")), 1, bm25QueryLen)).as("term"))
+        .distinct()
+      val sc = (col("idf").cast(DoubleType) *
+        (lit(22L * s0) * col("tf")).cast(DoubleType)) /
+        (lit(10L * s0) * col("tf") + lit(3L * s0) + lit(9L * n0) * col("dl"))
+          .cast(DoubleType)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
+      tf.join(broadcast(qt), "term")
+        .join(broadcast(idfDf), "term")
+        .join(dl, "doc_id")
+        .select(col("qid"), col("doc_id"), col("term"), sc.as("sc"))
+        .groupBy("qid", "doc_id")
+        .agg(
+          aggregate(
+            sort_array(collect_list(struct(col("term"), col("sc")))),
+            lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
+          count(lit(1)).cast(LongType).as("n_match"))
+        .withColumn("rnk", row_number().over(w).cast(IntegerType))
+  }
+
+  val qBm25: Q = Q.sql(
+    "q_doc_bm25",
+    s"""$bm25RankedSql
        |SELECT qid, rnk, doc_id, n_match, bm25 FROM r
        |WHERE rnk <= $bm25TopK
        |ORDER BY qid ASC, rnk ASC""".stripMargin) { (s, d) =>
-    val idf = bm25Idf(s, d)
-    val idfDf = {
-      import s.implicits._
-      idf.map { case (t, v) => (t, scala.math.BigDecimal(v)) }
-        .toDF("term", "idf")
-        .select(col("term"), col("idf").cast(DecimalType(18, 6)).as("idf"))
-    }
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("tok"))
-    val dl = toks.select(col("doc_id"), size(col("tok")).cast(LongType).as("dl"))
-    val st = dl.agg(sum(col("dl")), count(lit(1))).head()
-    val s0 = st.getLong(0)
-    val n0 = st.getLong(1)
-    val tf = toks.select(col("doc_id"), explode(col("tok")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val qt = docs.filter(col("doc_id") < bm25QueryDocs)
-      .select(col("doc_id").as("qid"),
-        explode(slice(tokens(col("text")), 1, bm25QueryLen)).as("term"))
-      .distinct()
-    val sc = (col("idf").cast(DoubleType) *
-      (lit(22L * s0) * col("tf")).cast(DoubleType)) /
-      (lit(10L * s0) * col("tf") + lit(3L * s0) + lit(9L * n0) * col("dl"))
-        .cast(DoubleType)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
-    tf.join(broadcast(qt), "term")
-      .join(broadcast(idfDf), "term")
-      .join(dl, "doc_id")
-      .select(col("qid"), col("doc_id"), col("term"), sc.as("sc"))
-      .groupBy("qid", "doc_id")
-      .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("term"), col("sc")))),
-          lit(0.0), (acc, x) => acc + x.getField("sc")).as("bm25"),
-        count(lit(1)).cast(LongType).as("n_match"))
-      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+    bm25Ranked(s, d)
       .filter(col("rnk") <= bm25TopK)
       .select(col("qid"), col("rnk"), col("doc_id"), col("n_match"), col("bm25"))
       .orderBy(col("qid").asc, col("rnk").asc)
+  }.preparedBy(prepareBm25)
+
+  /** RETRIEVAL TRAINING TRIPLETS — the DPR recipe (Karpukhin et al.
+    * EMNLP 2020): for each query, the gold passage plus the top
+    * BM25-ranked passages that are NOT the gold — lexically close
+    * enough to fool a sparse retriever, which is exactly what makes
+    * them hard negatives for training a dense one. Queries here are
+    * the engine's standing BM25 query set (doc-prefix queries), gold =
+    * the source document; margin = gold score − negative score, an
+    * IEEE subtraction of two already-exact scores. Queries whose gold
+    * falls outside the match set (pathological) drop via the inner
+    * join rather than emitting a false positive.
+    *
+    * Scale shape: both sides are label-sized slices of the ONE
+    * memoized ranked table (the postings join never re-runs); the
+    * negative re-rank window rides the same qid partitioning.
+    */
+  val qRetrievalTriplets: Q = Q.sql(
+    "q_doc_retrieval_triplets",
+    s"""$bm25RankedSql,
+       |pos AS (
+       |  SELECT qid, doc_id AS pos_doc_id, bm25 AS pos_bm25
+       |  FROM r WHERE doc_id = qid),
+       |neg AS (
+       |  SELECT qid, doc_id, bm25,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY bm25 DESC, doc_id ASC) AS INT) AS neg_rank
+       |  FROM r WHERE doc_id <> qid)
+       |SELECT p.qid AS qid, p.pos_doc_id, p.pos_bm25,
+       |  n.doc_id AS neg_doc_id, n.bm25 AS neg_bm25, n.neg_rank,
+       |  p.pos_bm25 - n.bm25 AS margin
+       |FROM pos p JOIN neg n ON p.qid = n.qid
+       |WHERE n.neg_rank <= $bm25TripletNegs
+       |ORDER BY qid ASC, neg_rank ASC""".stripMargin) { (s, d) =>
+    val ranked = bm25Ranked(s, d)
+    val pos = ranked.filter(col("doc_id") === col("qid"))
+      .select(col("qid"), col("doc_id").as("pos_doc_id"),
+        col("bm25").as("pos_bm25"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
+    val neg = ranked.filter(col("doc_id") =!= col("qid"))
+      .withColumn("neg_rank", row_number().over(wNeg).cast(IntegerType))
+      .filter(col("neg_rank") <= bm25TripletNegs)
+      .select(col("qid"), col("doc_id").as("neg_doc_id"),
+        col("bm25").as("neg_bm25"), col("neg_rank"))
+    pos.join(neg, "qid")
+      .select(col("qid"), col("pos_doc_id"), col("pos_bm25"),
+        col("neg_doc_id"), col("neg_bm25"), col("neg_rank"),
+        (col("pos_bm25") - col("neg_bm25")).as("margin"))
+      .orderBy(col("qid").asc, col("neg_rank").asc)
   }.preparedBy(prepareBm25)
 
   // -------------------------------------------------------------------
@@ -2329,5 +2408,6 @@ object TextQ {
     qTokensExploded, qFingerprintNearDup, qQualityModel, qLengthBuckets, qDsir,
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
-    qVocabCoverage, qSourceOverlap, qSourceKl, qContainment)
+    qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
+    qRetrievalTriplets)
 }

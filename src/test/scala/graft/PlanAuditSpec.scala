@@ -397,7 +397,11 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("bm25 broadcasts query terms and idf — postings shuffle, corpus doesn't") {
-    val p = plan("q_doc_bm25")
+    // audit the BUILD plan: the catalog query reads the memoized
+    // checkpoint (pinned in the triplets audit), which would hide the
+    // joins this test exists to pin
+    val p = graft.queries.TextQ.bm25RankedRaw(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"query-term and idf joins must both broadcast:\n${p.linesIterator.take(10).mkString("\n")}")
     assert(!p.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("term")),
@@ -714,6 +718,14 @@ class PlanAuditSpec extends SparkSpecBase {
       "the exploded token stream must never SMJ against the vocab table")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "per-(source,tok) counts must map-side combine before the shuffle")
+  }
+
+  test("retrieval triplets slice the memoized BM25 ranked table — postings join never re-runs") {
+    val p = plan("q_doc_retrieval_triplets")
+    assert(p.contains("ExistingRDD"),
+      s"both triplet sides must read the ranked checkpoint:\n$p")
+    assert(!p.contains("FileScan"), "no corpus re-scan past the ranked table")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("event paths run every window over ONE user_id partitioning and top-k lowers") {

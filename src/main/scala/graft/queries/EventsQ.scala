@@ -677,6 +677,129 @@ object EventsQ {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** AUDIENCE OVERLAP VIA KMV SKETCH ALGEBRA — for every event-type
+    * pair, the estimated shared-user count from k-minimum-values
+    * sketches (Beyer et al. SIGMOD 2007: union size from the k-th
+    * smallest hash of the merged sketch, intersection as the match
+    * fraction ρ of the union sketch times the union estimate),
+    * side-by-side with the EXACT overlap — the sketch-accuracy audit
+    * you run at small scale before trusting the sketch alone at 100 TB,
+    * where per-pair exact distinct-intersections (a corpus-sized
+    * self-join) stop being computable but the ≤ k-row sketches merge
+    * for free. Same 60-bit md5 hash + bottom-64 machinery as
+    * q_events_wau_sketch, so the sketches here are literally the ones
+    * a production rollup would already maintain.
+    *
+    * Scale shape: one distinct over (type, user), a two-phase salted
+    * bottom-k per type (no single-task window), then every downstream
+    * table is ≤ |types|·k rows — the pair matrix is sketch-only. The
+    * exact side is the expensive half BY DESIGN (it's the audit); at
+    * production scale you drop it and keep the sketch half.
+    */
+  val qAudienceOverlap: Q = Q.sql(
+    "q_events_audience_overlap",
+    """WITH du AS (
+      |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+      |uh AS (
+      |  SELECT DISTINCT event_type,
+      |    (SELECT SUM(CAST(strpos('0123456789abcdef',
+      |                 substr(md5(uid), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+      |            * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))
+      |     FROM range(15) t(i)) AS h
+      |  FROM du),
+      |sk AS (
+      |  SELECT event_type, h FROM (
+      |    SELECT event_type, h,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      |    FROM uh)
+      |  WHERE rn <= 64),
+      |ty AS (SELECT DISTINCT event_type FROM sk),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb
+      |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+      |ph AS (
+      |  SELECT p.ta, p.tb, s.h,
+      |    MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+      |  GROUP BY p.ta, p.tb, s.h),
+      |ranked AS (
+      |  SELECT ta, tb, h, in_a, in_b,
+      |    row_number() OVER (PARTITION BY ta, tb ORDER BY h ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY ta, tb) AS cnt
+      |  FROM ph),
+      |ag AS (
+      |  SELECT ta, tb, MAX(h) AS hk, COUNT(*) AS m,
+      |    SUM(in_a * in_b) AS matches, MAX(cnt) AS cnt
+      |  FROM ranked
+      |  WHERE rn <= CASE WHEN cnt < 64 THEN cnt ELSE 64 END
+      |  GROUP BY ta, tb),
+      |ex AS (
+      |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS exact_overlap
+      |  FROM du x JOIN du y ON x.uid = y.uid AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ag.ta AS type_a, ag.tb AS type_b,
+      |  CAST(COALESCE(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+      |  CASE WHEN ag.cnt < 64 THEN CAST(ag.cnt AS DOUBLE)
+      |       ELSE (63e0 * 1152921504606846976e0) / CAST(ag.hk AS DOUBLE)
+      |  END AS union_estimate,
+      |  (CAST(ag.matches AS DOUBLE) / CAST(ag.m AS DOUBLE)) *
+      |    (CASE WHEN ag.cnt < 64 THEN CAST(ag.cnt AS DOUBLE)
+      |          ELSE (63e0 * 1152921504606846976e0) / CAST(ag.hk AS DOUBLE)
+      |     END) AS kmv_estimate
+      |FROM ag LEFT JOIN ex ON ag.ta = ex.ta AND ag.tb = ex.tb
+      |ORDER BY type_a ASC, type_b ASC""".stripMargin) { (s, d) =>
+    val k = 64
+    val du = Tables.events(s, d)
+      .select(col("event_type"), col("user_id").cast(StringType).as("uid"))
+      .distinct()
+    val uh = du
+      .select(col("event_type"),
+        conv(substring(md5(col("uid").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .distinct()
+    val w1 = Window.partitionBy("event_type", "salt").orderBy(col("h").asc)
+    val cand = uh.withColumn("salt", pmod(col("h"), lit(64)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k).drop("rn", "salt")
+    val w2 = Window.partitionBy("event_type").orderBy(col("h").asc)
+    val sk = cand.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k).drop("rn")
+      .localCheckpoint(true)
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.as("x")
+      .join(types.as("y"), col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+    val ph = pairs
+      .join(broadcast(sk),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "h")
+      .agg(max(when(col("event_type") === col("ta"), 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === col("tb"), 1).otherwise(0)).as("in_b"))
+    val w3 = Window.partitionBy("ta", "tb").orderBy(col("h").asc)
+    val cut = when(col("cnt") < k, col("cnt")).otherwise(lit(k))
+    val ag = ph.withColumn("rn", row_number().over(w3))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("ta", "tb")))
+      .filter(col("rn") <= cut)
+      .groupBy("ta", "tb")
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"),
+        sum(col("in_a") * col("in_b")).as("matches"), max(col("cnt")).as("cnt"))
+    val ex = du.as("x")
+      .join(du.as("y"),
+        col("x.uid") === col("y.uid") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val uEst = when(col("cnt") < k, col("cnt").cast(DoubleType))
+      .otherwise(lit(63.0 * 1.152921504606846976e18) / col("hk").cast(DoubleType))
+    ag.join(ex, Seq("ta", "tb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        uEst.as("union_estimate"),
+        ((col("matches").cast(DoubleType) / col("m").cast(DoubleType)) * uEst)
+          .as("kmv_estimate"))
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
   /** SESSION PATH MINING — the top-25 three-step user journeys, where
     * a journey never crosses a session boundary (the q_events_sessionize
     * 30-minute gaps-and-islands split): q_events_transitions' bigram
@@ -750,5 +873,5 @@ object EventsQ {
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
-    qTransitions, qValueHistogram, qPaths)
+    qTransitions, qValueHistogram, qPaths, qAudienceOverlap)
 }

@@ -720,6 +720,17 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
 
+  test("audience overlap: bottom-k is two-phase salted, pair matrix rides the sketch checkpoint") {
+    val p = plan("q_events_audience_overlap")
+    assert(p.contains("ExistingRDD"),
+      s"pair expansion must read the ≤|types|·k sketch checkpoint:\n$p")
+    // every visible window partitions by the pair key — nothing global
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window [") && !l.contains("partitionBy") && l.contains("[], [")),
+      "no empty-partition (single-task) window")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("retrieval triplets slice the memoized BM25 ranked table — postings join never re-runs") {
     val p = plan("q_doc_retrieval_triplets")
     assert(p.contains("ExistingRDD"),

@@ -134,5 +134,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     Seq(CosineSimilarity.fn, LshBandKeys.fn, MinhashSig.fn, Simhash64.fn,
       DeflateSize.fn, BpeTokenCount.fn).foreach(f => ext.injectFunction(f.injectable))
     ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
+    // whole-operator tier: the bounded-heap top-k-per-group physical
+    // operator (graft.plans.TopKPerGroup)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -254,7 +254,37 @@ object Analytics {
       .orderBy(col("c_mktsegment").asc, col("pos").asc)
   }
 
+  /** The same per-group top-k semantics as [[qTopkPerGroup]], executed
+    * by the engine's own physical operator (graft.plans.TopKPerGroup:
+    * LogicalPlan + SparkStrategy + bounded-heap SparkPlan pair injected
+    * via SparkSessionExtensions) instead of an aggregate or a window —
+    * the whole-operator tier of the custom-operator ladder. Top-2
+    * suppliers per nation by account balance; shuffle volume is
+    * |partitions|·|nations|·2 rows, and nothing larger than k is ever
+    * sorted (see the operator's scaladoc for the contract and the
+    * disclosed memory bound).
+    */
+  val qTopkPerGroupNative: Q = Q.sql(
+    "q_topk_per_group_native",
+    """SELECT s_nationkey, CAST(rn AS INT) AS rank, s_suppkey, s_acctbal
+      |FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+      |  FROM supplier)
+      |WHERE rn <= 2
+      |ORDER BY s_nationkey ASC, rank ASC""".stripMargin) { (s, d) =>
+    graft.plans.TopKPerGroup(
+      Tables.supplier(s, d).select("s_nationkey", "s_suppkey", "s_acctbal"),
+      groupCols = Seq("s_nationkey"),
+      orderBy = Seq(("s_acctbal", true), ("s_suppkey", false)),
+      k = 2)
+      .select(col("s_nationkey"), col("rank"), col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_nationkey").asc, col("rank").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qBurdenRatio, qBinBreaks, qClassify, qFirstFeature, qSnapshotJoin,
-    qFeatureJson, qComparison, qSummaryStats, qTopkPerGroup)
+    qFeatureJson, qComparison, qSummaryStats, qTopkPerGroup,
+    qTopkPerGroupNative)
 }

@@ -2402,6 +2402,114 @@ object TextQ {
       .orderBy(col("source").asc)
   }
 
+  /** C4 HEURISTIC CLEANING RULES (Raffel et al. JMLR 2020 §2.2) — the
+    * line- and page-level scrub that built C4 from Common Crawl,
+    * complementing q_doc_gopher_rules' document-statistics gates with
+    * C4's LINE-level judgment: a line survives only if it ends in
+    * terminal punctuation, carries ≥ 3 words, and doesn't mention
+    * javascript; a page survives only with ≥ 3 surviving lines and
+    * no lorem-ipsum / curly-brace markers (code and template debris).
+    * Pure per-row string work — counts and booleans, no floats, so
+    * the oracle match is trivially exact.
+    *
+    * Scale shape: one scan, zero shuffles before the output sort; at
+    * 100 TB this is a mapper, exactly like the production C4 job.
+    */
+  val qC4Rules: Q = Q.sql(
+    "q_doc_c4_rules",
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+      |    l -> regexp_matches(trim(l), '[.!?"]$')
+      |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |         AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace,
+      |  (len(list_filter(regexp_split_to_array(text, '\n'),
+      |    l -> regexp_matches(trim(l), '[.!?"]$')
+      |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |         AND NOT contains(lower(l), 'javascript'))) >= 3
+      |   AND NOT contains(lower(text), 'lorem ipsum')
+      |   AND NOT contains(text, '{')) AS keep
+      |FROM documents
+      |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val lines = split(col("text"), "\n")
+    val keptLine = (l: org.apache.spark.sql.Column) =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 3 &&
+        !lower(l).contains("javascript")
+    val nKept = size(filter(lines, keptLine)).cast(LongType)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(lines).cast(LongType).as("n_lines"),
+      nKept.as("n_kept"),
+      lower(col("text")).contains("lorem ipsum").as("has_lorem"),
+      col("text").contains("{").as("has_brace"),
+      (nKept >= 3 && !lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{")).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** PER-SOURCE ZIPF SLOPE — least-squares slope of the (log₂ rank,
+    * log₂ frequency) cloud of each source's term distribution.
+    * Natural language tracks Zipf's law (slope ≈ −1); template-heavy
+    * or machine-generated sources flatten (few types, uniform
+    * frequencies → slope near 0) or collapse (one hot template line →
+    * steep head) — a one-number vocabulary-health triage per source.
+    * Logs are INTEGER bit-lengths (length of the binary expansion —
+    * no libm anywhere), so all five regression sums are exact
+    * integers and the slope is one IEEE division of exact operands;
+    * degenerate sources (all points on one x) return NULL.
+    *
+    * Scale shape: (source, term) counts map-side combine; the rank
+    * window partitions by source over the vocab-sized count table,
+    * never the corpus; regression sums combine to ≤ #sources rows.
+    */
+  val qZipfSlope: Q = Q.sql(
+    "q_doc_zipf_slope",
+    """WITH c AS (
+      |  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT source,
+      |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |        FROM documents WHERE length(trim(text)) > 0)
+      |  GROUP BY source, t),
+      |p AS (
+      |  SELECT source,
+      |    CAST(length(bin(row_number() OVER (PARTITION BY source
+      |      ORDER BY n DESC, term ASC))) AS BIGINT) AS x,
+      |    CAST(length(bin(n)) AS BIGINT) AS y
+      |  FROM c),
+      |a AS (
+      |  SELECT source, COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM p GROUP BY source)
+      |SELECT source, CAST(np AS BIGINT) AS n_types,
+      |  CASE WHEN np * sxx - sx * sx <> 0
+      |    THEN CAST(np * sxy - sx * sy AS DOUBLE)
+      |           / CAST(np * sxx - sx * sx AS DOUBLE)
+      |  END AS zipf_slope
+      |FROM a
+      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("term").asc)
+    val p = c.select(col("source"),
+      length(bin(row_number().over(w))).cast(LongType).as("x"),
+      length(bin(col("n"))).cast(LongType).as("y"))
+    p.groupBy("source")
+      .agg(count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("np").as("n_types"),
+        when(col("np") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("np") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("zipf_slope"))
+      .orderBy(col("source").asc)
+  }
+
   val all: Seq[Q] = Seq(
     qExactDedup, qTokenCount, qQualityScore, qUnigramSurprisal, qCompressRatio,
     qNgramJaccard, qMinhashLsh, qSimhash, qLangId, qFingerprint, qBinaryMeta,
@@ -2409,5 +2517,5 @@ object TextQ {
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
-    qRetrievalTriplets)
+    qRetrievalTriplets, qC4Rules, qZipfSlope)
 }

@@ -720,6 +720,22 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
 
+  test("c4 rules are one scan — zero shuffles before the output sort") {
+    val p = plan("q_doc_c4_rules")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"only the final ORDER BY may exchange:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("zipf slope windows the vocab-sized count table by source, never the corpus") {
+    val p = plan("q_doc_zipf_slope")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "term counts and regression sums must both map-side combine")
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("source")),
+      "rank window must partition by source")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("audience overlap: bottom-k is two-phase salted, pair matrix rides the sketch checkpoint") {
     val p = plan("q_events_audience_overlap")
     assert(p.contains("ExistingRDD"),

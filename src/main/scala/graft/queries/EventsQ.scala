@@ -677,6 +677,71 @@ object EventsQ {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** BOT-CADENCE DETECTION — per-user inter-event-gap regularity: a
+    * human's gaps are bursty (squared coefficient of variation ≫ 0), a
+    * scripted client fires on a timer (cv² ≈ 0) — the behavioral
+    * pre-training-data scrub that catches automation no content rule
+    * sees. cv² = Var/Mean² needs no sqrt and reduces to
+    * (n·Σx² − (Σx)²)/(Σx)² — all three sums exact DECIMAL integers
+    * (gaps are integer µs; Σx telescopes to last−first ts, so (Σx)²
+    * stays ~10²⁷ ≪ the 38-digit decimal bound), then ONE double
+    * division. Flag: cv² < 0.05 over ≥ 5 gaps.
+    *
+    * Scale shape: the lag window and the per-user aggregate share one
+    * user_id partitioning; per-user state is O(1); output is
+    * users-sized.
+    */
+  val qBotCadence: Q = Q.sql(
+    "q_events_bot_cadence",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS gap
+      |  FROM e),
+      |a AS (
+      |  SELECT user_id, COUNT(gap) AS n_gaps, SUM(gap) AS sx,
+      |    SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sxx
+      |  FROM g WHERE gap IS NOT NULL
+      |  GROUP BY user_id)
+      |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+      |  CAST(sx AS BIGINT) AS span_us,
+      |  CAST(sx AS DOUBLE) / n_gaps AS mean_gap_us,
+      |  CASE WHEN sx > 0
+      |    THEN CAST(CAST(n_gaps AS HUGEINT) * sxx
+      |               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |           / CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |  END AS cv2,
+      |  (sx > 0 AND n_gaps >= 5
+      |   AND CAST(CAST(n_gaps AS HUGEINT) * sxx
+      |             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |         / CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |       < 0.05) AS is_bot
+      |FROM a
+      |ORDER BY user_id ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val cv2 = (col("n_gaps") * col("sxx") - col("sx") * col("sx"))
+      .cast(DoubleType) / (col("sx") * col("sx")).cast(DoubleType)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      .withColumn("gap",
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).cast(DecimalType(18, 0)))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(col("gap")).as("n_gaps"), sum(col("gap")).as("sx"),
+        sum(col("gap") * col("gap")).as("sxx"))
+      .select(col("user_id"), col("n_gaps"),
+        col("sx").cast(LongType).as("span_us"),
+        (col("sx").cast(DoubleType) / col("n_gaps")).as("mean_gap_us"),
+        when(col("sx") > 0, cv2).as("cv2"),
+        (col("sx") > 0 && col("n_gaps") >= 5 && cv2 < 0.05).as("is_bot"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** AUDIENCE OVERLAP VIA KMV SKETCH ALGEBRA — for every event-type
     * pair, the estimated shared-user count from k-minimum-values
     * sketches (Beyer et al. SIGMOD 2007: union size from the k-th
@@ -873,5 +938,5 @@ object EventsQ {
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
-    qTransitions, qValueHistogram, qPaths, qAudienceOverlap)
+    qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence)
 }

@@ -1621,6 +1621,84 @@ object SimilarityQ {
       .limit(100)
   }.preparedBy(preparePca)
 
+  /** One label-propagation round in DuckDB SQL — mirror of the Spark
+    * loop body in [[qLabelProp]]: clamped seeds, majority vote over
+    * kNN out-neighbors, ties to the smallest label.
+    */
+  private def lpRoundSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.vec_id, COALESCE(n.seed, m.maj) AS lab
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT vec_id, nl AS maj FROM (
+       |      SELECT e.vec_id, p.lab AS nl,
+       |        row_number() OVER (PARTITION BY e.vec_id
+       |          ORDER BY COUNT(*) DESC, p.lab ASC) AS rn
+       |      FROM edges e JOIN $prev p ON e.neighbor_id = p.vec_id
+       |      WHERE p.lab IS NOT NULL
+       |      GROUP BY e.vec_id, p.lab)
+       |    WHERE rn = 1) m ON n.vec_id = m.vec_id)""".stripMargin
+
+  /** SEMI-SUPERVISED LABEL PROPAGATION over the kNN graph (Zhu &
+    * Ghahramani 2002, clamped-seed majority form): a fifth of the
+    * labels are masked (vec_id ≡ 0 mod 5 — the deterministic stand-in
+    * for "unlabeled data"), then three rounds of majority vote over
+    * each node's kNN out-neighbors fill them back in; seeds stay
+    * clamped. The true label rides along, so the result IS the
+    * accuracy audit: how well does graph structure recover labels
+    * you already know — the go/no-go before trusting propagation to
+    * label genuinely new data. Votes are integer counts with ties to
+    * the smallest label; no floats anywhere.
+    *
+    * Scale shape: rides the memoized anchor-bounded kNN edge table
+    * (zero candidate-generation work); each round is one keys-only
+    * join + count + an anchor-partitioned argmax window over the
+    * ≤ knnK·n edge stream — labels move, embeddings never do.
+    */
+  val qLabelProp: Q = Q.sql(
+    "q_emb_label_prop",
+    s"""WITH $knnRankedCte,
+       |edges AS (
+       |  SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $knnK),
+       |nodes AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN vec_id % 5 <> 0 THEN label END AS seed
+       |  FROM embeddings),
+       |lp0 AS (SELECT vec_id, seed AS lab FROM nodes),
+       |${lpRoundSql("lp0", "lp1")},
+       |${lpRoundSql("lp1", "lp2")},
+       |${lpRoundSql("lp2", "lp3")}
+       |SELECT n.vec_id, n.vec_id % 5 <> 0 AS is_seed,
+       |  n.label AS true_label, l.lab AS propagated_label
+       |FROM nodes n JOIN lp3 l ON n.vec_id = l.vec_id
+       |ORDER BY n.vec_id ASC""".stripMargin) { (s, d) =>
+    val edges = knnGraphFrame(s, d)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nodes = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        when(col("vec_id") % 5 =!= 0, col("label")).as("seed"))
+    var lab = nodes.select(col("vec_id"), col("seed").as("lab"))
+    for (_ <- 1 to 3) {
+      val wv = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c").desc, col("nl").asc)
+      val maj = edges
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("lab").as("nl")),
+          Seq("neighbor_id"))
+        .filter(col("nl").isNotNull)
+        .groupBy("vec_id", "nl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nl").as("maj"))
+      lab = nodes.select(col("vec_id"), col("seed"))
+        .join(maj, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("seed"), col("maj")).as("lab"))
+    }
+    nodes.join(lab, "vec_id")
+      .select(col("vec_id"), (col("vec_id") % 5 =!= 0).as("is_seed"),
+        col("label").as("true_label"), col("lab").as("propagated_label"))
+      .orderBy(col("vec_id").asc)
+  }.preparedBy(prepareAnnLshKeys)
+
   /** CLASS SEPARATION AUDIT — per-label compactness vs nearest-class
     * distance in the int8 CODE space the quantized index actually
     * serves: intra = mean squared code-distance to the label's rounded
@@ -1722,5 +1800,5 @@ object SimilarityQ {
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
-    qEmbPrunePrototypes, qClassSeparation)
+    qEmbPrunePrototypes, qClassSeparation, qLabelProp)
 }

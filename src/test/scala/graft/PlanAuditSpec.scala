@@ -720,6 +720,25 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
 
+  test("bot cadence: lag window and aggregate share one user_id partitioning") {
+    val p = plan("q_events_bot_cadence")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(userExchanges == 1, s"one shuffle for window+agg, saw $userExchanges:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("label propagation rounds join labels against the kNN edge checkpoint only") {
+    val p = plan("q_emb_label_prop")
+    assert(p.contains("ExistingRDD"),
+      s"rounds must read the memoized edge table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // labels move, embeddings never do: no 'embedding' column crosses
+    // an exchange inside the propagation rounds
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("embedding")), p)
+  }
+
   test("c4 rules are one scan — zero shuffles before the output sort") {
     val p = plan("q_doc_c4_rules")
     assert("Exchange".r.findAllIn(p).size == 1,

@@ -2376,6 +2376,55 @@ object PipelineQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** RANGE-PARTITION ADVISOR — the 15 doc_id split points that divide
+    * the corpus into 16 equal-CHARACTER-mass ranges: what a
+    * repartitionByRange on row count gets wrong (documents are wildly
+    * skewed in size, so equal-row ranges produce unequal shuffle
+    * partitions and stragglers) and what this advisor fixes by
+    * computing boundaries on the byte-mass CDF. Boundary i is the
+    * smallest doc whose inclusive cumulative mass reaches
+    * ⌈i·total/16⌉ — exact integer thresholds, no floats anywhere.
+    *
+    * Scale shape: the same two-phase prefix sum as the shard packer
+    * (per-bucket sums → ≤ maxDriverBuckets driver scalars → windowed
+    * within bucket + broadcast offsets) — no global window at any
+    * corpus size; the threshold table is 15 broadcast rows.
+    */
+  val qPartitionAdvisor: Q = Q.sql(
+    "q_doc_partition_advisor",
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents),
+      |th AS (
+      |  SELECT CAST(i AS INT) AS boundary_idx,
+      |    CAST((i * tot.t + 15) // 16 AS BIGINT) AS thr
+      |  FROM range(1, 16) r(i) CROSS JOIN tot)
+      |SELECT th.boundary_idx, m.doc_id,
+      |  CAST(m.st + m.n_chars AS BIGINT) AS cum_chars
+      |FROM th JOIN m ON th.thr > m.st AND th.thr <= m.st + m.n_chars
+      |ORDER BY boundary_idx ASC""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("n_tokens"))
+    val total = docs.agg(sum("n_tokens")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val thresholds = (1 to 15)
+      .map(i => (i, (i.toLong * total + 15L) / 16L))
+      .toDF("boundary_idx", "thr")
+    withExclusivePrefixSum(docs)
+      .join(broadcast(thresholds),
+        col("thr") > col("__start") &&
+          col("thr") <= col("__start") + col("n_tokens"))
+      .select(col("boundary_idx"), col("doc_id"),
+        (col("__start") + col("n_tokens")).as("cum_chars"))
+      .orderBy(col("boundary_idx").asc)
+  }
+
   /** Integer-exact PageRank over an undirected pair table — the graph
     * kernel behind [[qPagerank]], factored out so PagerankSpec can feed
     * planted graphs. Ranks live in integer mass units (INIT = 1e9 per
@@ -2470,5 +2519,5 @@ object PipelineQ {
     qMixBalance, qTemperatureMix, qEpochMix, qUnimaxMix, qIncrementalDedup,
     qSnapshotDiff, qCorpusProfile, qQualityCut, qDupStats, qTokenBudgetSelect,
     qSelfDedupLines, qPiiStats, qBoilerplateLines, qDedupBias, qStitchPairs,
-    qPagerank)
+    qPagerank, qPartitionAdvisor)
 }

@@ -2402,6 +2402,97 @@ object TextQ {
       .orderBy(col("source").asc)
   }
 
+  /** PER-SOURCE QUALITY CALIBRATION — each document's quality score
+    * re-expressed as its percentile WITHIN its source: a raw
+    * stopword-ratio threshold applied corpus-wide lets a uniformly
+    * verbose source dominate and silently deletes a terse one, so
+    * production cuts (FineWeb-style) are taken per-source on the
+    * calibrated percentile. rank and n are integers; the percentile is
+    * one IEEE division; single-doc sources have no spread and
+    * calibrate to NULL.
+    *
+    * Scale shape: score in the scan, one rank window partitioned by
+    * source — corpus-parallel across sources, never a global window.
+    */
+  val qQualityCalibrate: Q = Q.sql(
+    "q_doc_quality_calibrate",
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+       |      / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS score
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |r AS (
+       |  SELECT doc_id, source, score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id ASC) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM q)
+       |SELECT doc_id, source, score,
+       |  CASE WHEN n > 1 THEN CAST(rk - 1 AS DOUBLE) / (n - 1) END AS src_pct
+       |FROM r
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    val q = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        (size(filter(toks, t => t.isin(stopwords: _*))).cast(DoubleType) /
+          size(toks)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    q.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("n") > 1,
+          (col("rk") - 1).cast(DoubleType) / (col("n") - 1)).as("src_pct"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** SIMHASH ESTIMATOR ACCURACY AUDIT — for every exact-Jaccard
+    * near-dup pair (the DF-capped candidate family's ground truth),
+    * the 64-bit SimHash hamming distance and its similarity estimate
+    * (1 − h/64) side by side: the calibration table that tells you
+    * what hamming radius your near-dup recall actually needs BEFORE
+    * you trust banded SimHash alone at 100 TB, where the exact rerank
+    * is the expensive half. Completes the estimator-audit family
+    * (KMV audience overlap, dHash image near-dup).
+    *
+    * Scale shape: the near-dup-sized pair table broadcasts into two
+    * keyed lookups against the memoized signature checkpoint; hamming
+    * is a bit_count(xor) in the projection — no new candidate work
+    * anywhere.
+    */
+  val qSimhashAccuracy: Q = Q.sql(
+    "q_doc_simhash_accuracy",
+    s"""$jaccardPairsSql,
+       |sig AS (
+       |  SELECT doc_id, sim FROM read_parquet('$simhashSigAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents))
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming,
+       |  1e0 - CAST(bit_count(xor(sa.sim, sb.sim)) AS DOUBLE) / 64e0 AS sim_est
+       |FROM pairs p
+       |JOIN sig sa ON p.doc_a = sa.doc_id
+       |JOIN sig sb ON p.doc_b = sb.doc_id
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairsShared(s, d)
+    val sig = simhashSigFrame(s, d)
+    val ham = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    broadcast(pairs)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        ham.cast(LongType).as("hamming"),
+        (lit(1.0) - ham.cast(DoubleType) / lit(64.0)).as("sim_est"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, simhashSigAuxDir, d) {
+      OracleAux.write(simhashSigFrame(s, d), simhashSigAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
+  }
+
   /** C4 HEURISTIC CLEANING RULES (Raffel et al. JMLR 2020 §2.2) — the
     * line- and page-level scrub that built C4 from Common Crawl,
     * complementing q_doc_gopher_rules' document-statistics gates with
@@ -2517,5 +2608,6 @@ object TextQ {
     qLmPerplexity, qBm25, qCmsTopGrams, qGopherRules, qDoremiWeights,
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
-    qRetrievalTriplets, qC4Rules, qZipfSlope)
+    qRetrievalTriplets, qC4Rules, qZipfSlope, qQualityCalibrate,
+    qSimhashAccuracy)
 }

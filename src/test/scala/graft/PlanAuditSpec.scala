@@ -720,6 +720,31 @@ class PlanAuditSpec extends SparkSpecBase {
       "per-(source,tok) counts must map-side combine before the shuffle")
   }
 
+  test("partition advisor: two-phase prefix sum, no global window, 15-row broadcast") {
+    val p = plan("q_doc_partition_advisor")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("[], [")),
+      "no empty-partition (single-task) window — the CDF is bucketed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n${p.linesIterator.take(8).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality calibrate: score in the scan, rank window partitioned by source") {
+    val p = plan("q_doc_quality_calibrate")
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("source")), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("simhash accuracy broadcasts the pair table into the signature checkpoint") {
+    val p = plan("q_doc_simhash_accuracy")
+    assert(p.contains("ExistingRDD"),
+      s"pairs and signatures must come from memoized checkpoints:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "near-dup-sized pair table must broadcast into both sig lookups")
+    assert(!p.contains("FileScan"), "no corpus re-scan")
+  }
+
   test("bot cadence: lag window and aggregate share one user_id partitioning") {
     val p = plan("q_events_bot_cadence")
     val userExchanges = p.linesIterator.count(l =>

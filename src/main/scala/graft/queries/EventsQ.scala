@@ -677,6 +677,45 @@ object EventsQ {
       .orderBy(col("event_type").asc, col("bucket").asc)
   }
 
+  /** K-ANONYMITY AUDIT — quasi-identifier combinations rare enough to
+    * re-identify: any (event_type, value-bucket, day) cell carrying
+    * fewer than k = 5 users is a linkage risk (Sweeney 2002 — a rare
+    * combination plus any side channel singles a person out), and is
+    * exactly what a privacy review needs enumerated BEFORE an events
+    * table feeds training data. Counts DISTINCT users per cell (the
+    * k in k-anonymity is people, not rows), exact integers only;
+    * NaN values are excluded as in the histogram query.
+    *
+    * Scale shape: one distinct + one count keyed by the cell tuple,
+    * both map-side combining; output is only the at-risk tail, which
+    * is small by definition.
+    */
+  val qKAnonymity: Q = Q.sql(
+    "q_events_kanonymity",
+    """WITH cells AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(floor(value / 10) AS BIGINT) AS bucket,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
+      |    user_id
+      |  FROM events WHERE NOT isnan(value)),
+      |k AS (
+      |  SELECT event_type, bucket, day, COUNT(*) AS n_users
+      |  FROM cells GROUP BY event_type, bucket, day)
+      |SELECT event_type, bucket, day, CAST(n_users AS BIGINT) AS n_users
+      |FROM k WHERE n_users < 5
+      |ORDER BY event_type ASC, bucket ASC, day ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .select(col("event_type"),
+        floor(col("value") / 10).cast(LongType).as("bucket"),
+        epochDay(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("event_type", "bucket", "day")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") < 5)
+      .orderBy(col("event_type").asc, col("bucket").asc, col("day").asc)
+  }
+
   /** BOT-CADENCE DETECTION — per-user inter-event-gap regularity: a
     * human's gaps are bursty (squared coefficient of variation ≫ 0), a
     * scripted client fires on a timer (cv² ≈ 0) — the behavioral
@@ -938,5 +977,6 @@ object EventsQ {
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
-    qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence)
+    qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
+    qKAnonymity)
 }

@@ -21,12 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
+  /** An orphaned warehouse location — the catalog entry is gone (a
+    * crashed run, or a fresh in-memory catalog over a persistent
+    * warehouse dir) but the directory survived — blocks CREATE TABLE
+    * with LOCATION_ALREADY_EXISTS. A (re)build must not be blocked by
+    * a dead run's debris, so clear it when the catalog doesn't know
+    * the table. Shared with [[HashIndex]].
+    */
+  private[sink] def clearOrphanedLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh,
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+
   /** (Re)build the index from a (doc_id, band, bh) band-key table. */
-  def build(banded: DataFrame, table: String, buckets: Int = 8): Unit =
+  def build(banded: DataFrame, table: String, buckets: Int = 8): Unit = {
+    clearOrphanedLocation(banded.sparkSession, table)
     banded.select(col("band"), col("bh"), col("doc_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(table)
+  }
 
   /** Distinct (batch_doc, corpus_doc) candidate pairs of an incoming
     * batch's band-key table against the index. Joins on exactly the

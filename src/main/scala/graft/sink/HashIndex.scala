@@ -30,11 +30,13 @@ object HashIndex {
     md5(text.cast(BinaryType))
 
   /** (Re)build the index as a bucketed table of distinct hashes. */
-  def build(docs: DataFrame, table: String, buckets: Int = 8): Unit =
+  def build(docs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    BandIndex.clearOrphanedLocation(docs.sparkSession, table)
     docs.select(contentHash(col("text")).as("h")).distinct()
       .write.mode("overwrite")
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(table)
+  }
 
   /** Survivors of `batch` vs the index: one representative (min
     * doc_id) per content hash not yet in the corpus — identical

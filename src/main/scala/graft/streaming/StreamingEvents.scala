@@ -148,6 +148,58 @@ object StreamingEvents {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
   }
 
+  /** One hashed-user observation for the KMV sketch. */
+  final case class KmvIn(day: Long, h: Long)
+  /** KMV state: the bottom-k distinct 60-bit hashes seen for a day. */
+  final case class KmvState(hashes: Seq[Long])
+  /** Updated per-day sketch: current bottom-k size and the KMV
+    * distinct-count estimate (exact below k).
+    */
+  final case class KmvOut(day: Long, n_sketch: Int, estimate: Double)
+
+  /** Streaming per-day distinct-user KMV sketch — the incremental form
+    * of the batch KMV machinery behind q_events_wau_sketch /
+    * q_events_audience_overlap: per day, maintain the bottom-`k`
+    * distinct 60-bit md5 user hashes and re-emit the day's estimate
+    * every time a micro-batch touches it (Update output). Merging a
+    * batch into the sketch is the KMV union — the same algebra the
+    * batch queries replay — so after any prefix of the stream the
+    * state equals the batch sketch over the events seen so far
+    * (StreamingKmvSpec proves it).
+    *
+    * State is k longs per active day — O(days·k), microscopic — so no
+    * timeout is wired by default; a production deploy retiring old
+    * days would add an event-time timeout exactly as
+    * [[debounceStream]] does. The hash expression is byte-identical
+    * to the batch queries': sketches built here merge losslessly with
+    * sketches built there.
+    */
+  def kmvDailyStream(events: DataFrame, k: Int = 64): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+
+    def merge(day: Long, rows: Iterator[KmvIn],
+              state: GroupState[KmvState]): Iterator[KmvOut] = {
+      val prev = state.getOption.map(_.hashes).getOrElse(Seq.empty)
+      val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+      state.update(KmvState(merged))
+      val est =
+        if (merged.size < k) merged.size.toDouble
+        else (k - 1).toDouble * 1.152921504606846976e18 / merged.last.toDouble
+      Iterator.single(KmvOut(day, merged.size, est))
+    }
+
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(
+        expr("floor(floor(unix_micros(ts) / 1000000) / 86400)")
+          .cast("long").as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long").as("h"))
+      .as[KmvIn]
+      .groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(merge)
+  }
+
   /** A debounced event row (event-time microseconds). */
   final case class DebEv(event_id: Long, user_id: Long, event_type: String,
                          ts_us: Long)

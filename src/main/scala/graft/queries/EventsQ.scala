@@ -974,9 +974,69 @@ object EventsQ {
       .limit(25)
   }
 
+  /** SCD TYPE-2 DIMENSION BUILD — the warehouse-classic change-data
+    * capture: each user's event_type stream is treated as an attribute
+    * change log, and consecutive runs of the same value collapse into
+    * versioned validity intervals [valid_from, valid_to) with the open
+    * (current) version carrying NULL valid_to. This is the operator a
+    * dimension-table maintainer runs over a CDC feed to turn row-level
+    * changes into the slowly-changing-dimension shape every BI join
+    * expects.
+    *
+    * Scale shape: change detection (lag), version numbering
+    * (row_number) and interval close (lead) are three functions over
+    * TWO window specs sharing one partition key — user_id, the natural
+    * per-entity shuffle every events op here uses — so the whole build
+    * is two sorts within one exchange, no self-join against the
+    * change log (the naive SCD2 SQL joins changes to next-changes; the
+    * lead() form is shuffle-free past the one hash partition). All
+    * comparisons are integer microseconds — exact in both engines.
+    */
+  val qScd2: Q = Q.sql(
+    "q_events_scd2",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type, ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS prev_type
+      |  FROM e),
+      |chg AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM seq
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |ver AS (
+      |  SELECT user_id, event_type, ts_us AS valid_from_us,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS valid_to_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us ASC, event_id ASC) AS INT) AS version
+      |  FROM chg)
+      |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+      |  (valid_to_us IS NULL) AS is_current
+      |FROM ver
+      |ORDER BY user_id ASC, version ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        row_number().over(w).as("version"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id").asc, col("version").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity)
+    qKAnonymity, qScd2)
 }

@@ -193,5 +193,110 @@ object OlapQ {
       .orderBy(col("priority").asc, col("month").asc)
   }
 
-  val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill)
+  /** 32-bit Morton code over two 16-bit normalized coordinates — the
+    * bit-interleave both engines compute with the same unrolled
+    * shift/mask expression (all integer ops, trivially exact).
+    */
+  private def mortonZ(x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** The identical interleave as DuckDB SQL, generated from the same
+    * loop so the two can never drift.
+    */
+  private def mortonZSql(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) | ((($y >> $i) & 1) << ${2 * i})")
+      .mkString(" | ")
+
+  /** Z-ORDER LAYOUT PLAN — multi-dimensional clustering for scan
+    * pruning (the public Delta/Iceberg `OPTIMIZE ZORDER BY` idea,
+    * Morton 1966): lineitem rows sort by the bit-interleave of
+    * 16-bit-normalized (l_partkey, shipdate-day) and cut into
+    * 4096-row target files; the output is the per-file min/max
+    * footprint of BOTH dimensions — the row-group statistics a format
+    * like parquet would carry, whose narrow spans are exactly what
+    * lets a predicate on EITHER column skip most files. A linear sort
+    * on one key would give that column tight spans and leave the
+    * other's footprint corpus-wide; the interleave bounds both.
+    *
+    * Scale shape: one bounds pass (2-dim min/max aggregate), then the
+    * two-phase global rank the shard packer uses — the Morton code's
+    * top 8 bits are the range-partition bucket (the leading prefix of
+    * the sort key, so bucket order IS global z order), per-bucket
+    * counts collect ≤ 256 rows to the driver for the exclusive
+    * prefix, and ranks come from per-bucket row_number + broadcast
+    * offsets. No single-task window at any corpus size; the final
+    * aggregate is map-side-combined to rows/4096 groups.
+    */
+  val qLayoutZorder: Q = Q.sql(
+    "q_layout_zorder",
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey AS p,
+       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM lineitem),
+       |b AS (SELECT MIN(p) AS pmin, MAX(p) AS pmax,
+       |             MIN(day) AS dmin, MAX(day) AS dmax FROM base),
+       |norm AS (
+       |  SELECT l_orderkey, l_linenumber, p, day,
+       |    ((p - b.pmin) * 65535) // GREATEST(b.pmax - b.pmin, 1) AS x,
+       |    ((day - b.dmin) * 65535) // GREATEST(b.dmax - b.dmin, 1) AS y
+       |  FROM base, b),
+       |z AS (
+       |  SELECT l_orderkey, l_linenumber, p, day,
+       |    ${mortonZSql("x", "y")} AS z
+       |  FROM norm),
+       |r AS (
+       |  SELECT p, day,
+       |    ROW_NUMBER() OVER (ORDER BY z ASC, l_orderkey ASC,
+       |      l_linenumber ASC) - 1 AS rk
+       |  FROM z)
+       |SELECT (rk >> 12) AS file_id, COUNT(*) AS n_rows,
+       |  MIN(p) AS part_min, MAX(p) AS part_max,
+       |  MIN(day) AS day_min, MAX(day) AS day_max,
+       |  MAX(p) - MIN(p) AS part_span, MAX(day) - MIN(day) AS day_span
+       |FROM r GROUP BY 1
+       |ORDER BY file_id ASC""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("p"),
+      datediff(col("l_shipdate").cast(DateType),
+        to_date(lit("1970-01-01"))).cast(LongType).as("day"))
+    val bounds = base.agg(
+      min("p").as("pmin"), max("p").as("pmax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    val z = base.crossJoin(broadcast(bounds))
+      .withColumn("x", expr("((p - pmin) * 65535) div greatest(pmax - pmin, 1)"))
+      .withColumn("y", expr("((day - dmin) * 65535) div greatest(dmax - dmin, 1)"))
+      .withColumn("z", mortonZ(col("x"), col("y")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p"), col("day"),
+        col("z"), shiftright(col("z"), 24).as("__b"))
+    // Two-phase global rank: the bucket is the sort key's own leading
+    // prefix, so (bucket, z-within-bucket) order IS global z order.
+    val counts = z.groupBy("__b").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    import s.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    z.join(offsetDf, Seq("__b"))
+      .withColumn("rk",
+        row_number().over(w).cast(LongType) - 1L + col("__off"))
+      .withColumn("file_id", shiftright(col("rk"), 12))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("p").as("part_min"), max("p").as("part_max"),
+        min("day").as("day_min"), max("day").as("day_max"))
+      .withColumn("part_span", col("part_max") - col("part_min"))
+      .withColumn("day_span", col("day_max") - col("day_min"))
+      .orderBy(col("file_id").asc)
+  }
+
+  val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
+    qLayoutZorder)
 }

@@ -1796,9 +1796,88 @@ object SimilarityQ {
       .orderBy(col("label").asc)
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT over the kNN graph — per-vector
+    * triangle count, degree, and Watts-Strogatz coefficient
+    * 2T/(d(d-1)) on the undirected edge set. This is the manifold-
+    * density audit a curation pipeline reads before trusting
+    * graph-based ops: high-coefficient regions are tight semantic
+    * clumps (SemDeDup/topic clustering will behave), low-coefficient
+    * high-degree nodes are hubs stitching unrelated regions together
+    * (the failure mode that merges topics and poisons label
+    * propagation — exactly the nodes this query surfaces).
+    *
+    * Scale shape: rides the memoized ranked-edge table (zero extra
+    * candidate/rerank work per session); the undirected edge set is
+    * anchor-bounded (≤ knnK out-edges per node), so the triangle
+    * enumeration — e1(x,y) ⋈ e2(y,z) on the shared middle node, then
+    * a (x,z) edge-existence semi-check — is Σ_y deg(y)² pairs, the
+    * per-node-degree analogue of the LSH bucket² bound. The known
+    * hazard is the in-degree hub (a vector in many nodes' top-5); its
+    * pair growth is quadratic in that one node's degree, and the
+    * audit's own output is where such hubs become visible. ORACLE
+    * REPLAY: DuckDB replays kNN ranking from the band keys, then the
+    * identical normalize/join/count chain — all-integer graph ops,
+    * with the coefficient one IEEE divide of exact operands.
+    */
+  val qEmbKnnTriangles: Q = Q.sql(
+    "q_emb_knn_triangles",
+    s"""WITH $knnRankedCte,
+       |knn AS (
+       |  SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $knnK),
+       |und AS (
+       |  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a,
+       |    GREATEST(vec_id, neighbor_id) AS b
+       |  FROM knn),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.a = e1.b
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pernode AS (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri),
+       |tcount AS (SELECT node, COUNT(*) AS triangles FROM pernode GROUP BY node),
+       |deg AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY node)
+       |SELECT d.node AS vec_id, d.degree,
+       |  COALESCE(t.triangles, 0) AS triangles,
+       |  CASE WHEN d.degree >= 2
+       |    THEN CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+       |      / (d.degree * (d.degree - 1))
+       |    ELSE 0e0 END AS clustering_coeff
+       |FROM deg d LEFT JOIN tcount t ON t.node = d.node
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    val knn = knnGraphFrame(s, d).select(col("vec_id"), col("neighbor_id"))
+    val und = knn.select(
+        least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val tri = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+      .join(und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val pernode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+    val tcount = pernode.groupBy("node").agg(count(lit(1)).as("triangles"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val t = coalesce(col("triangles"), lit(0L))
+    deg.join(tcount, Seq("node"), "left")
+      .select(col("node").as("vec_id"), col("degree"), t.as("triangles"),
+        when(col("degree") >= 2,
+          (lit(2L) * t).cast(DoubleType) /
+            (col("degree") * (col("degree") - lit(1L))).cast(DoubleType))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy(col("vec_id").asc)
+  }.preparedBy(prepareAnnLshKeys)
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
-    qEmbPrunePrototypes, qClassSeparation, qLabelProp)
+    qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles)
 }

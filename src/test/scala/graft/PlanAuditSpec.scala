@@ -833,4 +833,38 @@ class PlanAuditSpec extends SparkSpecBase {
     // each round's contribution sum must map-side combine
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("z-order layout rank is bucket-partitioned with a broadcast offset table") {
+    val p = plan("q_layout_zorder")
+    // the rank window must partition by the z-prefix bucket; the only
+    // global (SinglePartition) exchange allowed is the 4-value bounds
+    // reduction, which is constant-size at any corpus
+    val windowLine = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+    assert(windowLine.contains("__b"),
+      s"rank window must partition by the z-prefix bucket: $windowLine")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"only the 1-row bounds reduction may plan a global exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=256-row bucket-offset table must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-file stats must map-side combine")
+  }
+
+  test("SCD2 build is window-only over the user_id exchange — no change-log self-join") {
+    val p = plan("q_events_scd2")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"),
+      s"lag/lead/row_number must replace the naive changes-to-next-changes join:\n$p")
+    p.linesIterator.filter(_.contains("Window")).foreach(l =>
+      assert(l.contains("user_id"), s"window must partition by user_id: $l"))
+  }
+
+  test("triangle count rides the checkpointed kNN edges — no cartesian, no corpus re-scan") {
+    val p = plan("q_emb_knn_triangles")
+    assert(p.contains("ExistingRDD"),
+      s"must consume the memoized kNN graph checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+    assert(!p.contains("FileScan"),
+      "edges are (vec_id, neighbor_id) longs off the checkpoint — no embedding re-scan")
+  }
 }

@@ -2493,6 +2493,84 @@ object TextQ {
     }
   }
 
+  private[graft] val minhashSigAuxDir = s"${OracleAux.root}/minhash_sig"
+
+  /** Memoized exploded (doc_id, i, mh) MinHash signature table —
+    * the per-permutation view of the same signatures the band frame
+    * folds into band hashes; PURE (the oracle-replay publish lives in
+    * the accuracy query's prepare hook).
+    */
+  private def minhashSigExploded(s: org.apache.spark.sql.SparkSession,
+                                 d: String): DataFrame = {
+    graft.expressions.MinhashSig.ensureRegistered(s)
+    SharedFrames.frame(s, s"minhash_sig_exploded:$d") {
+      minhashShingles(s, d)
+        .select(col("doc_id"),
+          posexplode(fastMinhashSig(col("sh"))).as(Seq("i", "mh")))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** MINHASH ESTIMATOR ACCURACY AUDIT — the MinHash sibling of
+    * [[qSimhashAccuracy]], completing the estimator-audit family: for
+    * every exact-Jaccard near-dup pair, the count of agreeing
+    * signature components and the unbiased estimate matches/k next to
+    * the true Jaccard. With k = 16 permutations the standard error at
+    * J = 0.5 is sqrt(J(1−J)/k) ≈ 0.125 — this table is how an
+    * operator decides whether that k (and the 4×4 banding built on
+    * it) clears their recall bar before running banded MinHash alone
+    * over 100 TB, or needs a larger k re-signature first.
+    *
+    * Scale shape: the near-dup-sized pair table broadcasts into two
+    * (doc_id, i)-keyed lookups against the memoized exploded-signature
+    * checkpoint (16 rows per doc — corpus-linear, shingle-free);
+    * match counting is a map-side-combined aggregate over ≤ 16 rows
+    * per pair. ORACLE REPLAY: the engine publishes the exploded
+    * signatures (kernel spec-pinned by MinhashRecallSpec /
+    * TextFunctionsSpec); DuckDB recomputes exact Jaccard from raw
+    * documents and replays the match count and the two IEEE ops.
+    */
+  val qMinhashAccuracy: Q = Q.sql(
+    "q_doc_minhash_accuracy",
+    s"""$jaccardPairsSql,
+       |sig AS (
+       |  SELECT doc_id, i, mh FROM read_parquet('$minhashSigAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |m AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS mh_matches
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i AND sb.mh = sa.mh
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |  COALESCE(m.mh_matches, 0) AS mh_matches,
+       |  CAST(COALESCE(m.mh_matches, 0) AS DOUBLE) / ${minhashK}e0 AS jaccard_est,
+       |  CAST(COALESCE(m.mh_matches, 0) AS DOUBLE) / ${minhashK}e0 - p.jaccard AS err
+       |FROM pairs p LEFT JOIN m ON p.doc_a = m.doc_a AND p.doc_b = m.doc_b
+       |ORDER BY p.doc_a ASC, p.doc_b ASC""".stripMargin) { (s, d) =>
+    val pairs = jaccardPairsShared(s, d)
+    val sig = minhashSigExploded(s, d)
+    val matches = broadcast(pairs.select(col("doc_a"), col("doc_b")))
+      .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("mh")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("i"),
+        col("mh").as("mh_b")), Seq("doc_b", "i"))
+      .filter(col("mh") === col("mh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("mh_matches"))
+    val est = coalesce(col("mh_matches"), lit(0L)).cast(DoubleType) /
+      lit(minhashK.toDouble)
+    broadcast(pairs).join(matches, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        coalesce(col("mh_matches"), lit(0L)).as("mh_matches"),
+        est.as("jaccard_est"), (est - col("jaccard")).as("err"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }.preparedBy { (s, d) =>
+    OracleAux.prepareOnce(s, minhashSigAuxDir, d) {
+      OracleAux.write(minhashSigExploded(s, d), minhashSigAuxDir,
+        docsKey(Tables.documents(s, d)), singleFile = false)
+    }
+  }
+
   /** C4 HEURISTIC CLEANING RULES (Raffel et al. JMLR 2020 §2.2) — the
     * line- and page-level scrub that built C4 from Common Crawl,
     * complementing q_doc_gopher_rules' document-statistics gates with
@@ -2609,5 +2687,5 @@ object TextQ {
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
     qRetrievalTriplets, qC4Rules, qZipfSlope, qQualityCalibrate,
-    qSimhashAccuracy)
+    qSimhashAccuracy, qMinhashAccuracy)
 }

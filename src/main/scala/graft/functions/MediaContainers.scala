@@ -704,4 +704,71 @@ object MediaContainers {
     out.write(new Array[Byte](dataSize))
     out.toByteArray
   }
+
+  /** PCM-CARRYING mono 16-bit WAV — same RIFF layout as [[wavBytes]]
+    * but the data chunk holds REAL little-endian sample words, so a
+    * decoder must get byte order, chunk offsets and sign extension
+    * right to recover the signal (the encode half of the audio-feature
+    * round trip).
+    */
+  def wavBytesPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"wav rate out of range: $sampleRate")
+    val dataSize = samples.length * 2
+    val out = new ByteArrayOutputStream()
+    def w32(v: Long): Unit = out.write(Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte))
+    def w16(v: Int): Unit = out.write(Array[Byte](v.toByte, (v >>> 8).toByte))
+    out.write("RIFF".getBytes("US-ASCII"))
+    w32(36L + dataSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    w32(16); w16(1); w16(1) // PCM, mono
+    w32(sampleRate.toLong)
+    w32(sampleRate.toLong * 2) // byte rate (blockAlign 2)
+    w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII"))
+    w32(dataSize.toLong)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
+  }
+
+  /** Decode a mono 16-bit PCM WAV back to (sampleRate, samples): the
+    * same chunk walk as [[decodeWav]] (padded offsets, corrupt-length
+    * stop) plus the little-endian signed sample decode. Returns
+    * (0, empty) for anything that is not a complete mono/16-bit PCM
+    * file — feature extraction downstream treats that as "no signal",
+    * never as a crash.
+    */
+  def wavPcmSamples(b: Array[Byte]): (Int, Array[Short]) = {
+    if (!isWav(b)) return (0, Array.empty)
+    var off = 12
+    var rate = 0L
+    var channels = 0
+    var bits = 0
+    var samples: Array[Short] = Array.empty
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off, 4)
+      val size = le32(b, off + 4)
+      if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        bits = le16(b, off + 22)
+      } else if (id == "data" && off + 8 + size <= b.length) {
+        val n = (size / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = b(off + 8 + 2 * i) & 0xff
+          val hi = b(off + 9 + 2 * i)
+          out(i) = ((hi << 8) | lo).toShort
+          i += 1
+        }
+        samples = out
+      }
+      if (size > b.length) off = b.length
+      else off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate == 0 || channels != 1 || bits != 16) (0, Array.empty)
+    else (rate.toInt, samples)
+  }
 }

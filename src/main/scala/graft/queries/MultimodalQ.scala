@@ -279,5 +279,96 @@ object MultimodalQ {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup)
+  /** Audio-feature window (samples per analysis frame). 256 keeps the
+    * per-window integer sums far inside int64 (|s| ≤ 1000 →
+    * sq_sum ≤ 2.56e8).
+    */
+  private[graft] val audioWindow = 256
+
+  /** doc_id → planted PCM signal: a full-swing pseudo-sawtooth
+    * s_n = ((doc_id·31 + n·17) mod 2001) − 1000, 600 + doc_id%1000
+    * samples — integer-exact, sign-rich (zero crossings exercise the
+    * signed decode), unique per document.
+    */
+  private[graft] def audioFixtureSamples(docId: Long): Array[Short] = {
+    val n = (600 + docId % 1000).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * 17) % 2001) - 1000).toShort)
+  }
+
+  /** PER-WINDOW AUDIO FEATURE EXTRACTION — the audio half of the
+    * multimodal pipeline: payload → REAL RIFF/PCM decode
+    * ([[MediaContainers.wavPcmSamples]]: chunk walk, little-endian
+    * signed 16-bit words) → fixed 256-sample analysis windows →
+    * energy (|s| sum, s² sum), peak, and zero-crossing count per
+    * window. These are the standard cheap features (energy + ZCR)
+    * a speech/music triage stage computes before any model runs;
+    * sums stay integer so the round trip is bit-exact. A real build
+    * swaps the feature kernel for FFT/MFCC over the SAME decoded
+    * window stream — the plumbing (binary column → per-row decode →
+    * window explode → typed feature rows) is what this query pins.
+    *
+    * Scale shape: pure per-row work (synthesize/decode/window inside
+    * the scan projection, Generate for the explode) — zero shuffles
+    * before the output sort; at 100 TB this is a mapper over the
+    * media column, exactly like the image decode family. ORACLE
+    * REPLAY: DuckDB regenerates the planted signal from doc_id
+    * (correlated unnest) and re-aggregates the identical integer
+    * features — a hash match proves every sample survived the
+    * encode → byte walk → sign-extension round trip, since one
+    * wrong sample shifts a window's sums.
+    */
+  val qAudioFeatures: Q = Q.sql(
+    "q_multimodal_audio_features",
+    s"""WITH t AS (
+       |  SELECT doc_id, 600 + doc_id % 1000 AS n_total FROM documents),
+       |s AS (
+       |  SELECT doc_id, unnest(range(0, n_total)) AS n FROM t),
+       |v AS (
+       |  SELECT doc_id, n, n // $audioWindow AS window_idx,
+       |    ((doc_id * 31 + n * 17) % 2001) - 1000 AS v,
+       |    CASE WHEN n % $audioWindow <> 0
+       |      THEN ((doc_id * 31 + (n - 1) * 17) % 2001) - 1000 END AS pv
+       |  FROM s)
+       |SELECT doc_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |  COUNT(*) AS n_samples,
+       |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+       |  CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+       |  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       |  CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |FROM v GROUP BY 1, 2
+       |ORDER BY doc_id ASC, window_idx ASC""".stripMargin) { (s, d) =>
+    val enc = udf((i: Long) => MediaContainers.wavBytesPcm(
+      (8000 + 100 * (i % 80)).toInt, audioFixtureSamples(i)))
+    val feat = udf { b: Array[Byte] =>
+      val (_, smp) = MediaContainers.wavPcmSamples(b)
+      val nw = (smp.length + audioWindow - 1) / audioWindow
+      (0 until nw).map { w =>
+        val start = w * audioWindow
+        val end = math.min(smp.length, start + audioWindow)
+        var absSum = 0L; var sqSum = 0L; var peak = 0L; var zc = 0L
+        var i = start
+        while (i < end) {
+          val v = smp(i).toLong
+          val a = math.abs(v)
+          absSum += a; sqSum += v * v
+          if (a > peak) peak = a
+          if (i > start && (v < 0) != (smp(i - 1) < 0)) zc += 1
+          i += 1
+        }
+        ((end - start).toLong, absSum, sqSum, peak, zc)
+      }
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), feat(enc(col("doc_id"))).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("window_idx", "w")))
+      .select(col("doc_id"), col("window_idx").cast(LongType).as("window_idx"),
+        col("w._1").as("n_samples"), col("w._2").as("abs_sum"),
+        col("w._3").as("sq_sum"), col("w._4").as("peak"),
+        col("w._5").as("zero_crossings"))
+      .orderBy(col("doc_id").asc, col("window_idx").asc)
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup,
+    qAudioFeatures)
 }

@@ -335,4 +335,39 @@ class MediaContainersSpec extends AnyFunSuite {
       MediaContainers.decodeMeta(b) // must not throw
     }
   }
+
+  test("golden PCM WAV: hand-pinned bytes decode to the signed samples") {
+    // 8kHz mono, samples {1, -1, -32768}: data = 01 00 FF FF 00 80
+    val b = bytes('R', 'I', 'F', 'F', 42, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 1, 0,
+      0x40, 0x1f, 0, 0, // 8000
+      0x80, 0x3e, 0, 0, // byte rate 16000
+      2, 0, 16, 0,
+      'd', 'a', 't', 'a', 6, 0, 0, 0,
+      0x01, 0x00, 0xff, 0xff, 0x00, 0x80)
+    val (rate, smp) = MediaContainers.wavPcmSamples(b)
+    assert(rate == 8000)
+    assert(smp.toSeq == Seq[Short](1, -1, -32768))
+  }
+
+  test("wavBytesPcm round-trips the full signed range and keeps decodeMeta coherent") {
+    val samples = Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 255, -256)
+    val b = MediaContainers.wavBytesPcm(44100, samples)
+    val (rate, back) = MediaContainers.wavPcmSamples(b)
+    assert(rate == 44100 && back.toSeq == samples.toSeq)
+    val meta = MediaContainers.decodeMeta(b)
+    assert(meta.format == "wav" && meta.width == 44100 &&
+      meta.n_frames == samples.length)
+  }
+
+  test("PCM decode downgrades, never throws: truncated data, stereo, 8-bit") {
+    val ok = MediaContainers.wavBytesPcm(8000, Array[Short](5, -5))
+    // data chunk length points past EOF -> no samples
+    assert(MediaContainers.wavPcmSamples(
+      java.util.Arrays.copyOf(ok, ok.length - 1))._2.isEmpty)
+    // stereo and non-16-bit files are not this decoder's contract
+    assert(MediaContainers.wavPcmSamples(
+      MediaContainers.wavBytes(8000, 2, 4))._2.isEmpty)
+    assert(MediaContainers.wavPcmSamples(bytes(1, 2, 3))._2.isEmpty)
+  }
 }

@@ -82,6 +82,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(MultimodalFunctions.frameSampleStub(Array.empty[Byte], 4).isEmpty)
   }
 
+  test("audio features: windows tile each decoded signal exactly") {
+    val rows = SparkEntry.queries("q_multimodal_audio_features")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (docId, g) =>
+      val byW = g.sortBy(_.getLong(1))
+      assert(byW.map(_.getLong(1)).toSeq == byW.indices.map(_.toLong),
+        s"doc $docId window ids not dense")
+      val nTotal = 600 + docId % 1000
+      assert(byW.map(_.getLong(2)).sum == nTotal,
+        s"doc $docId windows must tile all $nTotal samples")
+      byW.dropRight(1).foreach(r => assert(r.getLong(2) == 256L))
+      byW.foreach { r =>
+        val (n, absSum, sqSum, peak, zc) = (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(peak <= 1000L && absSum <= n * peak && sqSum <= n * peak * peak)
+        assert(zc <= n - 1)
+      }
+    }
+  }
+
   test("decodeMeta is total: null/empty/garbage payloads downgrade to bin") {
     val bin = MediaMeta("bin", 0, 0, 0, 0L, 0)
     assert(MultimodalFunctions.decodeMeta(null) == bin)

@@ -1034,9 +1034,55 @@ object EventsQ {
       .orderBy(col("user_id").asc, col("version").asc)
   }
 
+  /** L-DIVERSITY AUDIT — the homogeneity-attack complement to
+    * [[qKAnonymity]] (Machanavajjhala et al. ICDE 2006): a cell can
+    * hold ≥ k distinct users yet leak anyway if they all share one
+    * sensitive value (knowing someone is IN the cell reveals their
+    * attribute). Quasi-identifiers here are the (value-bucket, day)
+    * pair; the sensitive attribute is event_type; flagged rows are
+    * cells that PASS the k = 5 anonymity bar but carry fewer than
+    * l = 3 distinct sensitive values — the release-blocking set the
+    * k-audit alone cannot see.
+    *
+    * Scale shape: one distinct on the (cell, user, type) tuple, then
+    * two exact distinct-counts per cell in a single aggregate —
+    * Spark expands multi-distinct into one Expand + two-phase
+    * aggregate, all keyed by the cell tuple; output is the at-risk
+    * tail. At 100 TB the distincts swap for HLL the same way the
+    * k-audit's would (documented trade, exact here for the oracle).
+    */
+  val qLDiversity: Q = Q.sql(
+    "q_events_ldiversity",
+    """WITH base AS (
+      |  SELECT DISTINCT
+      |    CAST(floor(value / 10) AS BIGINT) AS bucket,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
+      |    user_id, event_type
+      |  FROM events WHERE NOT isnan(value)),
+      |cells AS (
+      |  SELECT bucket, day,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    COUNT(DISTINCT event_type) AS l_div
+      |  FROM base GROUP BY bucket, day)
+      |SELECT bucket, day, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(l_div AS BIGINT) AS l_div
+      |FROM cells WHERE n_users >= 5 AND l_div < 3
+      |ORDER BY bucket ASC, day ASC""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .select(floor(col("value") / 10).cast(LongType).as("bucket"),
+        epochDay(col("ts")).as("day"), col("user_id"), col("event_type"))
+      .distinct()
+      .groupBy("bucket", "day")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("l_div"))
+      .filter(col("n_users") >= 5 && col("l_div") < 3)
+      .orderBy(col("bucket").asc, col("day").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity, qScd2)
+    qKAnonymity, qScd2, qLDiversity)
 }

@@ -39,4 +39,37 @@ class KAnonymitySpec extends SparkSpecBase {
     val rows = SparkEntry.queries("q_events_kanonymity")(spark, sfDir).collect()
     rows.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) < 5L))
   }
+
+  /** l-diversity cells key on (bucket, day) with event_type sensitive:
+    * bucket 1 holds 6 users all of type A (k passes, l = 1 -> flagged);
+    * bucket 3 holds 5 users across 3 types (diverse -> silent);
+    * bucket 2 holds 2 users (fails k first -> silent here, the
+    * k-audit owns it).
+    */
+  private lazy val ldivDir: String = {
+    val homogeneous = (1L to 6L).map(u => ev(u, u, "A", 15.0))
+    val underK = Seq(ev(10, 50, "B", 25.0), ev(11, 51, "B", 25.0))
+    val diverse = (20L to 24L).map(i =>
+      ev(i, i, Seq("A", "B", "C")((i % 3).toInt), 35.0))
+    val dir = java.nio.file.Files.createTempDirectory("ldiv_fix").toString
+    (homogeneous ++ underK ++ diverse)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("l-diversity: only the k-anonymous homogeneous cell surfaces") {
+    val out = SparkEntry.queries("q_events_ldiversity")(spark, ldivDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 6L, 1L)),
+      s"expected exactly the homogeneous k-passing cell, got ${out.toSeq}")
+  }
+
+  test("l-diversity corpus run: reported cells pass k but fail diversity") {
+    val rows = SparkEntry.queries("q_events_ldiversity")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5L, "must pass the k bar")
+      assert(r.getLong(3) >= 1L && r.getLong(3) < 3L, "must fail the l bar")
+    }
+  }
 }

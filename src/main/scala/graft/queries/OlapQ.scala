@@ -226,12 +226,17 @@ object OlapQ {
     *
     * Scale shape: one bounds pass (2-dim min/max aggregate), then the
     * two-phase global rank the shard packer uses — the Morton code's
-    * top 8 bits are the range-partition bucket (the leading prefix of
-    * the sort key, so bucket order IS global z order), per-bucket
-    * counts collect ≤ 256 rows to the driver for the exclusive
+    * top 16 bits are the range-partition bucket (the leading prefix
+    * of the sort key, so bucket order IS global z order), per-bucket
+    * counts collect ≤ 65536 tiny rows to the driver for the exclusive
     * prefix, and ranks come from per-bucket row_number + broadcast
-    * offsets. No single-task window at any corpus size; the final
-    * aggregate is map-side-combined to rows/4096 groups.
+    * offsets. 2^16 buckets keep each bucket's window task-sized even
+    * at 100 TB (~9M rows/bucket on a 600B-row lineitem); the final
+    * aggregate is map-side-combined to rows/4096 groups. Degenerate
+    * case: if BOTH dims are corpus-constant every z collides and the
+    * rank funnels — but then the data has no 2-D structure and
+    * Z-ordering itself is moot; a layout tool would bail out at the
+    * bounds pass (min == max on both dims).
     */
   val qLayoutZorder: Q = Q.sql(
     "q_layout_zorder",
@@ -273,7 +278,7 @@ object OlapQ {
       .withColumn("y", expr("((day - dmin) * 65535) div greatest(dmax - dmin, 1)"))
       .withColumn("z", mortonZ(col("x"), col("y")))
       .select(col("l_orderkey"), col("l_linenumber"), col("p"), col("day"),
-        col("z"), shiftright(col("z"), 24).as("__b"))
+        col("z"), shiftright(col("z"), 16).as("__b"))
     // Two-phase global rank: the bucket is the sort key's own leading
     // prefix, so (bucket, z-within-bucket) order IS global z order.
     val counts = z.groupBy("__b").count().collect()

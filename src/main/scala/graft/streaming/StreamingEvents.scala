@@ -260,6 +260,68 @@ object StreamingEvents {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(flush)
   }
 
+  /** One SCD2 input event (ts pre-projected to integer microseconds). */
+  final case class Scd2Ev(event_id: Long, user_id: Long, event_type: String,
+                          ts_us: Long)
+
+  /** One CLOSED dimension version (the streaming-emittable half of
+    * q_events_scd2's output: append mode cannot retract, so the open
+    * version lives in state until a change closes it).
+    */
+  final case class Scd2Out(user_id: Long, version: Int, event_type: String,
+                           valid_from_us: Long, valid_to_us: Long)
+
+  /** Per-user open version: ordinal, value, and interval start. */
+  final case class Scd2State(version: Int, curType: String, validFromUs: Long)
+
+  /** Streaming SCD TYPE-2 BUILD — the CDC-feed form of
+    * q_events_scd2: per user, an attribute change CLOSES the open
+    * version (emitted downstream immediately — the freshness win over
+    * a batch rebuild) and opens the next; same-value events are
+    * no-ops. Emitted rows are exactly the batch query's
+    * is_current = false set (parity pinned in StreamingScd2Spec);
+    * the open version per user is the state itself.
+    *
+    * Scale shape: state is O(users) with one tiny record each and —
+    * unlike the session/debounce operators — legitimately permanent:
+    * a dimension's current version never expires, which is inherent
+    * to SCD2, not a leak (the state store holds exactly the live
+    * dimension table). Arrival-order contract: within-batch disorder
+    * is sorted out locally; cross-batch order must be event-time
+    * monotone per user (the same contract the debounce stream
+    * documents — a CDC source provides it by construction).
+    */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+
+    def flush(user: Long, rows: Iterator[Scd2Ev],
+              state: GroupState[Scd2State]): Iterator[Scd2Out] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+      var st = state.getOption
+      sorted.foreach { e =>
+        st match {
+          case None =>
+            st = Some(Scd2State(1, e.event_type, e.ts_us))
+          case Some(s) if s.curType != e.event_type =>
+            out += Scd2Out(user, s.version, s.curType, s.validFromUs, e.ts_us)
+            st = Some(Scd2State(s.version + 1, e.event_type, e.ts_us))
+          case _ => ()
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "user_id", "event_type", "ts_us")
+      .as[Scd2Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(flush)
+  }
+
   /** Stream-stream view→click attribution join — the streaming form of
     * the batch q_events_attribution. Both sides are watermarked and the
     * join carries an event-time range (`c_ts ∈ [v_ts, v_ts + maxLag]`),

@@ -225,18 +225,22 @@ object OlapQ {
     * other's footprint corpus-wide; the interleave bounds both.
     *
     * Scale shape: one bounds pass (2-dim min/max aggregate), then the
-    * two-phase global rank the shard packer uses — the Morton code's
-    * top 16 bits are the range-partition bucket (the leading prefix
-    * of the sort key, so bucket order IS global z order), per-bucket
-    * counts collect ≤ 65536 tiny rows to the driver for the exclusive
-    * prefix, and ranks come from per-bucket row_number + broadcast
-    * offsets. 2^16 buckets keep each bucket's window task-sized even
-    * at 100 TB (~9M rows/bucket on a 600B-row lineitem); the final
-    * aggregate is map-side-combined to rows/4096 groups. Degenerate
-    * case: if BOTH dims are corpus-constant every z collides and the
-    * rank funnels — but then the data has no 2-D structure and
-    * Z-ordering itself is moot; a layout tool would bail out at the
-    * bounds pass (min == max on both dims).
+    * two-phase global rank the shard packer uses — a leading-bit
+    * prefix of the Morton code is the range-partition bucket (a
+    * prefix of the sort key, so bucket order IS global z order),
+    * per-bucket counts collect ≤ 2^16 tiny rows to the driver for
+    * the exclusive prefix, and ranks come from per-bucket row_number
+    * + broadcast offsets. The prefix WIDTH adapts to the corpus
+    * (counted once at 16-bit granularity, coarsened driver-side):
+    * small corpora get few buckets — WindowExec pays a per-group
+    * setup cost, so 2^16 near-empty groups cost more than the sort
+    * they shard (measured 8.5 s → 0.9 s at sf0.1) — while a 600B-row
+    * corpus bottoms out at the full 16 bits and ~9M-row task-sized
+    * buckets. The final aggregate is map-side-combined to rows/4096
+    * groups. Degenerate case: if BOTH dims are corpus-constant every
+    * z collides and the rank funnels — but then the data has no 2-D
+    * structure and Z-ordering itself is moot; a layout tool would
+    * bail out at the bounds pass (min == max on both dims).
     */
   val qLayoutZorder: Q = Q.sql(
     "q_layout_zorder",
@@ -270,26 +274,52 @@ object OlapQ {
       col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("p"),
       datediff(col("l_shipdate").cast(DateType),
         to_date(lit("1970-01-01"))).cast(LongType).as("day"))
-    val bounds = base.agg(
-      min("p").as("pmin"), max("p").as("pmax"),
-      min("day").as("dmin"), max("day").as("dmax"))
-    val z = base.crossJoin(broadcast(bounds))
-      .withColumn("x", expr("((p - pmin) * 65535) div greatest(pmax - pmin, 1)"))
-      .withColumn("y", expr("((day - dmin) * 65535) div greatest(dmax - dmin, 1)"))
+    // Bounds land on the driver as 4 scalars and inline as literals:
+    // a broadcast-join formulation instead invites Catalyst to push
+    // the equi-join's isnotnull(__b) THROUGH the projections into the
+    // bounds cross-join as an interpreted BroadcastNestedLoopJoin
+    // condition carrying the whole inlined Morton tree (measured 8.5 s
+    // of the 10 s total at sf0.1); literal bounds keep every operator
+    // a codegen'd projection.
+    val b = base.agg(min("p"), max("p"), min("day"), max("day")).head()
+    val (pmin, pmax, dmin, dmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val pSpan = math.max(pmax - pmin, 1L)
+    val dSpan = math.max(dmax - dmin, 1L)
+    // materialized once: collapsed projections would otherwise inline
+    // the 96-node interleave tree into every downstream operator
+    // (count key, shuffle hash, sort key, window spec), blowing the
+    // generated code past codegen limits — the checkpoint leaves
+    // plain long columns for the two-phase rank to consume
+    val z = base
+      .withColumn("x", expr(s"((p - $pmin) * 65535) div $pSpan"))
+      .withColumn("y", expr(s"((day - $dmin) * 65535) div $dSpan"))
       .withColumn("z", mortonZ(col("x"), col("y")))
       .select(col("l_orderkey"), col("l_linenumber"), col("p"), col("day"),
-        col("z"), shiftright(col("z"), 16).as("__b"))
+        col("z"))
+      .localCheckpoint(true)
     // Two-phase global rank: the bucket is the sort key's own leading
     // prefix, so (bucket, z-within-bucket) order IS global z order.
-    val counts = z.groupBy("__b").count().collect()
+    // Count once at the finest (16-bit) granularity, then coarsen the
+    // prefix so bucket count tracks corpus size: ~16k rows per bucket,
+    // floored at 2^8 and capped at the 2^16 counting grain.
+    val counts16 = z.select(shiftright(col("z"), 16).as("__b16"))
+      .groupBy("__b16").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = counts16.map(_._2).sum
+    val targetBuckets = math.max(256L, math.min(65536L, total / 16384L))
+    val shift = 16 + math.max(0,
+      16 - (64 - java.lang.Long.numberOfLeadingZeros(targetBuckets - 1)))
+    val counts = counts16.groupBy { case (b16, _) => b16 >> (shift - 16) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
     import s.implicits._
-    val offsetDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val offsetDf = broadcast(offsets.toDF("__b", "__off"))
+    val zb = z.withColumn("__b", shiftright(col("z"), shift))
     val w = Window.partitionBy(col("__b"))
       .orderBy(col("z").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    z.join(offsetDf, Seq("__b"))
+    zb.join(offsetDf, Seq("__b"))
       .withColumn("rk",
         row_number().over(w).cast(LongType) - 1L + col("__off"))
       .withColumn("file_id", shiftright(col("rk"), 12))

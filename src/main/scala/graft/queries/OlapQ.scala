@@ -193,20 +193,9 @@ object OlapQ {
       .orderBy(col("priority").asc, col("month").asc)
   }
 
-  /** 32-bit Morton code over two 16-bit normalized coordinates — the
-    * bit-interleave both engines compute with the same unrolled
-    * shift/mask expression (all integer ops, trivially exact).
-    */
-  private def mortonZ(x: org.apache.spark.sql.Column,
-                      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
-    }
-
-  /** The identical interleave as DuckDB SQL, generated from the same
-    * loop so the two can never drift.
+  /** The Morton interleave as DuckDB SQL, generated from the same bit
+    * layout as [[graft.expressions.MortonInterleave]] (position 2i for
+    * y's bit i, 2i+1 for x's) so the two can never drift.
     */
   private def mortonZSql(x: String, y: String): String =
     (0 until 16).map(i =>
@@ -280,24 +269,25 @@ object OlapQ {
     // bounds cross-join as an interpreted BroadcastNestedLoopJoin
     // condition carrying the whole inlined Morton tree (measured 8.5 s
     // of the 10 s total at sf0.1); literal bounds keep every operator
-    // a codegen'd projection.
+    // a codegen'd projection. The interleave itself is the native
+    // morton_interleave expression — composed from 96 shift/mask
+    // nodes it re-inlines into every collapsed projection downstream
+    // (count key, shuffle hash, sort key) and blows past codegen
+    // limits; as one expression it is a static call that recomputes
+    // for free, so the corpus is scanned twice (counts, rank) and
+    // never materialized.
+    graft.expressions.MortonInterleave.ensureRegistered(s)
     val b = base.agg(min("p"), max("p"), min("day"), max("day")).head()
     val (pmin, pmax, dmin, dmax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val pSpan = math.max(pmax - pmin, 1L)
     val dSpan = math.max(dmax - dmin, 1L)
-    // materialized once: collapsed projections would otherwise inline
-    // the 96-node interleave tree into every downstream operator
-    // (count key, shuffle hash, sort key, window spec), blowing the
-    // generated code past codegen limits — the checkpoint leaves
-    // plain long columns for the two-phase rank to consume
     val z = base
       .withColumn("x", expr(s"((p - $pmin) * 65535) div $pSpan"))
       .withColumn("y", expr(s"((day - $dmin) * 65535) div $dSpan"))
-      .withColumn("z", mortonZ(col("x"), col("y")))
+      .withColumn("z", expr("morton_interleave(x, y)"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p"), col("day"),
         col("z"))
-      .localCheckpoint(true)
     // Two-phase global rank: the bucket is the sort key's own leading
     // prefix, so (bucket, z-within-bucket) order IS global z order.
     // Count once at the finest (16-bit) granularity, then coarsen the

@@ -231,9 +231,12 @@ object OlapQ {
     * structure and Z-ordering itself is moot; a layout tool would
     * bail out at the bounds pass (min == max on both dims).
     */
-  val qLayoutZorder: Q = Q.sql(
-    "q_layout_zorder",
-    s"""WITH base AS (
+  /** Oracle CTE chain ending in `files(file_id, n_rows, part_min,
+    * part_max, day_min, day_max, part_span, day_span)` — shared by the
+    * layout plan's oracle and the skip-stats oracle that consumes it.
+    */
+  private def zorderFilesCte: String =
+    s"""base AS (
        |  SELECT l_orderkey, l_linenumber, l_partkey AS p,
        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
        |  FROM lineitem),
@@ -252,13 +255,31 @@ object OlapQ {
        |  SELECT p, day,
        |    ROW_NUMBER() OVER (ORDER BY z ASC, l_orderkey ASC,
        |      l_linenumber ASC) - 1 AS rk
-       |  FROM z)
-       |SELECT (rk >> 12) AS file_id, COUNT(*) AS n_rows,
-       |  MIN(p) AS part_min, MAX(p) AS part_max,
-       |  MIN(day) AS day_min, MAX(day) AS day_max,
-       |  MAX(p) - MIN(p) AS part_span, MAX(day) - MIN(day) AS day_span
-       |FROM r GROUP BY 1
+       |  FROM z),
+       |files AS (
+       |  SELECT (rk >> 12) AS file_id, COUNT(*) AS n_rows,
+       |    MIN(p) AS part_min, MAX(p) AS part_max,
+       |    MIN(day) AS day_min, MAX(day) AS day_max,
+       |    MAX(p) - MIN(p) AS part_span, MAX(day) - MIN(day) AS day_span
+       |  FROM r GROUP BY 1)""".stripMargin
+
+  val qLayoutZorder: Q = Q.sql(
+    "q_layout_zorder",
+    s"""WITH $zorderFilesCte
+       |SELECT file_id, n_rows, part_min, part_max, day_min, day_max,
+       |  part_span, day_span
+       |FROM files
        |ORDER BY file_id ASC""".stripMargin) { (s, d) =>
+    zorderFileStats(s, d).orderBy(col("file_id").asc)
+  }
+
+  /** Spark side of [[zorderFilesCte]]: the per-file min/max footprint
+    * table both layout queries consume. Recomputed per call (the rank
+    * is ~1.5 s at sf0.1); a production layout tool would persist this
+    * as the table's file-statistics manifest instead.
+    */
+  private def zorderFileStats(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("p"),
       datediff(col("l_shipdate").cast(DateType),
@@ -319,9 +340,87 @@ object OlapQ {
         min("day").as("day_min"), max("day").as("day_max"))
       .withColumn("part_span", col("part_max") - col("part_min"))
       .withColumn("day_span", col("day_max") - col("day_min"))
-      .orderBy(col("file_id").asc)
+  }
+
+  /** FILE-SKIPPING ESTIMATE over the Z-ordered layout — the "measure,
+    * don't guess" companion to [[qLayoutZorder]]: for a deterministic
+    * probe set (8 part-key point lookups spread across the key range,
+    * 4 shipdate range scans of 1/8th the date span), how many target
+    * files' [min, max] footprints admit the probe, and the skip ratio
+    * a min/max-pruning scan would achieve. This is exactly the
+    * decision input for adopting the layout: a point probe on EITHER
+    * dimension should skip most files — a single-column sort gives
+    * that for one dimension and ~zero for the other.
+    *
+    * Scale shape: the probe table is 12 rows broadcast against the
+    * file-stats table (corpus/4096 rows — at 100 TB that is the
+    * statistics MANIFEST, millions of rows, not the corpus), with one
+    * map-side-combined conditional count per probe. Admission and
+    * probe endpoints are all integer arithmetic; the skip ratio is
+    * one IEEE divide of exact counts.
+    */
+  val qLayoutSkipStats: Q = Q.sql(
+    "q_layout_skip_stats",
+    s"""WITH $zorderFilesCte,
+       |g AS (
+       |  SELECT MIN(part_min) AS pmin, MAX(part_max) AS pmax,
+       |    MIN(day_min) AS dmin, MAX(day_max) AS dmax
+       |  FROM files),
+       |pp AS (
+       |  SELECT i AS probe_id, 'part_point' AS kind,
+       |    g.pmin + i * (g.pmax - g.pmin) // 8 AS lo,
+       |    g.pmin + i * (g.pmax - g.pmin) // 8 AS hi
+       |  FROM g, (SELECT unnest(range(0, 8)) AS i)),
+       |dr AS (
+       |  SELECT j AS probe_id, 'day_range' AS kind,
+       |    g.dmin + j * (g.dmax - g.dmin) // 4 AS lo,
+       |    g.dmin + j * (g.dmax - g.dmin) // 4
+       |      + (g.dmax - g.dmin) // 8 AS hi
+       |  FROM g, (SELECT unnest(range(0, 4)) AS j)),
+       |probes AS (SELECT * FROM pp UNION ALL SELECT * FROM dr),
+       |adm AS (
+       |  SELECT p.probe_id, p.kind, p.lo, p.hi,
+       |    COUNT(*) AS n_files,
+       |    SUM(CASE WHEN p.kind = 'part_point'
+       |      THEN CASE WHEN f.part_min <= p.lo AND p.lo <= f.part_max
+       |        THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN f.day_max >= p.lo AND f.day_min <= p.hi
+       |        THEN 1 ELSE 0 END END) AS n_admitted
+       |  FROM probes p CROSS JOIN files f
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT probe_id, kind, lo, hi,
+       |  CAST(n_files AS BIGINT) AS n_files,
+       |  CAST(n_admitted AS BIGINT) AS n_admitted,
+       |  1e0 - CAST(n_admitted AS DOUBLE) / n_files AS skip_ratio
+       |FROM adm
+       |ORDER BY kind ASC, probe_id ASC""".stripMargin) { (s, d) =>
+    val files = zorderFileStats(s, d)
+    val g = files.agg(min("part_min"), max("part_max"),
+      min("day_min"), max("day_max")).head()
+    val (pmin, pmax, dmin, dmax) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    import s.implicits._
+    val probes = ((0L until 8L).map { i =>
+      val p = pmin + i * (pmax - pmin) / 8
+      (i, "part_point", p, p)
+    } ++ (0L until 4L).map { j =>
+      val lo = dmin + j * (dmax - dmin) / 4
+      (j, "day_range", lo, lo + (dmax - dmin) / 8)
+    }).toDF("probe_id", "kind", "lo", "hi")
+    val admits = when(col("kind") === "part_point",
+      col("part_min") <= col("lo") && col("lo") <= col("part_max"))
+      .otherwise(col("day_max") >= col("lo") && col("day_min") <= col("hi"))
+    files.crossJoin(broadcast(probes))
+      .groupBy("probe_id", "kind", "lo", "hi")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(admits, 1L).otherwise(0L)).as("n_admitted"))
+      .select(col("probe_id"), col("kind"), col("lo"), col("hi"),
+        col("n_files"), col("n_admitted"),
+        (lit(1.0) - col("n_admitted").cast(DoubleType) /
+          col("n_files").cast(DoubleType)).as("skip_ratio"))
+      .orderBy(col("kind").asc, col("probe_id").asc)
   }
 
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
-    qLayoutZorder)
+    qLayoutZorder, qLayoutSkipStats)
 }

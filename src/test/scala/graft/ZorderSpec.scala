@@ -92,6 +92,22 @@ class ZorderSpec extends SparkSpecBase {
       s"day not clustered: mean $meanDaySpan vs global $gDay")
   }
 
+  test("skip stats: probes admit a strict subset on both dimensions") {
+    val out = SparkEntry.queries("q_layout_skip_stats")(spark, plantedDir).collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val (nFiles, nAdm, ratio) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nAdm >= 0L && nAdm <= nFiles)
+      assert(ratio == 1.0 - nAdm.toDouble / nFiles)
+    }
+    // the point of the layout: probes on EITHER dimension skip files
+    val byKind = out.groupBy(_.getString(1))
+    Seq("part_point", "day_range").foreach { kind =>
+      val mean = byKind(kind).map(_.getDouble(6)).sum / byKind(kind).length
+      assert(mean > 0.2, s"$kind probes skip too little (mean $mean)")
+    }
+  }
+
   test("corpus run: files are contiguous 4096-row cuts covering every row") {
     val out = SparkEntry.queries("q_layout_zorder")(spark, sfDir).collect()
     val total = graft.sources.Tables.lineitem(spark, sfDir).count()

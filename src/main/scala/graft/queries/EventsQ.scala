@@ -1080,9 +1080,68 @@ object EventsQ {
       .orderBy(col("bucket").asc, col("day").asc)
   }
 
+  /** WATERMARK ADVISOR — the measured answer to "what watermark delay
+    * does this stream actually need": per user, arrival order is the
+    * event_id sequence and an event's LATENESS is how far its
+    * event-time sits behind the running arrival-time maximum
+    * (running max(ts) − ts, integer µs — an in-order stream reads 0
+    * everywhere). The lateness histogram is exactly the distribution
+    * a streaming deploy consults before fixing `withWatermark`: pick
+    * the bucket boundary that covers the tail you're willing to wait
+    * for, drop what's beyond it — guessing instead is how windowed
+    * aggregates silently lose late data.
+    *
+    * Scale shape: one running-max window on the user_id exchange
+    * every per-user op here shares, then a map-side-combined rollup
+    * to ≤ 6 buckets; the total for the fraction is a 1-row scalar.
+    */
+  val qWatermarkAdvisor: Q = Q.sql(
+    "q_events_watermark_advisor",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |l AS (
+      |  SELECT MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ts_us
+      |    AS late_us
+      |  FROM e),
+      |b AS (
+      |  SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+      |    WHEN late_us < 1000000 THEN 'b_lt_1s'
+      |    WHEN late_us < 10000000 THEN 'c_lt_10s'
+      |    WHEN late_us < 60000000 THEN 'd_lt_60s'
+      |    WHEN late_us < 600000000 THEN 'e_lt_600s'
+      |    ELSE 'f_ge_600s' END AS bucket, late_us
+      |  FROM l)
+      |SELECT bucket, COUNT(*) AS n_events,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM e) AS fraction
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket ASC""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("ts_us"))
+    val total = e.count()
+    e.withColumn("late_us", max(col("ts_us")).over(w) - col("ts_us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0, "a_on_time")
+          .when(col("late_us") < 1000000L, "b_lt_1s")
+          .when(col("late_us") < 10000000L, "c_lt_10s")
+          .when(col("late_us") < 60000000L, "d_lt_60s")
+          .when(col("late_us") < 600000000L, "e_lt_600s")
+          .otherwise("f_ge_600s"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+      .select(col("bucket"), col("n_events"), col("max_late_us"),
+        (col("n_events").cast(DoubleType) / lit(total.toDouble)).as("fraction"))
+      .orderBy(col("bucket").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity, qScd2, qLDiversity)
+    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor)
 }

@@ -421,6 +421,63 @@ object OlapQ {
       .orderBy(col("kind").asc, col("probe_id").asc)
   }
 
+  /** MARKET-BASKET PAIR MINING — the frequent-itemset primitive
+    * (Agrawal & Srikant VLDB 1994, at the k = 2 level that co-purchase
+    * dashboards actually consume): for every pair of parts appearing
+    * in the same order, the co-occurrence count with both parts'
+    * individual frequencies, support and directional confidence — all
+    * ratios of exact integers. Top-25 by co-occurrence.
+    *
+    * Scale shape: the self-join is CO-PARTITIONED on l_orderkey (one
+    * hash exchange serves both sides), so the pair space is
+    * Σ basket_size² — the basket-level analogue of the LSH bucket²
+    * bound, bounded here by TPC-H's ≤ 7 lines/order and capped in any
+    * production deployment (a mega-basket is dropped or sampled, the
+    * standard Apriori mitigation). Pair counts map-side combine; the
+    * per-part frequency table joins pair-keyed; the order total is a
+    * 1-row scalar; the final top-25 is TakeOrderedAndProject.
+    */
+  val qMarketBasket: Q = Q.sql(
+    "q_market_basket",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |parts AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY pk),
+      |t AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li)
+      |SELECT p.part_a, p.part_b, p.n_ab,
+      |  pa.n AS n_a, pb.n AS n_b,
+      |  CAST(p.n_ab AS DOUBLE) / t.n_orders AS support,
+      |  CAST(p.n_ab AS DOUBLE) / pa.n AS confidence_a
+      |FROM pairs p
+      |JOIN parts pa ON p.part_a = pa.pk
+      |JOIN parts pb ON p.part_b = pb.pk
+      |CROSS JOIN t
+      |ORDER BY p.n_ab DESC, p.part_a ASC, p.part_b ASC
+      |LIMIT 25""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select("ok").distinct().count()
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val parts = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    pairs
+      .join(parts.select(col("pk").as("part_a"), col("n").as("n_a")), Seq("part_a"))
+      .join(parts.select(col("pk").as("part_b"), col("n").as("n_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast(DoubleType) / lit(nOrders.toDouble)).as("support"),
+        (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("confidence_a"))
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(25)
+  }
+
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
-    qLayoutZorder, qLayoutSkipStats)
+    qLayoutZorder, qLayoutSkipStats, qMarketBasket)
 }

@@ -2571,6 +2571,56 @@ object TextQ {
     }
   }
 
+  /** CORPUS NOVELTY CURVE — dataset freshness over crawl order: with
+    * doc_id as ingest order, a (doc, shingle) membership is NOVEL iff
+    * this doc is the shingle's first carrier; per 500-doc cohort the
+    * novel fraction is the marginal-information curve a collection
+    * effort watches to decide when a source is mined out (the
+    * data-constrained-scaling companion to q_doc_token_budget_select:
+    * that op picks WHAT to keep, this one tells you when continuing
+    * to crawl stops adding anything).
+    *
+    * Scale shape: one shingle explode + distinct, a min-aggregate
+    * keyed by shingle (corpus-gram-sized shuffle, the
+    * q_split_leakage class), a keys-only join back, and a rollup to
+    * corpus/500 rows. First-carrier selection is an aggregate, never
+    * a window over shingle groups.
+    */
+  val qNoveltyCurve: Q = Q.sql(
+    "q_doc_novelty_curve",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |    FROM toks WHERE len(t) >= 3)),
+      |first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      |SELECT doc_id // 500 AS cohort, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS novelty
+      |FROM sh JOIN first USING (shingle)
+      |GROUP BY 1
+      |ORDER BY cohort ASC""".stripMargin) { (s, d) =>
+    val sh = minhashShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    val novel = (col("doc_id") === col("first_doc")).cast(LongType)
+    sh.join(first, Seq("shingle"))
+      .withColumn("cohort", expr("doc_id div 500"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_grams"), sum(novel).as("n_novel"))
+      .select(col("cohort"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("novelty"))
+      .orderBy(col("cohort").asc)
+  }
+
   /** C4 HEURISTIC CLEANING RULES (Raffel et al. JMLR 2020 §2.2) — the
     * line- and page-level scrub that built C4 from Common Crawl,
     * complementing q_doc_gopher_rules' document-statistics gates with
@@ -2687,5 +2737,5 @@ object TextQ {
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
     qRetrievalTriplets, qC4Rules, qZipfSlope, qQualityCalibrate,
-    qSimhashAccuracy, qMinhashAccuracy)
+    qSimhashAccuracy, qMinhashAccuracy, qNoveltyCurve)
 }

@@ -1139,9 +1139,63 @@ object EventsQ {
       .orderBy(col("bucket").asc)
   }
 
+  /** RFM SEGMENTATION — the classic marketing/engagement triage
+    * (Recency, Frequency, Monetary) per user: days since last event
+    * relative to the corpus horizon, event count, decimal-exact value
+    * total, and fixed-threshold segment labels on the R and F axes
+    * (fixed thresholds, not quantiles: a global NTILE would need a
+    * single-partition window, and segment DEFINITIONS that move with
+    * the data are an anti-feature for a triage dashboard anyway —
+    * the quantile-calibrated variant belongs in a notebook, reading
+    * this table).
+    *
+    * Scale shape: one per-user aggregate (map-side combined) plus a
+    * 1-row horizon scalar inlined as a literal; output is users-sized
+    * with no window anywhere.
+    */
+  val qRfm: Q = Q.sql(
+    "q_events_rfm",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
+      |    value
+      |  FROM events WHERE NOT isnan(value)),
+      |mx AS (SELECT MAX(day) AS maxday FROM e),
+      |u AS (
+      |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, mx.maxday - last_day AS recency_days, frequency, monetary,
+      |  CASE WHEN mx.maxday - last_day < 7 THEN 'active'
+      |    WHEN mx.maxday - last_day < 28 THEN 'warm'
+      |    ELSE 'dormant' END AS r_seg,
+      |  CASE WHEN frequency >= 50 THEN 'heavy'
+      |    WHEN frequency >= 10 THEN 'medium'
+      |    ELSE 'light' END AS f_seg
+      |FROM u CROSS JOIN mx
+      |ORDER BY user_id ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .select(col("user_id"), epochDay(col("ts")).as("day"), col("value"))
+    val maxDay = e.agg(max("day")).head().getLong(0)
+    e.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum(dec(col("value"))).cast(DoubleType).as("monetary"))
+      .withColumn("recency_days", lit(maxDay) - col("last_day"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        when(col("recency_days") < 7, "active")
+          .when(col("recency_days") < 28, "warm")
+          .otherwise("dormant").as("r_seg"),
+        when(col("frequency") >= 50, "heavy")
+          .when(col("frequency") >= 10, "medium")
+          .otherwise("light").as("f_seg"))
+      .orderBy(col("user_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor)
+    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm)
 }

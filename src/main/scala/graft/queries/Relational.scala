@@ -516,11 +516,63 @@ object Relational {
       .orderBy(col("c_custkey").asc)
   }
 
+  /** TPC-H Q3-style shipping priority — the canonical 3-way
+    * fact⋈fact⋈dim join-agg-topk: unshipped-as-of-cutoff revenue per
+    * order for one market segment (o_orderpriority standing in for
+    * the spec's o_shippriority, which this schema doesn't carry).
+    * Revenue sums decimal-exact per the Num contract.
+    *
+    * Scale shape: the segment-filtered customer side (1/5 of
+    * customers — corpus-sized, deliberately NOT broadcast) joins
+    * orders on the custkey hash; lineitem joins on the orderkey hash;
+    * both are the natural co-partitioned fact joins with AQE free to
+    * re-plan either side at runtime. The top-10 lowers to
+    * TakeOrderedAndProject — no global sort.
+    */
+  val q3ShippingPriority: Q = Q.sql(
+    "q3_shipping_priority",
+    """SELECT l.l_orderkey,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(o.o_orderdate AS DATE) AS order_date, o.o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1998-06-01'
+      |  AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+      |GROUP BY 1, 3, 4
+      |ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val cutoff = to_date(lit("1998-06-01"))
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast(DateType) < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "order_date", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("order_date"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("order_date").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, qTopkOrders, qLatestPerGroup, qDedupKeepLast,
     qLeftJoinSnapshot, qJoinAggRollup, qScalarSubqueryMax, qUnionChunks,
     qSemiJoin, qAntiJoin, qTryCast, qRangeInvalidate, qSentinelInvalidate,
     qDerivedRate, qIsinFilter, qNotNullFilter, qPointLookup, qDuplicateKeys,
     qOutOfRangeCounts, qMultiKeySort, qUnpivot, qRunningWindow, qRecordCount,
-    q5LocalSupplierVolume, qCorrelatedAgg)
+    q5LocalSupplierVolume, qCorrelatedAgg, q3ShippingPriority)
 }

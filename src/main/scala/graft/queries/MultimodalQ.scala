@@ -369,6 +369,65 @@ object MultimodalQ {
       .orderBy(col("doc_id").asc, col("window_idx").asc)
   }
 
+  /** PER-IMAGE PIXEL STATISTICS — the image-triage mapper that runs
+    * before any expensive vision model: luminance min/max/sum, dark
+    * and bright pixel counts, and contrast, computed from REAL codec
+    * output (pngBytesGray encode → CRC-checked chunk walk → zlib
+    * inflate → unfilter → per-pixel ints). A near-black or
+    * zero-contrast scan is dropped here for the cost of a scan, not a
+    * GPU batch. All integer aggregates; the oracle replays the pixel
+    * formula from doc_id, so a hash match certifies every pixel
+    * survived the codec round trip.
+    *
+    * Scale shape: pure per-row binary work fused in the scan, one
+    * docs-sized output row per image, no shuffle before the sort —
+    * the same mapper class as the decode/audio-feature gates.
+    */
+  val qPixelStats: Q = Q.sql(
+    "q_multimodal_pixel_stats",
+    s"""WITH pm AS (
+       |  SELECT d.doc_id, r.r, c.c,
+       |    ((d.doc_id // 4) % 100003) * 2654435761
+       |      + (r.r * $dhW + c.c) * 40503 AS m
+       |  FROM documents d, range(0, $dhH) r(r), range(0, $dhW) c(c)),
+       |px AS (
+       |  SELECT doc_id, r, c,
+       |    CASE WHEN r = doc_id % 4 AND c = 8
+       |      THEN (xor(m, m // 65536) % 251 + 97) % 251
+       |      ELSE xor(m, m // 65536) % 251
+       |    END AS p
+       |  FROM pm)
+       |SELECT doc_id,
+       |  CAST(MIN(p) AS BIGINT) AS p_min, CAST(MAX(p) AS BIGINT) AS p_max,
+       |  CAST(SUM(p) AS BIGINT) AS p_sum,
+       |  CAST(SUM(CASE WHEN p < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+       |  CAST(SUM(CASE WHEN p >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+       |  CAST(MAX(p) - MIN(p) AS BIGINT) AS contrast
+       |FROM px GROUP BY doc_id
+       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
+    val enc = udf((i: Long) =>
+      MediaContainers.pngBytesGray(dhW, dhH, dhashFixturePixels(i)))
+    val stats = udf { b: Array[Byte] =>
+      val (_, _, pix) = MediaContainers.pngGrayPixels(b)
+      var mn = 255L; var mx = 0L; var sm = 0L; var dark = 0L; var bright = 0L
+      pix.foreach { pb =>
+        val v = (pb & 0xff).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sm += v
+        if (v < 64) dark += 1
+        if (v >= 192) bright += 1
+      }
+      (mn, mx, sm, dark, bright, mx - mn)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), stats(enc(col("doc_id"))).as("st"))
+      .select(col("doc_id"), col("st._1").as("p_min"), col("st._2").as("p_max"),
+        col("st._3").as("p_sum"), col("st._4").as("n_dark"),
+        col("st._5").as("n_bright"), col("st._6").as("contrast"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup,
-    qAudioFeatures)
+    qAudioFeatures, qPixelStats)
 }

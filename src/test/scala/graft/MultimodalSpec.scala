@@ -103,6 +103,20 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("pixel stats: every row is internally consistent with the 72-pixel frame") {
+    val rows = SparkEntry.queries("q_multimodal_pixel_stats")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx, sum, dark, bright, contrast) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(mn >= 0L && mx <= 250L && mn <= mx)
+      assert(contrast == mx - mn)
+      assert(sum >= 72L * mn && sum <= 72L * mx)
+      assert(dark + bright <= 72L)
+    }
+  }
+
   test("decodeMeta is total: null/empty/garbage payloads downgrade to bin") {
     val bin = MediaMeta("bin", 0, 0, 0, 0L, 0)
     assert(MultimodalFunctions.decodeMeta(null) == bin)

@@ -349,6 +349,57 @@ object ScaleProbeMain {
       SparkEntry.queries("q_doc_pagerank")(spark, bigDir).count()
     }
 
+    // --- round-6 session 3: graph + layout + warehouse additions ------
+    // triangles on the duplicate-heavy kNN graph: every band bucket is
+    // a 10-twin near-clique, the densest-triangle regime (the hub
+    // hazard made concrete) — but the enumeration rides the memoized
+    // anchor-bounded edge table, so the pair space is Σ deg² over
+    // degrees ≤ 2·knnK, not bucket². scd2/watermark/rfm at 10x users
+    // (events amplified above): per-user window state constant, output
+    // users-sized. zorder + skip stats at 10x lineitem: the bounds and
+    // counts passes scan 2x, the adaptive prefix widens one notch, the
+    // rank stays bucket-partitioned; novelty's first-carrier aggregate
+    // sees a 10x gram stream collapsing to base cardinality; basket
+    // pairs grow with Σ basket² (baskets unchanged → linear).
+    time(s"knn_triangles_10x(${nEmb * 10} vecs, near-clique buckets)") {
+      SparkEntry.queries("q_emb_knn_triangles")(spark, bigDir).count()
+    }
+    time("scd2_10x(10x users)") {
+      SparkEntry.queries("q_events_scd2")(spark, bigDir).count()
+    }
+    time("watermark_advisor_10x(10x users)") {
+      SparkEntry.queries("q_events_watermark_advisor")(spark, bigDir).count()
+    }
+    time("rfm_10x(10x users)") {
+      SparkEntry.queries("q_events_rfm")(spark, bigDir).count()
+    }
+    locally {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val nli = li.agg(max("l_orderkey")).head.getLong(0) + 1
+      li.crossJoin(spark.range(10).select(col("id").as("copy")))
+        .select((col("l_orderkey") + col("copy") * nli).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      time(s"zorder_10x(${nli * 10} order keys)") {
+        SparkEntry.queries("q_layout_zorder")(spark, bigDir).count()
+      }
+      time("skip_stats_10x") {
+        SparkEntry.queries("q_layout_skip_stats")(spark, bigDir).count()
+      }
+      time("market_basket_10x(baskets unchanged)") {
+        SparkEntry.queries("q_market_basket")(spark, bigDir).count()
+      }
+    }
+    time(s"novelty_curve_10x(${n * 10} docs, 90% dups)") {
+      SparkEntry.queries("q_doc_novelty_curve")(spark, bigDir).count()
+    }
+    time(s"audio_features_10x(${n * 10} wavs)") {
+      SparkEntry.queries("q_multimodal_audio_features")(spark, bigDir).count()
+    }
+
     spark.stop()
   }
 }

@@ -1193,9 +1193,89 @@ object EventsQ {
       .orderBy(col("user_id").asc)
   }
 
+  /** EXACT DISTRIBUTED QUANTILES — per-type exact median and p90
+    * WITHOUT a per-group full sort: the distributed selection
+    * algorithm. Pass 1 histograms (type, floor(value)) buckets —
+    * map-side combined, collected bounded by the same integer-bucket
+    * assumption q_events_value_histogram already makes. The driver
+    * prefix locates, for each target rank k, the ONE bucket holding
+    * the k-th value and its rank offset; pass 2 sorts ONLY those
+    * buckets (bucket-sized windows) and picks the needed rows via a
+    * broadcast target join. The k-th VALUE of the sorted multiset is
+    * well-defined under ties, so the result is exact and
+    * engine-portable; the median's (v_lo + v_hi)/2 is one IEEE add +
+    * halve of identical doubles.
+    *
+    * This is what replaces approx_percentile when the SLA says exact:
+    * at 100 TB a per-type global sort is one task per type (types are
+    * few — the funnel), while this shape's largest task is one value
+    * bucket. ORACLE: DuckDB replays with the naive per-type
+    * row_number (the oracle needn't scale), proving the selection
+    * picks identical values.
+    */
+  val qExactQuantiles: Q = Q.sql(
+    "q_events_exact_quantiles",
+    """WITH e AS (
+      |  SELECT event_type, value FROM events WHERE NOT isnan(value)),
+      |r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+      |    + MAX(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2 AS median,
+      |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+      |FROM r GROUP BY event_type
+      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .select(col("event_type"), col("value"))
+    // pass 1: bucket histogram -> driver locates each target's bucket
+    val hist = e.groupBy(col("event_type"),
+        floor(col("value")).cast(LongType).as("b"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val targets = hist.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      val ks = Seq((n + 1) / 2, (n + 2) / 2, (9 * n + 9) / 10).distinct
+      var cum = 0L
+      val located = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      sorted.foreach { case (_, b, c) =>
+        ks.foreach { k =>
+          if (k > cum && k <= cum + c) located += ((t, b, k - cum, k))
+        }
+        cum += c
+      }
+      located.map { case (tt, b, rnInB, k) => (tt, b, rnInB, k, n) }
+    }
+    import s.implicits._
+    val targetDf = broadcast(
+      targets.toDF("event_type", "b", "rn_in_b", "k", "n"))
+    // pass 2: sort only the buckets that hold a target rank
+    val w = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("value").asc)
+    val picked = e
+      .withColumn("b", floor(col("value")).cast(LongType))
+      .join(targetDf.select("event_type", "b").distinct(), Seq("event_type", "b"))
+      .withColumn("rn_in_b", row_number().over(w).cast(LongType))
+      .join(targetDf, Seq("event_type", "b", "rn_in_b"))
+      .select(col("event_type"), col("k"), col("n"), col("value"))
+    picked.groupBy("event_type")
+      .agg(max("n").as("n"),
+        ((max(when(col("k") === expr("(n + 1) div 2"), col("value")))
+          + max(when(col("k") === expr("(n + 2) div 2"), col("value")))) / 2)
+          .as("median"),
+        max(when(col("k") === expr("(9 * n + 9) div 10"), col("value")))
+          .as("p90"))
+      .select(col("event_type"), col("n"), col("median"), col("p90"))
+      .orderBy(col("event_type").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm)
+    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles)
 }

@@ -568,11 +568,61 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q7-style cross-nation volume — the deepest join tree in
+    * the catalog (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation×2):
+    * decimal-exact revenue flowing between every ordered pair of
+    * DISTINCT (supplier-nation, customer-nation) per ship year — the
+    * trade-flow matrix behind every "volume shipping" report.
+    *
+    * Scale shape: the two nation dims broadcast (25 rows); the three
+    * fact joins hash on their natural keys (suppkey, orderkey,
+    * custkey) with AQE free to re-plan; the final rollup is
+    * |nations|² × years-sized after a map-side combine. No join in
+    * the tree carries more than one corpus-sized side.
+    */
+  val q7NationVolume: Q = Q.sql(
+    "q7_nation_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE n1.n_nationkey <> n2.n_nationkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation ASC, cust_nation ASC, ship_year ASC""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), year(col("l_shipdate")).as("ship_year"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("s_nk") =!= col("c_nk"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("ship_year").asc)
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, qTopkOrders, qLatestPerGroup, qDedupKeepLast,
     qLeftJoinSnapshot, qJoinAggRollup, qScalarSubqueryMax, qUnionChunks,
     qSemiJoin, qAntiJoin, qTryCast, qRangeInvalidate, qSentinelInvalidate,
     qDerivedRate, qIsinFilter, qNotNullFilter, qPointLookup, qDuplicateKeys,
     qOutOfRangeCounts, qMultiKeySort, qUnpivot, qRunningWindow, qRecordCount,
-    q5LocalSupplierVolume, qCorrelatedAgg, q3ShippingPriority)
+    q5LocalSupplierVolume, qCorrelatedAgg, q3ShippingPriority, q7NationVolume)
 }

@@ -137,6 +137,92 @@ object SimilarityQ {
     topKPerQuery(scored)
   }
 
+  /** [[oracleCosine]] over the first `dims` components only. */
+  private def oracleCosineDims(a: String, b: String, dims: Int): String =
+    s"""(list_reduce(list_transform(range(1, ${dims + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+       |  / NULLIF(
+       |    sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+       |    * sqrt(list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)), 0))""".stripMargin
+
+  private val matryoshkaDims = 16
+
+  /** MATRYOSHKA TRUNCATION AUDIT (Kusupati et al. NeurIPS 2022) — does
+    * retrieval survive cutting the embedding to its first 16 of 64
+    * dims? Per query: the top-1 neighbor under the FULL cosine, the
+    * top-1 under the TRUNCATED cosine, where the truncated pick ranks
+    * in the full ordering, and an agreement flag. A 4× cheaper index
+    * (and 4× smaller broadcast) is free wherever this table reads
+    * agree=true / full_rank≈1; where it doesn't, truncation costs
+    * recall and the audit says exactly how much. (Our synthetic
+    * embeddings are NOT Matryoshka-trained, so disagreement is the
+    * expected finding — the audit's value is measuring, not assuming.)
+    *
+    * Scale shape: identical to q_ann_bruteforce (queries broadcast,
+    * one corpus scan scoring both metrics in the same projection, two
+    * ranks from one exchange); the audit is run on a query SAMPLE by
+    * construction, never corpus×corpus.
+    */
+  val qEmbMatryoshka: Q = Q.sql(
+    "q_emb_matryoshka",
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.embedding")} AS score_full,
+       |    ${oracleCosineDims("q.embedding", "v.embedding", matryoshkaDims)} AS score_trunc
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score_full, score_trunc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_full DESC, neighbor_id ASC) AS rank_full,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_trunc DESC, neighbor_id ASC) AS rank_trunc
+       |  FROM scored),
+       |t1 AS (
+       |  SELECT query_id, neighbor_id AS trunc_top1,
+       |    score_trunc AS trunc_score,
+       |    CAST(rank_full AS INT) AS full_rank_of_trunc
+       |  FROM ranked WHERE rank_trunc = 1),
+       |f1 AS (
+       |  SELECT query_id, neighbor_id AS full_top1, score_full AS full_score
+       |  FROM ranked WHERE rank_full = 1)
+       |SELECT f1.query_id, f1.full_top1, f1.full_score, t1.trunc_top1,
+       |  t1.trunc_score, t1.full_rank_of_trunc,
+       |  (t1.trunc_top1 = f1.full_top1) AS agree
+       |FROM f1 JOIN t1 ON f1.query_id = t1.query_id
+       |ORDER BY f1.query_id ASC""".stripMargin) { (s, d) =>
+    graft.expressions.CosineSimilarity.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fastCosine(col("q_emb"), col("embedding")).as("score_full"),
+        fastCosine(slice(col("q_emb"), 1, matryoshkaDims),
+          slice(col("embedding"), 1, matryoshkaDims)).as("score_trunc"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_full").desc, col("neighbor_id").asc)
+    val wt = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_trunc").desc, col("neighbor_id").asc)
+    val ranked = scored
+      .withColumn("rank_full", row_number().over(wf))
+      .withColumn("rank_trunc", row_number().over(wt))
+    val t1 = ranked.filter(col("rank_trunc") === 1)
+      .select(col("query_id"), col("neighbor_id").as("trunc_top1"),
+        col("score_trunc").as("trunc_score"),
+        col("rank_full").as("full_rank_of_trunc"))
+    val f1 = ranked.filter(col("rank_full") === 1)
+      .select(col("query_id"), col("neighbor_id").as("full_top1"),
+        col("score_full").as("full_score"))
+    f1.join(t1, Seq("query_id"))
+      .select(col("query_id"), col("full_top1"), col("full_score"),
+        col("trunc_top1"), col("trunc_score"), col("full_rank_of_trunc"),
+        (col("trunc_top1") === col("full_top1")).as("agree"))
+      .orderBy(col("query_id").asc)
+  }
+
   private[graft] val annLshAuxDir = s"${OracleAux.root}/ann_lsh_keys"
 
   /** Memoized (embedding, exploded band-key) frame — one band-key pass
@@ -1879,5 +1965,6 @@ object SimilarityQ {
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
-    qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles)
+    qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,
+    qEmbMatryoshka)
 }

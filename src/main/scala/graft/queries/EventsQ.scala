@@ -1273,9 +1273,82 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** A/B CONVERSION z-TEST — the experimentation readout: variants
+    * split by user_id parity (the deterministic stand-in for an
+    * assignment column), conversion = at-least-one 'purchase',
+    * two-proportion pooled z-score with a |z| > 1.96 significance
+    * flag. Every input to the float chain is an exact-integer-derived
+    * double, the expression tree is parenthesized identically in both
+    * engines, and sqrt of identical doubles is correctly-rounded by
+    * both — so even the statistic is hash-exact.
+    *
+    * Scale shape: one distinct over (variant, user, converted) — the
+    * per-user collapse — then a 2-row aggregate and a driver-free
+    * 1-row combine via conditional sums.
+    */
+  val qAbTest: Q = Q.sql(
+    "q_events_ab_test",
+    """WITH u AS (
+      |  SELECT user_id % 2 AS variant, user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND NOT isnan(value)
+      |      AND value >= 50 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY variant),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |    MAX(CASE WHEN variant = 0 THEN c END) AS c_a,
+      |    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |    MAX(CASE WHEN variant = 1 THEN c END) AS c_b
+      |  FROM v),
+      |x AS (
+      |  SELECT n_a, c_a, n_b, c_b,
+      |    CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+      |    CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+      |    sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |      * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE))) AS se
+      |  FROM w)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a, rate_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b, rate_b,
+      |  CASE WHEN se > 0 THEN (rate_a - rate_b) / se ELSE 0e0 END AS z,
+      |  (CASE WHEN se > 0 THEN abs((rate_a - rate_b) / se)
+      |    ELSE 0e0 END) > 1.96 AS significant
+      |FROM x""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && !isnan(col("value"))
+        && col("value") >= 50, 1).otherwise(0)).as("conv"))
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"),
+      max(when(col("variant") === 0, col("c"))).as("c_a"),
+      max(when(col("variant") === 1, col("n"))).as("n_b"),
+      max(when(col("variant") === 1, col("c"))).as("c_b"))
+    val rateA = col("c_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+    val rateB = col("c_b").cast(DoubleType) / col("n_b").cast(DoubleType)
+    val pooled = (col("c_a") + col("c_b")).cast(DoubleType) /
+      (col("n_a") + col("n_b")).cast(DoubleType)
+    val x = w.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      sqrt(pooled * (lit(1) - pooled) *
+        (lit(1.0) / col("n_a").cast(DoubleType)
+          + lit(1.0) / col("n_b").cast(DoubleType))).as("se"))
+    // a zero-variance experiment (all or none convert) has no signal:
+    // z pins to 0 instead of tripping ANSI's double divide-by-zero
+    val z = when(col("se") > 0,
+      (col("rate_a") - col("rate_b")) / col("se")).otherwise(0.0)
+    x.select(col("n_a"), col("c_a"), col("rate_a"),
+      col("n_b"), col("c_b"), col("rate_b"),
+      z.as("z"), (abs(z) > 1.96).as("significant"))
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
-    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles)
+    qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
+    qAbTest)
 }

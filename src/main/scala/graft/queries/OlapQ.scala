@@ -478,6 +478,41 @@ object OlapQ {
       .limit(25)
   }
 
+  /** ORDER-FULFILLMENT LATENCY — the operations report joining the
+    * order header to its line shipments: per order the worst (max)
+    * ship lag in whole days, rolled into a week-bucketed histogram
+    * with exact counts and integer min/max. Integer day arithmetic
+    * end-to-end.
+    *
+    * Scale shape: one orderkey-hash join (both sides pre-projected to
+    * two columns), a per-order max (map-side combined on the same
+    * exchange), and a ≤ dozens-row rollup.
+    */
+  val qFulfillmentLatency: Q = Q.sql(
+    "q_fulfillment_latency",
+    """WITH lag AS (
+      |  SELECT o.o_orderkey,
+      |    MAX(CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+      |      AS BIGINT)) AS lag_days
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o.o_orderkey)
+      |SELECT lag_days // 7 AS week_bucket, COUNT(*) AS n_orders,
+      |  MIN(lag_days) AS min_days, MAX(lag_days) AS max_days
+      |FROM lag GROUP BY 1
+      |ORDER BY week_bucket ASC""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("od"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast(DateType).as("sd"))
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(max(datediff(col("sd"), col("od"))).cast(LongType).as("lag_days"))
+      .groupBy(expr("lag_days div 7").as("week_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min("lag_days").as("min_days"), max("lag_days").as("max_days"))
+      .orderBy(col("week_bucket").asc)
+  }
+
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
-    qLayoutZorder, qLayoutSkipStats, qMarketBasket)
+    qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency)
 }

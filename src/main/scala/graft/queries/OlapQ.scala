@@ -513,6 +513,90 @@ object OlapQ {
       .orderBy(col("week_bucket").asc)
   }
 
+  /** TPC-H Q18-style large-volume customers — the aggregate-then-join
+    * shape: orders whose total line quantity clears a threshold,
+    * decorated with customer and header columns, top-100 by price.
+    * The HAVING aggregate REDUCES lineitem to qualifying order keys
+    * BEFORE any join touches the wide tables — the optimization Q18
+    * exists to test (joining first would carry every line through two
+    * joins to discard 99% at the end).
+    *
+    * Scale shape: map-side-combined quantity sums, then two hash
+    * joins against the pre-reduced key set; top-100 lowers to
+    * TakeOrderedAndProject. Quantity and price sums decimal-exact.
+    */
+  val qLargeVolumeCustomers: Q = Q.sql(
+    "q18_large_volume_customers",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      |  CAST(o.o_orderdate AS DATE) AS order_date,
+      |  o.o_totalprice AS total_price, b.sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY total_price DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .filter(col("q") > 300)
+      .select(col("l_orderkey"), col("q").cast(DoubleType).as("sum_qty"))
+    big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("o_totalprice").as("total_price"), col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** HASH-PARTITION BALANCE AUDIT — the shuffle-skew pre-check for a
+    * planned partitioning: docs bucketed into 16 partitions by the
+    * first md5 hex char of doc_id (the engine-portable stand-in for
+    * the partitioner hash), per-partition doc count and char mass,
+    * and each partition's deviation from the ideal 1/16 share. Read
+    * before `repartition($"doc_id")`: a ratio near 1 everywhere says
+    * the key hashes evenly, a hot row says re-key or salt — the hash
+    * sibling of q_doc_partition_advisor's range analysis.
+    *
+    * Scale shape: one map-side-combined aggregate to 16 rows, the
+    * 1-row total inlined as a scalar literal.
+    */
+  val qPartitionBalance: Q = Q.sql(
+    "q_doc_partition_balance",
+    """WITH p AS (
+      |  SELECT CAST(instr('0123456789abcdef',
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS pid,
+      |    n_chars
+      |  FROM documents),
+      |a AS (
+      |  SELECT pid, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS char_mass
+      |  FROM p GROUP BY pid),
+      |t AS (SELECT SUM(n_docs) AS total FROM a)
+      |SELECT a.pid, a.n_docs, a.char_mass,
+      |  CAST(a.n_docs AS DOUBLE) * 16 / t.total AS share_ratio
+      |FROM a CROSS JOIN t
+      |ORDER BY pid ASC""".stripMargin) { (s, d) =>
+    val p = Tables.documents(s, d)
+      .select((expr(
+        "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1))")
+        .cast(LongType) - 1).as("pid"), col("n_chars"))
+    val a = p.groupBy("pid")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("char_mass"))
+    val total = a.agg(sum("n_docs")).head().getLong(0)
+    a.select(col("pid"), col("n_docs"), col("char_mass"),
+        (col("n_docs").cast(DoubleType) * 16 / lit(total.toDouble))
+          .as("share_ratio"))
+      .orderBy(col("pid").asc)
+  }
+
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
-    qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency)
+    qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
+    qLargeVolumeCustomers, qPartitionBalance)
 }

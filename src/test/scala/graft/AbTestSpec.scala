@@ -40,6 +40,28 @@ class AbTestSpec extends SparkSpecBase {
     assert(r.getDouble(6) == 0.0 && !r.getBoolean(7))
   }
 
+  test("q18: aggregate reduces lineitem before the joins; top-100 total order") {
+    val df = SparkEntry.queries("q18_large_volume_customers")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "quantity sums must map-side combine before the joins")
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getDouble(5) > 300.0))
+    val prices = rows.map(_.getDouble(4)).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("partition balance: 16 dense partitions covering every doc, ratios consistent") {
+    val rows = SparkEntry.queries("q_doc_partition_balance")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L to 15L).toSet))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(1).toDouble * 16 / total)
+    }
+  }
+
   test("fulfillment latency: planted orders land in exact week buckets") {
     val dir = java.nio.file.Files.createTempDirectory("lat_fix").toString
     Seq((1L, 0L), (2L, 0L))

@@ -1315,7 +1315,8 @@ object EventsQ {
       |  CASE WHEN se > 0 THEN (rate_a - rate_b) / se ELSE 0e0 END AS z,
       |  (CASE WHEN se > 0 THEN abs((rate_a - rate_b) / se)
       |    ELSE 0e0 END) > 1.96 AS significant
-      |FROM x""".stripMargin) { (s, d) =>
+      |FROM x
+      |ORDER BY n_a ASC""".stripMargin) { (s, d) =>
     val u = Tables.events(s, d)
       .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
       .agg(max(when(col("event_type") === "purchase" && !isnan(col("value"))
@@ -1343,6 +1344,7 @@ object EventsQ {
     x.select(col("n_a"), col("c_a"), col("rate_a"),
       col("n_b"), col("c_b"), col("rate_b"),
       z.as("z"), (abs(z) > 1.96).as("significant"))
+      .orderBy(col("n_a").asc)
   }
 
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,

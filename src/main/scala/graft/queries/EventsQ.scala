@@ -1347,10 +1347,53 @@ object EventsQ {
       .orderBy(col("n_a").asc)
   }
 
+  /** STICKINESS (DAU/MAU) — the engagement-quality ratio every
+    * consumer product tracks: per day, exact daily actives over exact
+    * trailing-28-day actives. The trailing distinct is NOT a windowed
+    * count-distinct (no such exact aggregate exists without holding
+    * per-user state): each (user, active-day) presence row EXPLODES
+    * into the 28 observation days it contributes to, and MAU is a
+    * plain per-day distinct over that — presence×28 rows, shuffle
+    * keyed by observation day. At 100 TB presence (user-days) is
+    * orders of magnitude below events, so the 28× blowup is on the
+    * collapsed table; the HLL swap applies as everywhere exactness is
+    * traded at scale.
+    */
+  val qStickiness: Q = Q.sql(
+    "q_events_stickiness",
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day),
+      |obs AS (
+      |  SELECT user_id, unnest(range(day, day + 28)) AS obs_day FROM p),
+      |mau AS (
+      |  SELECT obs_day AS day, COUNT(DISTINCT user_id) AS mau
+      |  FROM obs GROUP BY obs_day)
+      |SELECT d.day, d.dau, m.mau,
+      |  CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+      |FROM dau d JOIN mau m ON d.day = m.day
+      |ORDER BY d.day ASC""".stripMargin) { (s, d) =>
+    val p = Tables.events(s, d)
+      .select(col("user_id"), epochDay(col("ts")).as("day"))
+      .distinct()
+    val dau = p.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = p
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 27)).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau").cast(DoubleType))
+          .as("stickiness"))
+      .orderBy(col("day").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
-    qAbTest)
+    qAbTest, qStickiness)
 }

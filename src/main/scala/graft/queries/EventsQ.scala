@@ -133,28 +133,130 @@ object EventsQ {
   }
 
   /** Sketch aggregations — the mergeable approximations that replace
-    * exact distinct/percentile at 100 TB: HLL++ distinct users and
-    * approximate percentiles per event type.
+    * exact distinct/percentile at 100 TB, built from RELATIONAL
+    * sketches so the whole query is hash-verified (the KMV move that
+    * flipped [[qWauSketch]], now applied per event type):
     *
-    * IRREDUCIBLY rows-only (the one deliberate no-oracle query in the
-    * catalog): the outputs are estimates whose exact values depend on
-    * Spark's own sketch internals — HLL++ register assignment hashes
-    * with Spark's 64-bit xxhash of the unsafe row bytes, and
-    * percentile_approx's Greenwald-Khanna summary depends on merge
-    * order — so no DuckDB SQL can reproduce them bit-for-bit, and an
-    * aux replay of the engine's own output would verify nothing but
-    * the ORDER BY. Accuracy (the property that matters) is gated by
-    * SketchSpec instead: distinct counts within 5x the configured 2%
-    * rsd, percentiles bracketed by exact neighbors, determinism across
-    * runs (mergeable partials, fixed seeds).
+    *  - approx_users: KMV bottom-k (k=256) over md5-derived 60-bit
+    *    user hashes — mergeable (union of bottom-k lists contains the
+    *    bottom-k of the union), deterministic, RSE ~ 1/sqrt(k-2) ≈ 6%;
+    *    exact while a type holds < k distinct hashes.
+    *  - p50/p95: an adaptive-width histogram sketch — per-type bucket
+    *    width range/8192 (the SCALING.md §4 idiom), cumulative counts
+    *    cross the target rank with INTEGER arithmetic (2·cum ≥ n,
+    *    20·cum ≥ 19·n — no float rank thresholds), estimate = bucket
+    *    midpoint, error ≤ one bucket width. The histogram is mergeable
+    *    (bucket counts add) and never collects rows anywhere.
+    *
+    * Unlike the opaque binary HLL++/GK internals this replaced, every
+    * step is plain relational algebra DuckDB replays bit-identically
+    * (the estimate divides/scales identical IEEE doubles). Accuracy
+    * against the exact answers stays gated by SketchSpec.
+    *
+    * Scale shape: the bottom-k cut is two-phase (salted per-type cut,
+    * then final cut over ≤ 64k survivors); the histogram is one
+    * map-side-combined aggregate to ≤ ~8K rows per type, windowed
+    * within per-type partitions. NaN values are excluded once, for
+    * both halves.
     */
-  val qSketchStats: Q = Q.rowsOnly("q_events_sketch_stats") { (s, d) =>
-    Tables.events(s, d)
+  val qSketchStats: Q = Q.sql(
+    "q_events_sketch_stats",
+    """WITH e AS (
+      |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid, value
+      |  FROM events WHERE NOT isnan(value)),
+      |st AS (
+      |  SELECT event_type, MIN(value) AS mn,
+      |    GREATEST((MAX(value) - MIN(value)) / 8192.0,
+      |             2.2250738585072014e-308) AS w
+      |  FROM e GROUP BY event_type),
+      |hb AS (
+      |  SELECT e.event_type,
+      |    CAST(floor((e.value - st.mn) / st.w) AS BIGINT) AS b, COUNT(*) AS c
+      |  FROM e JOIN st ON e.event_type = st.event_type GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, b,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY b ASC) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hb),
+      |pb AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN 2 * cum >= n THEN b END) AS b50,
+      |    MIN(CASE WHEN 20 * cum >= 19 * n THEN b END) AS b95
+      |  FROM cum GROUP BY event_type),
+      |hashed AS (
+      |  SELECT DISTINCT event_type,
+      |    (SELECT SUM(CAST(strpos('0123456789abcdef',
+      |                 substr(md5(uid), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+      |            * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))
+      |     FROM range(15) t(i)) AS h
+      |  FROM (SELECT DISTINCT event_type, uid FROM e)),
+      |topk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM hashed),
+      |au AS (
+      |  SELECT event_type,
+      |    CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+      |         ELSE 255e0 * 1152921504606846976e0 / CAST(h AS DOUBLE)
+      |    END AS approx_users
+      |  FROM topk
+      |  WHERE rn = CASE WHEN cnt < 256 THEN cnt ELSE 256 END)
+      |SELECT p.event_type, au.approx_users,
+      |  st.mn + (CAST(p.b50 AS DOUBLE) + 0.5) * st.w AS p50_value,
+      |  st.mn + (CAST(p.b95 AS DOUBLE) + 0.5) * st.w AS p95_value
+      |FROM pb p
+      |JOIN au ON au.event_type = p.event_type
+      |JOIN st ON st.event_type = p.event_type
+      |ORDER BY p.event_type ASC""".stripMargin) { (s, d) =>
+    val k = 256
+    val e = Tables.events(s, d)
+      .filter(!isnan(col("value")))
+      .select(col("event_type"), col("user_id").cast(StringType).as("uid"),
+        col("value"))
+    // histogram-sketch percentiles: adaptive width, integer rank cross
+    val st = broadcast(e.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+      .select(col("event_type"), col("mn"),
+        greatest((col("mx") - col("mn")) / lit(8192.0),
+          lit(java.lang.Double.MIN_NORMAL)).as("w")))
+    val hb = e.join(st, "event_type")
+      .groupBy(col("event_type"),
+        floor((col("value") - col("mn")) / col("w")).cast(LongType).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("b").asc)
+    val pb = hb
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
       .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("b"))).as("b50"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("b"))).as("b95"))
+    // KMV bottom-k distinct users: two-phase salted cut per type
+    val hashed = e.select(col("event_type"), col("uid")).distinct()
+      .select(col("event_type"),
+        conv(substring(md5(col("uid").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .distinct()
+    val w1 = Window.partitionBy("event_type", "salt").orderBy(col("h").asc)
+    val cand = hashed.withColumn("salt", pmod(col("h"), lit(64)))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k).drop("rn", "salt")
+    val w2 = Window.partitionBy("event_type").orderBy(col("h").asc)
+    val au = cand
+      .withColumn("rn", row_number().over(w2))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === when(col("cnt") < k, col("cnt")).otherwise(lit(k)))
+      .select(col("event_type"),
+        when(col("cnt") < k, col("cnt").cast(DoubleType))
+          .otherwise(lit(255.0 * 1.152921504606846976e18)
+            / col("h").cast(DoubleType))
+          .as("approx_users"))
+    pb.join(au, "event_type").join(st, "event_type")
+      .select(col("event_type"), col("approx_users"),
+        (col("mn") + (col("b50").cast(DoubleType) + lit(0.5)) * col("w"))
+          .as("p50_value"),
+        (col("mn") + (col("b95").cast(DoubleType) + lit(0.5)) * col("w"))
+          .as("p95_value"))
       .orderBy(col("event_type").asc)
   }
 
@@ -1195,23 +1297,30 @@ object EventsQ {
 
   /** EXACT DISTRIBUTED QUANTILES — per-type exact median and p90
     * WITHOUT a per-group full sort: the distributed selection
-    * algorithm. Pass 1 histograms (type, floor(value)) buckets —
-    * map-side combined, collected bounded by the same integer-bucket
-    * assumption q_events_value_histogram already makes. The driver
-    * prefix locates, for each target rank k, the ONE bucket holding
-    * the k-th value and its rank offset; pass 2 sorts ONLY those
-    * buckets (bucket-sized windows) and picks the needed rows via a
-    * broadcast target join. The k-th VALUE of the sorted multiset is
-    * well-defined under ties, so the result is exact and
-    * engine-portable; the median's (v_lo + v_hi)/2 is one IEEE add +
-    * halve of identical doubles.
+    * algorithm. Pass 0 takes per-type (min, max) — #types rows — and
+    * derives an ADAPTIVE bucket width (range / 8192, floored at the
+    * smallest normal double), the same driver-bound idiom as the
+    * shard-packing prefix sum (SCALING.md §4). Pass 1 histograms
+    * (type, floor((value-min)/width)) — map-side combined, so the
+    * driver collect is ≤ ~8K buckets PER TYPE at ANY value-domain
+    * width (the old floor(value) bucketing was unbounded in the
+    * distinct-integer count of the domain). The driver prefix
+    * locates, for each target rank k, the ONE bucket holding the
+    * k-th value and its rank offset; pass 2 sorts ONLY those buckets
+    * (bucket-sized windows) and picks the needed rows via a
+    * broadcast target join. Bucket ids are weakly monotone in value
+    * (subtract + divide-by-positive + floor), so rank locating is
+    * exact; the k-th VALUE of the sorted multiset is well-defined
+    * under ties, so the result is exact and engine-portable; the
+    * median's (v_lo + v_hi)/2 is one IEEE add + halve of identical
+    * doubles.
     *
     * This is what replaces approx_percentile when the SLA says exact:
     * at 100 TB a per-type global sort is one task per type (types are
     * few — the funnel), while this shape's largest task is one value
-    * bucket. ORACLE: DuckDB replays with the naive per-type
-    * row_number (the oracle needn't scale), proving the selection
-    * picks identical values.
+    * bucket (~n/8192 rows). ORACLE: DuckDB replays with the naive
+    * per-type row_number (the oracle needn't scale), proving the
+    * selection picks identical values.
     */
   val qExactQuantiles: Q = Q.sql(
     "q_events_exact_quantiles",
@@ -1231,9 +1340,17 @@ object EventsQ {
     val e = Tables.events(s, d)
       .filter(!isnan(col("value")))
       .select(col("event_type"), col("value"))
-    // pass 1: bucket histogram -> driver locates each target's bucket
-    val hist = e.groupBy(col("event_type"),
-        floor(col("value")).cast(LongType).as("b"))
+    // pass 0: per-type adaptive bucket width — #types rows, broadcast back
+    val stats = broadcast(e.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+      .select(col("event_type"), col("mn"),
+        greatest((col("mx") - col("mn")) / lit(8192.0),
+          lit(java.lang.Double.MIN_NORMAL)).as("w")))
+    val eb = e.join(stats, "event_type")
+      .select(col("event_type"), col("value"),
+        floor((col("value") - col("mn")) / col("w")).cast(LongType).as("b"))
+    // pass 1: bounded histogram (≤ ~8K buckets/type at any domain width)
+    val hist = eb.groupBy("event_type", "b")
       .count().collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val targets = hist.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
@@ -1253,11 +1370,11 @@ object EventsQ {
     import s.implicits._
     val targetDf = broadcast(
       targets.toDF("event_type", "b", "rn_in_b", "k", "n"))
-    // pass 2: sort only the buckets that hold a target rank
+    // pass 2: sort only the buckets that hold a target rank (same
+    // bucket expression as pass 1 via the shared eb frame)
     val w = Window.partitionBy(col("event_type"), col("b"))
       .orderBy(col("value").asc)
-    val picked = e
-      .withColumn("b", floor(col("value")).cast(LongType))
+    val picked = eb
       .join(targetDf.select("event_type", "b").distinct(), Seq("event_type", "b"))
       .withColumn("rn_in_b", row_number().over(w).cast(LongType))
       .join(targetDf, Seq("event_type", "b", "rn_in_b"))

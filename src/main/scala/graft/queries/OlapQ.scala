@@ -394,7 +394,10 @@ object OlapQ {
        |  1e0 - CAST(n_admitted AS DOUBLE) / n_files AS skip_ratio
        |FROM adm
        |ORDER BY kind ASC, probe_id ASC""".stripMargin) { (s, d) =>
-    val files = zorderFileStats(s, d)
+    // materialize the two-phase z-rank pipeline ONCE: both the g-bounds
+    // head() and the probe crossJoin read the checkpointed file stats
+    // (uncheckpointed, the whole z-order pipeline executed twice)
+    val files = zorderFileStats(s, d).localCheckpoint(true)
     val g = files.agg(min("part_min"), max("part_max"),
       min("day_min"), max("day_max")).head()
     val (pmin, pmax, dmin, dmax) =
@@ -487,6 +490,14 @@ object OlapQ {
     * Scale shape: one orderkey-hash join (both sides pre-projected to
     * two columns), a per-order max (map-side combined on the same
     * exchange), and a ≤ dozens-row rollup.
+    *
+    * Parity guard: the week bucket divides GREATEST(lag_days, 0) —
+    * DuckDB `//` floors while Spark `div` truncates toward zero, so
+    * a negative lag (ship-before-order, impossible in TPC-H but not
+    * enforced by this query) would otherwise bucket differently per
+    * engine. Clamping makes the contract explicit instead of resting
+    * on an unstated data invariant; a real negative lag still
+    * surfaces through min_days.
     */
   val qFulfillmentLatency: Q = Q.sql(
     "q_fulfillment_latency",
@@ -496,7 +507,7 @@ object OlapQ {
       |      AS BIGINT)) AS lag_days
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |  GROUP BY o.o_orderkey)
-      |SELECT lag_days // 7 AS week_bucket, COUNT(*) AS n_orders,
+      |SELECT GREATEST(lag_days, 0) // 7 AS week_bucket, COUNT(*) AS n_orders,
       |  MIN(lag_days) AS min_days, MAX(lag_days) AS max_days
       |FROM lag GROUP BY 1
       |ORDER BY week_bucket ASC""".stripMargin) { (s, d) =>
@@ -507,7 +518,7 @@ object OlapQ {
     o.join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey")
       .agg(max(datediff(col("sd"), col("od"))).cast(LongType).as("lag_days"))
-      .groupBy(expr("lag_days div 7").as("week_bucket"))
+      .groupBy(expr("greatest(lag_days, 0L) div 7").as("week_bucket"))
       .agg(count(lit(1)).as("n_orders"),
         min("lag_days").as("min_days"), max("lag_days").as("max_days"))
       .orderBy(col("week_bucket").asc)

@@ -1360,6 +1360,11 @@ object PipelineQ {
     * scan; the rollup is one map-side-combined aggregate to ≤ #sources
     * rows. Patterns are the proven Java/RE2-compatible pair from
     * qRedact, so counts agree across engines.
+    *
+    * Determinism: `pii_doc_frac` is quantized HALF_UP to DECIMAL(18,6)
+    * on BOTH sides (the catalog's standard ratio contract — same as
+    * the quality-model weight table) instead of publishing a raw IEEE
+    * double, so the driver hash compare is bit-stable across engines.
     */
   val qPiiStats: Q = Q.sql(
     "q_doc_pii_stats",
@@ -1373,8 +1378,8 @@ object PipelineQ {
       |  COUNT(*) AS n_docs,
       |  SUM(n_url) AS total_urls,
       |  SUM(n_email) AS total_emails,
-      |  CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*) AS pii_doc_frac
+      |  CAST(CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS DECIMAL(18,6)) AS pii_doc_frac
       |FROM per_doc
       |GROUP BY source
       |ORDER BY source ASC""".stripMargin) { (s, d) =>
@@ -1390,7 +1395,8 @@ object PipelineQ {
         sum("n_url").as("total_urls"),
         sum("n_email").as("total_emails"),
         (sum(when(col("n_url") + col("n_email") > 0, 1L).otherwise(0L))
-          .cast(DoubleType) / count(lit(1))).as("pii_doc_frac"))
+          .cast(DoubleType) / count(lit(1)))
+          .cast(DecimalType(18, 6)).as("pii_doc_frac"))
       .orderBy(col("source").asc)
   }
 

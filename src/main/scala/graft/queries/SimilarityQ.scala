@@ -294,18 +294,61 @@ object SimilarityQ {
 
   private val knnK = 5
 
+  /** MEGA-BUCKET GUARD for the band-key self-join family — the band
+    * analogue of [[TextQ.maxShingleDf]]: a duplicate-heavy corpus
+    * collapses many near-identical vectors into ONE band bucket, and
+    * an uncapped self-join is O(Σ bucket²) (the knn_graph_10x probe
+    * measured 527 s at 10 exact copies/doc — BENCH_NOTES). The
+    * NEIGHBOR side of the candidate join keeps only each bucket's
+    * [[maxBandBucket]] lowest vec_ids (a deterministic, engine-
+    * portable choice), bounding the pair space at bucket × cap —
+    * linear, not quadratic, in bucket size. Anchors are NEVER capped,
+    * so every vector still receives candidates; in a mega bucket the
+    * members are near-identical by construction, so any cap-sized
+    * subset supplies equally-good neighbors. Buckets below the cap
+    * (every non-pathological corpus) are byte-identical to the
+    * uncapped join. Truncation is a disclosed loss: the engine logs
+    * the over-cap bucket count and excluded-member count whenever the
+    * cap binds (SCALING.md §6).
+    */
+  private[queries] val maxBandBucket = 128
+
+  /** One-row disclosed-loss audit of a band-key table against
+    * [[maxBandBucket]]; logs only when the cap binds.
+    */
+  private[queries] def logBucketCapLoss(keys: DataFrame, bucketCols: Seq[String],
+                                        what: String): Unit = {
+    val over = keys.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBandBucket)
+      .agg(count(lit(1)).as("buckets"),
+        sum(col("n") - maxBandBucket).as("dropped"))
+      .head()
+    if (!over.isNullAt(1) && over.getLong(1) > 0L)
+      System.err.println(s"[graft] $what: ${over.getLong(0)} band bucket(s) " +
+        s"over $maxBandBucket members; ${over.getLong(1)} member row(s) " +
+        "excluded from the capped join side (disclosed loss)")
+  }
+
   /** Shared oracle CTE chain replaying the kNN graph from the
-    * materialized band keys: candidate join, pair dedup, exact-cosine
-    * rerank, ranking — consumed by q_emb_knn_graph, q_emb_topic
-    * _clusters, and (with a label twist) q_emb_hard_negatives.
+    * materialized band keys: candidate join (neighbor side capped at
+    * [[maxBandBucket]] per bucket, mirroring the engine), pair dedup,
+    * exact-cosine rerank, ranking — consumed by q_emb_knn_graph,
+    * q_emb_topic_clusters, and (with a label twist)
+    * q_emb_hard_negatives.
     */
   private def knnRankedCte: String =
     s"""keyed AS (
        |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |kept AS (
+       |  SELECT vec_id, bk FROM (
+       |    SELECT vec_id, bk,
+       |      ROW_NUMBER() OVER (PARTITION BY bk ORDER BY vec_id ASC) AS bpos
+       |    FROM keyed) WHERE bpos <= $maxBandBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-       |  FROM keyed a JOIN keyed b ON a.bk = b.bk
+       |  FROM keyed a JOIN kept b ON a.bk = b.bk
        |  WHERE a.vec_id <> b.vec_id),
        |scored AS (
        |  SELECT c.vec_id, c.neighbor_id,
@@ -342,8 +385,15 @@ object SimilarityQ {
     SharedFrames.frame(s, s"knn_ranked_pairs:$d") {
       val keys = annLshKeyedFrame(s, d)
         .select(col("vec_id"), col("bk"), col("label"))
+      logBucketCapLoss(keys, Seq("bk"), "knn ranked pairs")
+      // mega-bucket guard: neighbor side capped per bucket (see
+      // [[maxBandBucket]]) — pair space bucket × cap, never bucket²
+      val wB = Window.partitionBy(col("bk")).orderBy(col("vec_id").asc)
+      val kept = keys
+        .withColumn("__bpos", row_number().over(wB))
+        .filter(col("__bpos") <= maxBandBucket)
       val cand = keys.join(
-          keys.select(col("vec_id").as("neighbor_id"), col("bk"),
+          kept.select(col("vec_id").as("neighbor_id"), col("bk"),
             col("label").as("n_label")), Seq("bk"))
         .filter(col("vec_id") =!= col("neighbor_id"))
         .select(col("vec_id"), col("neighbor_id"), col("label"), col("n_label"))
@@ -483,9 +533,14 @@ object SimilarityQ {
        |  FROM read_parquet('$annLshAuxDir/*/*.parquet') k
        |  JOIN embeddings e ON e.vec_id = k.vec_id
        |  WHERE k.corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |kept AS (
+       |  SELECT vec_id, bk, label FROM (
+       |    SELECT vec_id, bk, label,
+       |      ROW_NUMBER() OVER (PARTITION BY bk ORDER BY vec_id ASC) AS bpos
+       |    FROM keyed) WHERE bpos <= $maxBandBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-       |  FROM keyed a JOIN keyed b ON a.bk = b.bk
+       |  FROM keyed a JOIN kept b ON a.bk = b.bk
        |  WHERE a.vec_id <> b.vec_id AND a.label <> b.label),
        |scored AS (
        |  SELECT c.vec_id, c.neighbor_id,

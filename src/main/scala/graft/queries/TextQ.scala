@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2072,7 +2073,16 @@ object TextQ {
     * Scale shape: candidates are band-bucket joins (keys only); the
     * text join that follows carries 256-char prefixes for candidate
     * PAIRS only — bounded payload on a bounded pair set, never a
-    * corpus-wide text shuffle.
+    * corpus-wide text shuffle. MEGA-BUCKET GUARD (the band analogue
+    * of [[maxShingleDf]], shared with the kNN family —
+    * [[SimilarityQ.maxBandBucket]]): the LOW-id side of the
+    * `doc_a < doc_b` join keeps only each bucket's cap lowest
+    * doc_ids, so a duplicate-heavy bucket costs bucket × cap pairs,
+    * not bucket² — and every higher-id member still pairs with the
+    * bucket's lowest members, so dup CLUSTERS remain fully detected
+    * (each copy links to the cluster head). Buckets under the cap
+    * are byte-identical to the uncapped join; truncation logs a
+    * disclosed-loss line.
     */
   val qEditDistNearDup: Q = Q.sql(
     "q_doc_editdist_neardup",
@@ -2080,9 +2090,15 @@ object TextQ {
        |  SELECT doc_id, band, bh
        |  FROM read_parquet('$minhashBandsAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
+       |kept AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh,
+       |      ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id ASC)
+       |        AS bpos
+       |    FROM banded) WHERE bpos <= ${SimilarityQ.maxBandBucket}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM kept a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |px AS (SELECT doc_id, substring(text, 1, 256) AS p FROM documents)
        |SELECT c.doc_a, c.doc_b,
@@ -2096,7 +2112,15 @@ object TextQ {
       "pinned by MinhashRecallSpec); DuckDB replays candidates + " +
       "independent Levenshtein rerank.") { (s, d) =>
     val banded = minhashBandedFrame(s, d)
-    val pairs = banded.as("a")
+    SimilarityQ.logBucketCapLoss(banded, Seq("band", "bh"), "editdist neardup")
+    // mega-bucket guard: low-id join side capped per bucket (see doc)
+    val wB = Window.partitionBy(col("band"), col("bh"))
+      .orderBy(col("doc_id").asc)
+    val keptA = banded
+      .withColumn("__bpos", row_number().over(wB))
+      .filter(col("__bpos") <= SimilarityQ.maxBandBucket)
+      .drop("__bpos")
+    val pairs = keptA.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -11,18 +11,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CatalogContractSpec extends AnyFunSuite {
 
-  /** rows-only query → its ground-truth spec class (must exist). */
-  private val rowsOnlySpecs: Map[String, String] = Map(
-    // The ONE deliberate no-oracle query: sketch_stats uses Spark's
-    // native HLL++/GK whose estimates are engine-specific by
-    // definition (irreducibility argument in EventsQ.qSketchStats's
-    // scaladoc); SketchSpec bounds the error vs the exact answers.
-    // (langid + wau_sketch flipped to hash-verified in round 5;
-    // fingerprint + compress_ratio flipped in round 6 via the
-    // oracle-aux replay pattern — the engine-specific kernel output is
-    // published once, spec-pinned by goldens, and DuckDB independently
-    // replays the relational shell around it.)
-    "q_events_sketch_stats" -> "graft.SketchSpec")
+  /** rows-only query → its ground-truth spec class (must exist).
+    * EMPTY since round 7: the last holdout (q_events_sketch_stats)
+    * flipped to hash-verified by replacing Spark's opaque HLL++/GK
+    * internals with relational sketches — KMV bottom-k distinct (the
+    * q_events_wau_sketch move) + adaptive-histogram percentiles —
+    * that DuckDB replays bit-identically. (langid + wau_sketch
+    * flipped in round 5; fingerprint + compress_ratio in round 6 via
+    * the oracle-aux replay pattern.) SketchSpec still bounds its
+    * accuracy vs the exact answers.
+    */
+  private val rowsOnlySpecs: Map[String, String] = Map.empty
 
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).

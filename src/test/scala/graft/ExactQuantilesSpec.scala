@@ -38,6 +38,39 @@ class ExactQuantilesSpec extends SparkSpecBase {
     assert(!out.contains("C"), "all-NaN type must vanish")
   }
 
+  /** Wide monetary domain: 20k rows spread over ~2.1e9 distinct
+    * integer values. The old floor(value) pass-1 histogram would
+    * collect 20k driver rows here (and grows with the domain); the
+    * adaptive width (range/8192) keeps the driver ≤ ~8.2K buckets per
+    * type at ANY width — while the selection stays exact.
+    */
+  private lazy val wideDir: String = {
+    val rows = (1 to 20000).map(i => (i.toLong, "W", i.toDouble * 104729.0))
+    val dir = java.nio.file.Files.createTempDirectory("quant_wide").toString
+    rows.toDF("event_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("wide domain: exact result, driver histogram bounded at ~8K buckets") {
+    val r = SparkEntry.queries("q_events_exact_quantiles")(spark, wideDir)
+      .collect().head
+    assert(r.getString(0) == "W" && r.getLong(1) == 20000L)
+    assert(r.getDouble(2) == (10000.0 * 104729.0 + 10001.0 * 104729.0) / 2)
+    assert(r.getDouble(3) == 18000.0 * 104729.0)
+    // the pass-1 bucket expression over this corpus stays ≤ 8192+2
+    // buckets (vs 20000 distinct floor(value) integers)
+    val mn = 1.0 * 104729.0; val mx = 20000.0 * 104729.0
+    val w = math.max((mx - mn) / 8192.0, java.lang.Double.MIN_NORMAL)
+    val nBuckets = (1 to 20000)
+      .map(i => math.floor((i * 104729.0 - mn) / w).toLong).distinct.size
+    assert(nBuckets <= 8194, s"bucket count $nBuckets must stay bounded")
+    assert(nBuckets > 4000, "fixture must actually exercise many buckets")
+  }
+
   test("corpus: selection equals the brute-force sorted-multiset quantiles") {
     val vals = graft.sources.Tables.events(spark, sfDir)
       .filter(!isnan(col("value"))).select("event_type", "value")

@@ -1363,8 +1363,10 @@ object PipelineQ {
     *
     * Determinism: `pii_doc_frac` is quantized HALF_UP to DECIMAL(18,6)
     * on BOTH sides (the catalog's standard ratio contract — same as
-    * the quality-model weight table) instead of publishing a raw IEEE
-    * double, so the driver hash compare is bit-stable across engines.
+    * the quality-model weight table), and the oracle's SUMs are cast
+    * back to BIGINT: DuckDB's bare SUM(BIGINT) widens to HUGEINT
+    * (arrow decimal128) while Spark's sum(Long) stays int64, so the
+    * uncast form hash-mismatches even on identical values.
     */
   val qPiiStats: Q = Q.sql(
     "q_doc_pii_stats",
@@ -1376,8 +1378,8 @@ object PipelineQ {
       |  FROM documents)
       |SELECT source,
       |  COUNT(*) AS n_docs,
-      |  SUM(n_url) AS total_urls,
-      |  SUM(n_email) AS total_emails,
+      |  CAST(SUM(n_url) AS BIGINT) AS total_urls,
+      |  CAST(SUM(n_email) AS BIGINT) AS total_emails,
       |  CAST(CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS DOUBLE)
       |    / COUNT(*) AS DECIMAL(18,6)) AS pii_doc_frac
       |FROM per_doc

@@ -156,14 +156,14 @@ object EventsQ {
     * Scale shape: the bottom-k cut is two-phase (salted per-type cut,
     * then final cut over ≤ 64k survivors); the histogram is one
     * map-side-combined aggregate to ≤ ~8K rows per type, windowed
-    * within per-type partitions. NaN values are excluded once, for
-    * both halves.
+    * within per-type partitions. Non-finite values (NaN AND ±Infinity
+    * — see [[finiteValue]]) are excluded once, for both halves.
     */
   val qSketchStats: Q = Q.sql(
     "q_events_sketch_stats",
     """WITH e AS (
       |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid, value
-      |  FROM events WHERE NOT isnan(value)),
+      |  FROM events WHERE isfinite(value)),
       |st AS (
       |  SELECT event_type, MIN(value) AS mn,
       |    GREATEST((MAX(value) - MIN(value)) / 8192.0,
@@ -211,7 +211,7 @@ object EventsQ {
       |ORDER BY p.event_type ASC""".stripMargin) { (s, d) =>
     val k = 256
     val e = Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(finiteValue)
       .select(col("event_type"), col("user_id").cast(StringType).as("uid"),
         col("value"))
     // histogram-sketch percentiles: adaptive width, integer rank cross
@@ -513,6 +513,23 @@ object EventsQ {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy(col("event_id").asc)
   }
+
+  /** Finite-values guard for the ADAPTIVE-width bucketing queries
+    * (sketch stats, exact quantiles): one ±Infinity row makes the
+    * per-type width w = Infinity, so every finite row buckets to 0 and
+    * the infinite row's bucket is inf/inf = NaN — which Spark's long
+    * cast silently maps to 0 while DuckDB's CAST raises, a latent
+    * engine/oracle divergence on top of a one-bucket accuracy
+    * collapse. Spark equivalent of DuckDB's `isfinite(value)` (Spark
+    * NaN ordering sorts NaN above +inf, but the explicit isnan keeps
+    * the intent readable). The FIXED-width bucketers
+    * (floor(value/10) — histogram, k-anonymity, l-diversity) keep the
+    * NaN-only filter under a finite-values data contract: an infinity
+    * there poisons only its own row, and the testdata value domain is
+    * finite by construction (TESTDATA.md).
+    */
+  private def finiteValue: Column =
+    !isnan(col("value")) && abs(col("value")) < lit(Double.PositiveInfinity)
 
   /** UTC epoch day — tz-independent integer day bucket (session-tz
     * date functions would couple the result to cluster config).
@@ -1325,7 +1342,7 @@ object EventsQ {
   val qExactQuantiles: Q = Q.sql(
     "q_events_exact_quantiles",
     """WITH e AS (
-      |  SELECT event_type, value FROM events WHERE NOT isnan(value)),
+      |  SELECT event_type, value FROM events WHERE isfinite(value)),
       |r AS (
       |  SELECT event_type, value,
       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC) AS rn,
@@ -1338,7 +1355,7 @@ object EventsQ {
       |FROM r GROUP BY event_type
       |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(finiteValue)
       .select(col("event_type"), col("value"))
     // pass 0: per-type adaptive bucket width — #types rows, broadcast back
     val stats = broadcast(e.groupBy("event_type")

@@ -314,21 +314,30 @@ object SimilarityQ {
   private[queries] val maxBandBucket = 128
 
   /** One-row disclosed-loss audit of a band-key table against
-    * [[maxBandBucket]]; logs only when the cap binds.
+    * [[maxBandBucket]]; logs only when the cap binds. MEMOIZED per
+    * session × audit-site × corpus (the `what` string must embed the
+    * corpus dir): the audit is one extra aggregation pass over the
+    * band table, and charging it to every materialization of a query
+    * (Bench runs each body twice) doubles the disclosure cost for a
+    * cap that on clean corpora never binds. One run per session is
+    * exactly as informative — the corpus under a dir is immutable for
+    * the session (the SharedFrames contract).
     */
   private[queries] def logBucketCapLoss(keys: DataFrame, bucketCols: Seq[String],
-                                        what: String): Unit = {
-    val over = keys.groupBy(bucketCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBandBucket)
-      .agg(count(lit(1)).as("buckets"),
-        sum(col("n") - maxBandBucket).as("dropped"))
-      .head()
-    if (!over.isNullAt(1) && over.getLong(1) > 0L)
-      System.err.println(s"[graft] $what: ${over.getLong(0)} band bucket(s) " +
-        s"over $maxBandBucket members; ${over.getLong(1)} member row(s) " +
-        "excluded from the capped join side (disclosed loss)")
-  }
+                                        what: String): Unit =
+    SharedFrames.value(keys.sparkSession, s"bucket_cap_loss:$what") {
+      val over = keys.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBandBucket)
+        .agg(count(lit(1)).as("buckets"),
+          sum(col("n") - maxBandBucket).as("dropped"))
+        .head()
+      if (!over.isNullAt(1) && over.getLong(1) > 0L)
+        System.err.println(s"[graft] $what: ${over.getLong(0)} band bucket(s) " +
+          s"over $maxBandBucket members; ${over.getLong(1)} member row(s) " +
+          "excluded from the capped join side (disclosed loss)")
+      java.lang.Boolean.TRUE
+    }
 
   /** Shared oracle CTE chain replaying the kNN graph from the
     * materialized band keys: candidate join (neighbor side capped at
@@ -385,7 +394,7 @@ object SimilarityQ {
     SharedFrames.frame(s, s"knn_ranked_pairs:$d") {
       val keys = annLshKeyedFrame(s, d)
         .select(col("vec_id"), col("bk"), col("label"))
-      logBucketCapLoss(keys, Seq("bk"), "knn ranked pairs")
+      logBucketCapLoss(keys, Seq("bk"), s"knn ranked pairs:$d")
       // mega-bucket guard: neighbor side capped per bucket (see
       // [[maxBandBucket]]) — pair space bucket × cap, never bucket²
       val wB = Window.partitionBy(col("bk")).orderBy(col("vec_id").asc)
@@ -602,9 +611,14 @@ object SimilarityQ {
     s"""WITH keyed AS (
        |  SELECT vec_id, bk FROM read_parquet('$neardupLshAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |kept AS (
+       |  SELECT vec_id, bk FROM (
+       |    SELECT vec_id, bk,
+       |      ROW_NUMBER() OVER (PARTITION BY bk ORDER BY vec_id ASC) AS bpos
+       |    FROM keyed) WHERE bpos <= $maxBandBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, v.vec_id AS vec_b
-       |  FROM keyed a JOIN keyed v ON a.bk = v.bk
+       |  FROM keyed a JOIN kept v ON a.bk = v.bk
        |  WHERE a.vec_id % 20 = 0 AND a.vec_id < v.vec_id),
        |scored AS (
        |  SELECT c.vec_a, c.vec_b,
@@ -616,7 +630,9 @@ object SimilarityQ {
        |WHERE cos_sim >= 0.55
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    embeddingNearDupLshFromKeys(neardupBandKeys(s, d), emb, 0.55)
+    val keys = neardupBandKeys(s, d)
+    logBucketCapLoss(keys, Seq("bk"), s"embedding neardup lsh:$d")
+    embeddingNearDupLshFromKeys(keys, emb, 0.55)
   }.preparedBy(prepareNeardupKeys)
 
   /** Benchmark size / threshold for embedding-space decontamination:
@@ -849,7 +865,19 @@ object SimilarityQ {
     // collide w.h.p. while random pairs land in 1-of-256 buckets/band
     val anchors = keyed.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("vec_a"), col("bk"))
-    val pairs = keyed.join(anchors, Seq("bk"))
+    // mega-bucket guard (see [[maxBandBucket]]): the NON-anchor side
+    // keeps each bucket's cap lowest vec_ids, bounding a duplicate-
+    // heavy bucket's pair space at bucket/20 × cap instead of
+    // bucket²/20 — the same O(bucket²) pathology the kNN family and
+    // editdist neardup already guard. Anchors stay uncapped, so every
+    // sampled anchor still receives candidates; sub-cap buckets are
+    // byte-identical to the uncapped join.
+    val wB = Window.partitionBy(col("bk")).orderBy(col("vec_id").asc)
+    val kept = keyed
+      .withColumn("__bpos", row_number().over(wB))
+      .filter(col("__bpos") <= maxBandBucket)
+      .drop("__bpos")
+    val pairs = kept.join(anchors, Seq("bk"))
       .filter(col("vec_a") < col("vec_id"))
       .select(col("vec_a"), col("vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")

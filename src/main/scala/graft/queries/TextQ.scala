@@ -2112,7 +2112,8 @@ object TextQ {
       "pinned by MinhashRecallSpec); DuckDB replays candidates + " +
       "independent Levenshtein rerank.") { (s, d) =>
     val banded = minhashBandedFrame(s, d)
-    SimilarityQ.logBucketCapLoss(banded, Seq("band", "bh"), "editdist neardup")
+    SimilarityQ.logBucketCapLoss(banded, Seq("band", "bh"),
+      s"editdist neardup:$d")
     // mega-bucket guard: low-id join side capped per bucket (see doc)
     val wB = Window.partitionBy(col("band"), col("bh"))
       .orderBy(col("doc_id").asc)

@@ -311,7 +311,7 @@ object SimilarityQ {
     * the over-cap bucket count and excluded-member count whenever the
     * cap binds (SCALING.md §6).
     */
-  private[queries] val maxBandBucket = 128
+  private[graft] val maxBandBucket = 128
 
   /** One-row disclosed-loss audit of a band-key table against
     * [[maxBandBucket]]; logs only when the cap binds. MEMOIZED per

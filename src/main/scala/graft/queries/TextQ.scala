@@ -2075,14 +2075,20 @@ object TextQ {
     * PAIRS only — bounded payload on a bounded pair set, never a
     * corpus-wide text shuffle. MEGA-BUCKET GUARD (the band analogue
     * of [[maxShingleDf]], shared with the kNN family —
-    * [[SimilarityQ.maxBandBucket]]): the LOW-id side of the
-    * `doc_a < doc_b` join keeps only each bucket's cap lowest
-    * doc_ids, so a duplicate-heavy bucket costs bucket × cap pairs,
-    * not bucket² — and every higher-id member still pairs with the
-    * bucket's lowest members, so dup CLUSTERS remain fully detected
-    * (each copy links to the cluster head). Buckets under the cap
-    * are byte-identical to the uncapped join; truncation logs a
-    * disclosed-loss line.
+    * [[SimilarityQ.maxBandBucket]]), CLIQUE + STAR form: pairs are
+    * the full clique among each bucket's cap lowest doc_ids PLUS one
+    * star edge from the bucket head (lowest doc_id) to every
+    * over-cap member. A duplicate-heavy bucket therefore costs
+    * C(cap,2) + (bucket − cap) Levenshtein evaluations — LINEAR in
+    * bucket size past the cap, where the round-7 one-side cap was
+    * still bucket × cap (63.5 s at 10× duplication, BENCH_NOTES) —
+    * and every member, capped or not, still links to the cluster
+    * head, so dup CLUSTERS remain fully detected. What over-cap
+    * buckets lose vs the uncapped clique is only the mid↔over-cap
+    * pair edges (members there are near-identical by construction);
+    * buckets under the cap are byte-identical to the uncapped join;
+    * truncation logs a disclosed-loss line. Pinned by
+    * EditDistNearDupSpec on a corpus where the cap BINDS.
     */
   val qEditDistNearDup: Q = Q.sql(
     "q_doc_editdist_neardup",
@@ -2090,16 +2096,24 @@ object TextQ {
        |  SELECT doc_id, band, bh
        |  FROM read_parquet('$minhashBandsAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
-       |kept AS (
-       |  SELECT doc_id, band, bh FROM (
-       |    SELECT doc_id, band, bh,
-       |      ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id ASC)
-       |        AS bpos
-       |    FROM banded) WHERE bpos <= ${SimilarityQ.maxBandBucket}),
+       |pos AS (
+       |  SELECT doc_id, band, bh,
+       |    ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id ASC)
+       |      AS bpos
+       |  FROM banded),
+       |kept AS (SELECT doc_id, band, bh FROM pos
+       |         WHERE bpos <= ${SimilarityQ.maxBandBucket}),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM kept a JOIN banded b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM kept a JOIN kept b
+       |      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT h.doc_id AS doc_a, o.doc_id AS doc_b
+       |    FROM (SELECT doc_id, band, bh FROM pos WHERE bpos = 1) h
+       |    JOIN (SELECT doc_id, band, bh FROM pos
+       |          WHERE bpos > ${SimilarityQ.maxBandBucket}) o
+       |      ON h.band = o.band AND h.bh = o.bh)),
        |px AS (SELECT doc_id, substring(text, 1, 256) AS p FROM documents)
        |SELECT c.doc_a, c.doc_b,
        |  CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist
@@ -2114,27 +2128,40 @@ object TextQ {
     val banded = minhashBandedFrame(s, d)
     SimilarityQ.logBucketCapLoss(banded, Seq("band", "bh"),
       s"editdist neardup:$d")
-    // mega-bucket guard: low-id join side capped per bucket (see doc)
+    // mega-bucket guard, clique + star form (see doc): full clique
+    // among each bucket's cap lowest ids, one star edge head→member
+    // past the cap — C(cap,2) + (bucket − cap) pairs per bucket
     val wB = Window.partitionBy(col("band"), col("bh"))
       .orderBy(col("doc_id").asc)
-    val keptA = banded
-      .withColumn("__bpos", row_number().over(wB))
-      .filter(col("__bpos") <= SimilarityQ.maxBandBucket)
+    val pos = banded.withColumn("__bpos", row_number().over(wB))
+    val kept = pos.filter(col("__bpos") <= SimilarityQ.maxBandBucket)
       .drop("__bpos")
-    val pairs = keptA.as("a")
-      .join(banded.as("b"),
+    val clique = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val star = pos.filter(col("__bpos") === 1).as("h")
+      .join(pos.filter(col("__bpos") > SimilarityQ.maxBandBucket).as("o"),
+        col("h.band") === col("o.band") && col("h.bh") === col("o.bh"))
+      .select(col("h.doc_id").as("doc_a"), col("o.doc_id").as("doc_b"))
+    val pairs = clique.unionByName(star).dropDuplicates("doc_a", "doc_b")
     val px = Tables.documents(s, d)
       .select(col("doc_id"), substring(col("text"), 1, 256).as("p"))
     pairs
       .join(px.select(col("doc_id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
       .join(px.select(col("doc_id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+      // DP cost control: exact copies (the dominant pair class in a
+      // duplicate-heavy corpus) short-circuit to 0 at string-compare
+      // cost, and the rest run Spark's THRESHOLDED Levenshtein — a
+      // banded DP over the ±64 diagonal, O(len·threshold) not O(len²),
+      // returning −1 above the threshold (exact below it, so values
+      // are identical to the oracle's plain levenshtein + WHERE ≤ 64)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"))
-      .filter(col("edit_dist") <= 64)
+        when(col("pa") === col("pb"), 0L)
+          .otherwise(levenshtein(col("pa"), col("pb"), 64).cast(LongType))
+          .as("edit_dist"))
+      .filter(col("edit_dist").between(0, 64))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }.preparedBy { (s, d) =>
     OracleAux.prepareOnce(s, minhashBandsAuxDir, d) {

@@ -1,0 +1,161 @@
+package graft.serve
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.NycQueries
+import graft.sink.JsonFeatureSink
+
+/** The reference's HTTP serving surface (src/api/main.py:1-27,
+  * src/api/routes.py:9-141) as an offline-testable engine component:
+  * three GET endpoints running the §2.6 production queries over the
+  * parquet warehouse and returning GeoJSON FeatureCollections, behind
+  * the same middleware semantics — gzip for bodies ≥ 1000 bytes
+  * (main.py:21, GZipMiddleware minimum_size), CORS allow-origin
+  * headers (main.py:11-18), a JSON `{"detail": …}` 500 on query
+  * failure (routes.py:53-55), and a root health message.
+  *
+  * Endpoint semantics, each preserved from routes.py exactly:
+  *  - `/api/food-gaps` (routes.py:9-56): ntas ⋈ food gaps at max
+  *    year (the left-join-turned-inner quirk lives in
+  *    [[NycQueries.foodGaps]]); with NO rows, Postgres `json_agg`
+  *    yields SQL NULL and the endpoint returns literal `null` —
+  *    reproduced here.
+  *  - `/api/poverty-by-zip` (routes.py:58-104): the ONLY endpoint
+  *    with an explicit empty-collection fallback (routes.py:95-97) —
+  *    zero rows return `{"type":"FeatureCollection","features":[]}`.
+  *  - `/api/rent-by-zip` (routes.py:106-141): like food-gaps, no
+  *    fallback — empty result serves `null`.
+  *
+  * Serving model: Spark is the query engine the way Postgres is the
+  * reference's — each request renders its FeatureCollection with one
+  * bounded-output Spark action over feature frames that are CACHED at
+  * first touch (the three real collections are 197/177/155 features;
+  * the reference instead re-executes SQL per request). The server is
+  * the JDK's built-in [[HttpServer]] — zero dependencies, loopback
+  * bindable on an ephemeral port, so specs drive the full HTTP path
+  * (gzip negotiation included) over a local socket. This is a
+  * DRIVER-side serving shim for bounded collections: the 100 TB
+  * serving path stays [[JsonFeatureSink.writeFeatureLines]] + a
+  * static file tier, per SURVEY §3.3.
+  */
+final class ApiServer(
+    spark: SparkSession,
+    warehouseDir: String,
+    allowedOrigins: Seq[String] = Seq("http://localhost:5173")) {
+
+  private val gzipMinBytes = 1000
+
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$name")
+
+  // cached at first request; bounded outputs (the serving contract).
+  // Materialization is tracked so stop() unpersists only frames a
+  // request actually built — forcing the lazies there would re-raise
+  // endpoint errors (e.g. a missing table) during shutdown.
+  private val materialized = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def cached(df: DataFrame): DataFrame = synchronized {
+    val c = df.cache(); materialized += c; c
+  }
+  private lazy val foodFeatures =
+    cached(NycQueries.foodGaps(table("ntas_2020"), table("food_supply_gaps")))
+  private lazy val povertyFeatures =
+    cached(NycQueries.povertyByZip(table("census_zctas_2020"),
+      table("census_acs_income_poverty")))
+  private lazy val rentFeatures =
+    cached(NycQueries.rentByZip(table("census_zctas_2020"), table("zillow_zori")))
+
+  /** FeatureCollection body, or the endpoint's empty-result value:
+    * Postgres `json_agg` over zero rows is SQL NULL, so endpoints
+    * without the routes.py:95-97 fallback serve literal `null`.
+    */
+  private[serve] def collectionBody(features: DataFrame,
+                                    emptyFallback: Boolean): String =
+    if (features.isEmpty) {
+      if (emptyFallback) """{"type":"FeatureCollection","features":[]}"""
+      else "null"
+    } else JsonFeatureSink.featureCollection(features)
+
+  private[serve] def foodGapsBody(): String =
+    collectionBody(foodFeatures, emptyFallback = false)
+  private[serve] def povertyByZipBody(): String =
+    collectionBody(povertyFeatures, emptyFallback = true)
+  private[serve] def rentByZipBody(): String =
+    collectionBody(rentFeatures, emptyFallback = false)
+
+  private var server: Option[HttpServer] = None
+
+  /** Bound port after [[start]] (pass port 0 for ephemeral). */
+  def port: Int = server.map(_.getAddress.getPort)
+    .getOrElse(throw new IllegalStateException("server not started"))
+
+  def start(requestedPort: Int = 0): Int = synchronized {
+    require(server.isEmpty, "already started")
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", requestedPort), 0)
+    s.createContext("/", handler(() => """{"message":"graft serving API"}"""))
+    s.createContext("/api/food-gaps", handler(() => foodGapsBody()))
+    s.createContext("/api/poverty-by-zip", handler(() => povertyByZipBody()))
+    s.createContext("/api/rent-by-zip", handler(() => rentByZipBody()))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+    materialized.foreach(_.unpersist())
+    materialized.clear()
+  }
+
+  /** One middleware stack per route: render → 200 JSON, gzip when the
+    * client accepts it AND the body clears the 1000-byte minimum
+    * (GZipMiddleware semantics — small bodies ship identity-encoded
+    * even to gzip-capable clients); any failure → 500 with the
+    * HTTPException `{"detail": …}` shape.
+    */
+  private def handler(body: () => String): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (status, bytes) =
+        try (200, body().getBytes(UTF_8))
+        catch {
+          case e: Exception =>
+            (500, s"""{"detail":${JsonFeatureSink.jsonString(
+              Option(e.getMessage).getOrElse(e.getClass.getName))}}"""
+              .getBytes(UTF_8))
+        }
+      val headers = ex.getResponseHeaders
+      headers.set("Content-Type", "application/json")
+      corsOrigin(ex).foreach { o =>
+        headers.set("Access-Control-Allow-Origin", o)
+        headers.set("Access-Control-Allow-Credentials", "true")
+      }
+      val acceptsGzip = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.toLowerCase.split(",").map(_.trim.takeWhile(_ != ';'))
+          .contains("gzip"))
+      val out =
+        if (status == 200 && acceptsGzip && bytes.length >= gzipMinBytes) {
+          headers.set("Content-Encoding", "gzip")
+          val bos = new ByteArrayOutputStream()
+          val gz = new GZIPOutputStream(bos)
+          gz.write(bytes); gz.close()
+          bos.toByteArray
+        } else bytes
+      ex.sendResponseHeaders(status, out.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(out) finally os.close()
+    }
+
+  /** CORS: echo the request Origin back only when allow-listed
+    * (main.py:9-18 — origins come from configuration, not `*`).
+    */
+  private def corsOrigin(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Origin"))
+      .filter(allowedOrigins.contains)
+}

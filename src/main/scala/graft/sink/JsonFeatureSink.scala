@@ -42,6 +42,21 @@ object JsonFeatureSink {
       to_json(struct(properties: _*), Map("ignoreNullFields" -> "false")),
       lit("}"))
 
+  /** Minimal JSON string literal encoder (RFC 8259 §7) for
+    * driver-side envelope assembly — error details, messages.
+    */
+  def jsonString(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   /** Aggregate per-feature JSON into a single FeatureCollection string.
     * Features are sorted for deterministic output (collect_list order is
     * partition-arrival order otherwise).

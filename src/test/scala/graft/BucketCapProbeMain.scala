@@ -4,11 +4,21 @@ import org.apache.spark.sql.functions._
 
 /** Manual probe (run with `Test/runMain graft.BucketCapProbeMain`):
   * re-times the two duplicate-heavy band-join worst cases after the
-  * round-7 mega-bucket guard ([[graft.queries.SimilarityQ.maxBandBucket]]).
+  * mega-bucket guard ([[graft.queries.SimilarityQ.maxBandBucket]]).
   * Pre-guard pins (BENCH_NOTES): knn_graph_10x 527 s (re-measured
-  * 974 s), editdist_neardup_10x 89.2 s — both O(Σ bucket²). The guard
-  * bounds pair space at bucket × cap, so these must land same-order
-  * as the clean-corpus numbers.
+  * 974 s), editdist_neardup_10x 89.2 s — both O(Σ bucket²).
+  *
+  * What the guard buys, per family (measured numbers in BENCH_NOTES
+  * "Round 8: mega-bucket guard evidence"):
+  *  - kNN graph: anchors uncapped × neighbors capped → pair space
+  *    bucket × cap (974 → 38.5 s at 10× duplication). NOT same-order
+  *    as the clean corpus — the per-anchor candidate set still grows
+  *    with duplication — but linear, not quadratic, in bucket size.
+  *  - editdist neardup (round-8 clique+star form): C(cap,2) clique
+  *    + linear star tail per bucket → pair count is INDEPENDENT of
+  *    bucket size past the cap, so the 10× run is expected
+  *    same-order as clean (round-7's one-side cap was still
+  *    bucket × cap = 63.5 s vs 0.66 s clean).
   */
 object BucketCapProbeMain {
   def main(args: Array[String]): Unit = {

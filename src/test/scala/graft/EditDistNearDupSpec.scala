@@ -40,6 +40,35 @@ class EditDistNearDupSpec extends SparkSpecBase {
       "unrelated doc generates no verified pair")
   }
 
+  /** Recall pin on a corpus where the mega-bucket guard BINDS (the
+    * round-7 verdict's ask — the sf0.01 gate corpus never exceeds the
+    * cap): 300 exact copies of one document put every band bucket at
+    * 300 > cap members. The clique+star guard must (a) still detect
+    * EVERY copy as a duplicate — detection recall 1.0 — with each
+    * over-cap member star-linked to the cluster head, and (b) bound
+    * the pair count at exactly C(cap,2) + (n − cap), independent of
+    * bucket size past the cap.
+    */
+  test("cap-binding mega bucket: full cluster detection at clique+star-bounded cost") {
+    val cap = graft.queries.SimilarityQ.maxBandBucket
+    val n = cap + 172 // 300 members in every band bucket — cap binds
+    val dir = java.nio.file.Files.createTempDirectory("editdist_cap").toString
+    (0 until n).map(i => (i.toLong, base, "en", "s1", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_editdist_neardup")(spark, dir).collect()
+    out.foreach(r => assert(r.getLong(2) == 0L, "exact copies at distance 0"))
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val linked = pairs.flatMap { case (a, b) => Seq(a, b) }
+    (1 until n).foreach(i =>
+      assert(linked.contains(i.toLong), s"copy $i undetected — recall < 1.0"))
+    (cap until n).foreach(i =>
+      assert(pairs.contains((0L, i.toLong)),
+        s"over-cap member $i not star-linked to the cluster head"))
+    assert(out.length == cap * (cap - 1) / 2 + (n - cap),
+      s"pair count ${out.length} not clique+star bounded")
+  }
+
   test("corpus run: ordered pairs, distances within threshold, engine matches a local reference") {
     val rows = SparkEntry.queries("q_doc_editdist_neardup")(spark, sfDir).collect()
     rows.foreach { r =>

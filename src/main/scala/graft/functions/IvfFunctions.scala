@@ -292,7 +292,7 @@ object IvfFunctions {
     case _ => v.toArray
   }
 
-  private def l2sq(v: Array[Float], c: Array[Double]): Double = {
+  private[functions] def l2sq(v: Array[Float], c: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(v.length, c.length)
@@ -383,13 +383,23 @@ object IvfFunctions {
   def annTopKWith(emb: DataFrame, queries: DataFrame,
                   centroidRows: Array[Array[Double]], nProbe: Int,
                   topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.expressions.CosineSimilarity.ensureRegistered(emb.sparkSession)
     val centroids = broadcastCentroids(emb, centroidRows)
     val lists = emb.withColumn("cid", assignUdf(centroids)(col("embedding")))
     val probed = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       explode(probeUdf(centroids, nProbe)(col("embedding"))).as("cid"))
+    rerankProbed(lists, probed, topK)
+  }
+
+  /** Candidate equi-join + exact-cosine rerank over any inverted-list
+    * table (vec_id, embedding, cid) and probe table (query_id, q_emb,
+    * cid) — the tail shared by the flat and hierarchical IVF paths
+    * (the only difference between them is how `cid` is produced).
+    */
+  private[functions] def rerankProbed(lists: DataFrame, probed: DataFrame,
+                                      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CosineSimilarity.ensureRegistered(lists.sparkSession)
     lists.join(broadcast(probed), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .dropDuplicates("query_id", "vec_id")

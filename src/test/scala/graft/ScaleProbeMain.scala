@@ -192,6 +192,49 @@ object ScaleProbeMain {
       corpus.unpersist()
     }
 
+    // --- hierarchical IVF past the flat 65536 cap ----------------------
+    // k=80,000 addressable lists from two ~283-row codebooks: train
+    // (two Lloyd runs) + composite assignment + probed retrieval, all
+    // the same broadcast-scan/equi-join shapes as flat IVF — the
+    // configuration a flat codebook cannot broadcast-afford at 100 TB
+    {
+      import graft.functions.HierarchicalIvf
+      val mkVec = udf { id: Long =>
+        val gr = new scala.util.Random((id / 2) * 2654435761L + 7)
+        val rng = new scala.util.Random(id * 6364136223846793005L + 13)
+        Array.fill(64)((gr.nextGaussian() * 10 + rng.nextGaussian() * 0.02).toFloat).toSeq
+      }
+      // 80k planted modes, 2 points each (160k vectors)
+      val corpus = spark.range(160000)
+        .select(col("id").as("vec_id"), mkVec(col("id")).as("embedding"))
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .repartition(32).cache()
+      corpus.count()
+      val cb = time("hier_ivf_train_k80000(n=160k,d=64)") {
+        HierarchicalIvf.train(corpus, "embedding", 80000L, seed = 42, maxIter = 3)
+      }
+      require(cb.capacity >= 80000L, s"capacity ${cb.capacity}")
+      time("hier_ivf_assign_k80000") {
+        val (bcS, bcR) = HierarchicalIvf.broadcast2(corpus, cb)
+        val stats = corpus.withColumn("cid",
+            HierarchicalIvf.assignUdf(bcS, bcR)(col("embedding")))
+          .groupBy("cid").count()
+          .agg(count(lit(1)), max("count")).head()
+        bcS.destroy(); bcR.destroy()
+        println(s"PROBE hier_ivf_k80000 distinct lists: ${stats.getLong(0)}, " +
+          s"largest: ${stats.getLong(1)} rows " +
+          s"(k1=${cb.superC.length}, k2=${cb.residC.length})")
+      }
+      time("hier_ivf_query_k80000(100 queries)") {
+        val n = HierarchicalIvf.annTopK(corpus,
+          corpus.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+          cb, nProbeSuper = 4, nProbeResid = 4, topK = 2).count()
+        println(s"PROBE hier_ivf_query rows: $n")
+      }
+      corpus.unpersist()
+    }
+
     // --- incremental dedup against the persistent bucketed index ------
     val big = spark.read.parquet(s"$bigDir/documents.parquet")
     spark.sql("DROP TABLE IF EXISTS probe_corpus_hashes")

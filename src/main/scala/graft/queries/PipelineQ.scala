@@ -1182,10 +1182,14 @@ object PipelineQ {
 
   /** Decontamination: flag corpus documents sharing any 5-gram with the
     * benchmark set (here the deterministic doc_id < 10 subset stands in
-    * for an eval benchmark). The benchmark n-gram table is tiny relative
-    * to any corpus, so the overlap test is a BROADCAST left-semi join —
-    * the corpus never shuffles (pinned in PlanAuditSpec). This is the
-    * standard eval-contamination sweep run before training.
+    * for an eval benchmark). The overlap test routes through
+    * [[graft.plans.AdaptiveSmallSide.decontamSemi]] — a MEASURED
+    * broadcast↔bloom handoff behind one knob: a benchmark gram set at
+    * or under maxBroadcastRows broadcasts (every gate SF — the corpus
+    * never shuffles, pinned in PlanAuditSpec), one past the knob
+    * engages the bloom-cut + partitioned-confirm shape automatically
+    * instead of relying on the prose claim that bench sets stay tiny.
+    * This is the standard eval-contamination sweep run before training.
     */
   val qContamination: Q = Q.sql(
     "q_doc_contamination",
@@ -1208,8 +1212,8 @@ object PipelineQ {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
     val bench = sh.filter(col("doc_id") < 10).select("g").distinct()
-    sh.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), Seq("g"), "left_semi")
+    graft.plans.AdaptiveSmallSide
+      .decontamSemi(sh.filter(col("doc_id") >= 10), bench, "g")
       .select("doc_id").distinct()
       .orderBy(col("doc_id").asc)
   }
@@ -1530,10 +1534,14 @@ object PipelineQ {
     * filter of the same set is ~120 MB. So: build the bloom with a
     * distributed `stat.bloomFilter` aggregation, broadcast it, drop
     * ~99% of corpus n-grams in the SCAN stage, and run the exact
-    * broadcast semi-join only on the tiny survivor set (true hits +
+    * semi-join confirm only on the tiny survivor set (true hits +
     * ~1% false positives) — the FPs are removed by the exact confirm,
     * so the result is IDENTICAL to [[qContamination]] and shares its
-    * oracle semantics.
+    * oracle semantics. Since round 8 both entries run the SAME
+    * [[graft.plans.AdaptiveSmallSide.decontamSemi]] handoff; this one
+    * forces the bloom arm so the at-scale shape stays continuously
+    * exercised (and plan-pinned) at the gate SFs, where the measured
+    * choice alone would always pick the plain broadcast.
     */
   val qContaminationBloom: Q = Q.sql(
     "q_doc_contamination_bloom",
@@ -1555,18 +1563,10 @@ object PipelineQ {
       .filter(size(col("tok")) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("tok"), 5)).as("g"))
-    // checkpointed (not cached): the bench-set table feeds the bloom
-    // build, the exact-confirm broadcast, and the count — blocks free
-    // when the caller drops the result, nothing sits in the CacheManager
     val bench = sh.filter(col("doc_id") < 10).select("g").distinct()
-      .localCheckpoint(true)
-    val n = bench.count()
-    val bloom = bench.stat.bloomFilter("g", math.max(n, 1000L), 0.01)
-    val bBloom = s.sparkContext.broadcast(bloom)
-    val mightContain = udf { g: String => g != null && bBloom.value.mightContain(g) }
-    sh.filter(col("doc_id") >= 10)
-      .filter(mightContain(col("g")))            // bloom cut, pre-shuffle
-      .join(broadcast(bench), Seq("g"), "left_semi") // exact confirm kills FPs
+    graft.plans.AdaptiveSmallSide
+      .decontamSemi(sh.filter(col("doc_id") >= 10), bench, "g",
+        forceBloom = true)
       .select("doc_id").distinct()
       .orderBy(col("doc_id").asc)
   }

@@ -1653,10 +1653,20 @@ object TextQ {
 
   /** The un-checkpointed ranked pipeline — split out so PlanAuditSpec
     * can pin the BUILD plan (broadcasts, window partitioning) that the
-    * memo otherwise hides behind an ExistingRDD scan.
+    * memo otherwise hides behind an ExistingRDD scan. The query-term
+    * and idf joins route through
+    * [[graft.plans.AdaptiveSmallSide.join]]: derived query sets at or
+    * under the knob broadcast (every gate SF — the prose claim "the
+    * query set is small" is now a measured decision), a corpus-scale
+    * query log automatically falls back to the partitioned join.
+    * `maxBroadcastRows` is parameterized so AdaptiveSmallSideSpec can
+    * force each arm on the same corpus and prove them
+    * result-identical.
     */
   private[graft] def bm25RankedRaw(s: org.apache.spark.sql.SparkSession,
-                                   d: String): DataFrame = {
+                                   d: String,
+                                   maxBroadcastRows: Long =
+                                     graft.plans.AdaptiveSmallSide.maxBroadcastRows): DataFrame = {
       val idf = bm25Idf(s, d)
       val idfDf = {
         import s.implicits._
@@ -1682,8 +1692,10 @@ object TextQ {
           .cast(DoubleType)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("bm25").desc, col("doc_id").asc)
-      tf.join(broadcast(qt), "term")
-        .join(broadcast(idfDf), "term")
+      graft.plans.AdaptiveSmallSide.join(
+          graft.plans.AdaptiveSmallSide.join(tf, qt, Seq("term"),
+            maxRows = maxBroadcastRows),
+          idfDf, Seq("term"), maxRows = maxBroadcastRows)
         .join(dl, "doc_id")
         .select(col("qid"), col("doc_id"), col("term"), sc.as("sc"))
         .groupBy("qid", "doc_id")

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** sf1 bench-data generator (not a CI test — run with `Test/runMain
-  * graft.Sf1GenMain [outDir]`): amplifies the driver's sf0.1 tables
-  * 10× so the full catalog can be benchmarked one decade above the
-  * per-round bench SF (BENCH_NOTES.md records the results).
+/** sf1/sf10 bench-data generator (not a CI test — run with
+  * `Test/runMain graft.Sf1GenMain [outDir] [copies]`): amplifies the
+  * driver's sf0.1 tables `copies`× (default 10 = sf1; 100 = sf10) so
+  * the catalog can be benchmarked decades above the per-round bench
+  * SF (BENCH_NOTES.md records the results).
   *
   * Scaling model — "10× more crawl", not "10 copies of the same
   * crawl": each copy gets a DISJOINT key space (keys shifted by a
@@ -30,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object Sf1GenMain {
 
-  private val copies = 10
+  private var copies = 10
 
   // strides: comfortably above each key domain's max at sf0.1
   private val ckStride = 1000000L   // c_custkey max 15k
@@ -47,6 +48,8 @@ object Sf1GenMain {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    copies = args.lift(1).map(_.toInt).getOrElse(10)
+    require(copies <= 1000, "key strides assume copies <= 1000")
     val src = "/root/testdata/sf0.1"
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,7 +74,7 @@ object Sf1GenMain {
         // of files and this is the local stand-in for that
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"sf1: $table x$copies")
+      println(s"amplified: $table x$copies")
     }
 
     amplify("customer")(_.withColumn("c_custkey", shifted("c_custkey", ckStride)))
@@ -104,7 +107,7 @@ object Sf1GenMain {
     // post-generation sanity: every table readable at the expected size
     graft.sources.Tables.names.foreach { t =>
       val n = spark.read.parquet(s"$out/$t.parquet").count()
-      println(s"sf1 check: $t rows=$n")
+      println(s"check: $t rows=$n")
     }
     spark.stop()
   }

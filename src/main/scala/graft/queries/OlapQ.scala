@@ -566,6 +566,233 @@ object OlapQ {
       .limit(100)
   }
 
+  /** TPC-H Q4-shape (order-priority checking): orders in a half-year
+    * window counted per priority, kept only when a CORRELATED EXISTS
+    * finds a late-shipping line (adapted predicate: the testdata
+    * carries no l_commitdate/l_receiptdate, so "late" = shipped more
+    * than 60 days after ordering — ~50% selective, non-vacuous at
+    * every SF). The shape under test is the correlated-exists
+    * semi-join with a non-equi conjunct referencing the outer row.
+    *
+    * Scale shape: the semi-join hashes on orderkey (lineitem never
+    * materializes matches, Spark lowers left_semi to a hash semi);
+    * the priority rollup is a ≤5-row map-side-combined aggregate.
+    */
+  val qOrderPriority: Q = Q.sql(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) < to_date(lit("1996-07-01")))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the canonical pure
+    * scan-aggregate — three range predicates, no join, one row out.
+    * Exists in the catalog as the pushdown litmus: every predicate
+    * must reach the parquet scan (discount compares in DECIMAL(4,2)
+    * so 0.07's double representation can't off-by-one the boundary in
+    * either engine).
+    */
+  val qForecastRevenue: Q = Q.sql(
+    "q6_forecast_revenue",
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND CAST(l_discount AS DECIMAL(4,2))
+      |    BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate").cast(DateType) < to_date(lit("1997-01-01")) &&
+        rate(col("l_discount")).between(
+          lit(0.05).cast(DecimalType(4, 2)), lit(0.07).cast(DecimalType(4, 2))) &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): which customers returned
+    * the most revenue last quarter — customer ⋈ orders ⋈ lineitem ⋈
+    * nation, returnflag = 'R', decimal-exact revenue, top 20.
+    *
+    * Scale shape: orders filters to one quarter BEFORE its join
+    * (partition-prunable on a date-partitioned table); nation
+    * broadcasts; the aggregate keys on custkey so the topk is
+    * TakeOrderedAndProject over customer-sized input.
+    */
+  val qReturnedItems: Q = Q.sql(
+    "q10_returned_items",
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c.c_acctbal, n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY 1, 2, 4, 5
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) < to_date(lit("1996-04-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT join with a
+    * FILTERED join condition (non-urgent orders only — the testdata
+    * has no o_comment, so the classic NOT LIKE becomes a priority
+    * exclusion; the shape under test is identical: the predicate
+    * lives in the JOIN clause, so excluded-order customers still
+    * surface with count 0 instead of dropping), then the
+    * histogram-of-counts double aggregate.
+    */
+  val qCustomerDistribution: Q = Q.sql(
+    "q13_customer_distribution",
+    """WITH co AS (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 (promotion effect): what share of a month's revenue
+    * came from promo-type parts — the conditional-aggregate ratio.
+    * Both sums are decimal-exact before ONE final double divide (the
+    * Num contract), so the percentage is bit-identical across
+    * engines; `p_type = 'PROMO'` (the testdata's single-word
+    * categories) replaces the classic LIKE 'PROMO%'.
+    */
+  val qPromoRevenue: Q = Q.sql(
+    "q14_promo_revenue",
+    """SELECT
+      |  CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      |    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+      |  CAST(100 AS DOUBLE)
+      |    * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      |        THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+      |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin) { (s, d) =>
+    val rev = dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))
+    val promoRev = sum(when(col("p_type") === "PROMO", rev)
+      .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+    val totalRev = sum(rev).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) >= to_date(lit("1996-03-01")) &&
+        col("l_shipdate").cast(DateType) < to_date(lit("1996-04-01")))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(promoRev.as("promo_revenue"), totalRev.as("total_revenue"),
+        (lit(100).cast(DoubleType) * promoRev / totalRev).as("promo_pct"))
+  }
+
+  /** TPC-H Q22-shape (global sales opportunity): well-funded
+    * customers in a nation subset with NO recent urgent orders — the
+    * scalar-subquery average threshold plus a correlated NOT EXISTS
+    * anti-join, rolled up per country. Adapted predicates (the
+    * testdata has no c_phone, and every customer has SOME order):
+    * country code = c_nationkey < 10, dormancy = no '1-URGENT' order
+    * since 1998 — both non-vacuous at every SF. The average divides
+    * a decimal-exact sum by a count once (Num contract), and the
+    * threshold compare runs in double in both engines.
+    *
+    * Scale shape: the 1-row average broadcasts into the customer
+    * scan (never a driver-side collect-then-literal); the anti-join
+    * hashes on custkey against the pre-filtered urgent-order set.
+    */
+  val qGlobalSalesOpp: Q = Q.sql(
+    "q22_global_sales_opp",
+    """WITH avg_pos AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |    / COUNT(*) AS a
+      |  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 10),
+      |hot AS (
+      |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      |  FROM customer c CROSS JOIN avg_pos
+      |  WHERE c.c_nationkey < 10 AND c.c_acctbal > avg_pos.a
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey
+      |        AND o.o_orderpriority = '1-URGENT'
+      |        AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'))
+      |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM hot GROUP BY 1
+      |ORDER BY 1 ASC""".stripMargin) { (s, d) =>
+    val cSub = Tables.customer(s, d).filter(col("c_nationkey") < 10)
+    val avgPos = cSub.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("a"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate").cast(DateType) >= to_date(lit("1998-01-01")))
+      .select(col("o_custkey"))
+    cSub.join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("a"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+      .orderBy(col("cntrycode").asc)
+  }
+
   /** HASH-PARTITION BALANCE AUDIT — the shuffle-skew pre-check for a
     * planned partitioning: docs bucketed into 16 partitions by the
     * first md5 hex char of doc_id (the engine-portable stand-in for
@@ -609,5 +836,6 @@ object OlapQ {
 
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
     qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
-    qLargeVolumeCustomers, qPartitionBalance)
+    qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
+    qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp)
 }

@@ -26,7 +26,8 @@ class CatalogContractSpec extends AnyFunSuite {
   /** Global single-row aggregates — the only queries exempt from the
     * total-ORDER-BY rule (one row needs no order).
     */
-  private val singleRowAggregates = Set("q_out_of_range_counts", "q_food_gaps_geo")
+  private val singleRowAggregates = Set("q_out_of_range_counts",
+    "q_food_gaps_geo", "q6_forecast_revenue", "q14_promo_revenue")
 
   test("query names are unique, snake_case, and q_-prefixed") {
     val names = SparkEntry.catalog.map(_.name)

@@ -793,6 +793,99 @@ object OlapQ {
       .orderBy(col("cntrycode").asc)
   }
 
+  /** TPC-H Q15 (top supplier): per-supplier quarterly revenue, then
+    * the supplier(s) achieving the ungrouped MAX of that aggregate —
+    * the aggregate-over-aggregate + equality-join shape, which keeps
+    * ALL tied winners (a topk-1 would drop ties). The equality
+    * compares two doubles both derived from the same decimal-exact
+    * sum, so it cannot miss by a bit in either engine.
+    *
+    * Scale shape: revenue is one suppkey-keyed aggregate; the 1-row
+    * MAX broadcasts back into it (never a collect-then-literal);
+    * supplier joins last, on the already-aggregated (small) side.
+    */
+  val qTopSupplier: Q = Q.sql(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey ASC""".stripMargin) { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate").cast(DateType) < to_date(lit("1996-04-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+        .cast(DoubleType).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q21-shape (suppliers who kept orders waiting): for
+    * finished orders, count each supplier's late lines on
+    * MULTI-supplier orders where that supplier was the ONLY late one
+    * — the classic double-correlated EXISTS ("another supplier
+    * participated") + NOT EXISTS ("no other supplier was late")
+    * composition, late adapted to ship > order + 60 days as in Q4.
+    *
+    * The oracle keeps the literal EXISTS/NOT-EXISTS form; the engine
+    * expresses the SAME predicate as one per-order aggregate —
+    * n_suppliers ≥ 2 AND n_late_suppliers = 1 (the late l1 row's
+    * supplier then IS the only late one) — because two correlated
+    * subqueries over lineitem would scan the fact table three times,
+    * while the aggregate form pays one orderkey-keyed
+    * countDistinct pass and a join back. Equivalence is
+    * definitional, pinned on a planted fixture in TpchCanonSpec.
+    */
+  val qSuppliersWaiting: Q = Q.sql(
+    "q21_suppliers_waiting",
+    """SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s.s_suppkey, s.s_name
+      |ORDER BY numwait DESC, s_suppkey ASC
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val isLate = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val stats = lo.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_sup"),
+        countDistinct(when(isLate, col("l_suppkey"))).as("n_late_sup"))
+      .filter(col("n_sup") >= 2 && col("n_late_sup") === 1)
+      .select("l_orderkey")
+    lo.filter(isLate)
+      .join(stats, "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
   /** HASH-PARTITION BALANCE AUDIT — the shuffle-skew pre-check for a
     * planned partitioning: docs bucketed into 16 partitions by the
     * first md5 hex char of doc_id (the engine-portable stand-in for
@@ -837,5 +930,6 @@ object OlapQ {
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
     qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
-    qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp)
+    qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
+    qTopSupplier, qSuppliersWaiting)
 }

@@ -44,12 +44,18 @@ class TpchCanonSpec extends SparkSpecBase {
       (101L, 2L, 1L, 1L, 30.0, 2000.0, 0.06, 0.0, "N", "O", ts("1996-06-01")),
       (101L, 2L, 1L, 2L, 4.0, 300.0, 0.00, 0.0, "N", "O", ts("1996-03-20")),
       (102L, 2L, 1L, 1L, 7.0, 800.0, 0.04, 0.0, "A", "O", ts("1996-07-05")),
-      (104L, 2L, 1L, 1L, 9.0, 100.0, 0.06, 0.0, "N", "F", ts("1995-02-01")),
+      // order 104 (the only 'F' order): supplier 1 ships 90 days late,
+      // supplier 2 on time -> the q21 "only late supplier" pattern
+      (104L, 2L, 1L, 1L, 9.0, 100.0, 0.06, 0.0, "N", "F", ts("1995-04-01")),
+      (104L, 2L, 2L, 2L, 5.0, 150.0, 0.00, 0.0, "N", "F", ts("1995-01-20")),
       (105L, 2L, 1L, 1L, 23.0, 500.0, 0.05, 0.0, "R", "O", ts("1996-04-15")))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")
       .write.parquet(s"$d/lineitem.parquet")
+    Seq((1L, "S1", 0L, 100.0), (2L, "S2", 0L, 200.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$d/supplier.parquet")
     Seq((1L, "P1", "B", "PROMO", 1L, 100.0), (2L, "P2", "B", "STANDARD", 1L, 100.0))
       .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
       .write.parquet(s"$d/part.parquet")
@@ -104,6 +110,22 @@ class TpchCanonSpec extends SparkSpecBase {
     val rows = run("q22_global_sales_opp")
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq == Seq((1L, 1L, 5000.0)))
+  }
+
+  test("q15: the max-of-aggregate equality join finds the quarter's top supplier") {
+    // Q1-1996 shipments are all supplier 1: 940 + 200 + 300 = 1440.00
+    val rows = run("q15_top_supplier")
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "S1", 1440.0)))
+  }
+
+  test("q21: only the sole-late supplier on the multi-supplier finished order waits") {
+    // order 104 ('F', two suppliers): supplier 1 late (90 days),
+    // supplier 2 on time -> numwait 1 for S1, nothing for S2; the 'O'
+    // orders never qualify
+    val rows = run("q21_suppliers_waiting")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "S1", 1L)))
   }
 
   test("plan shapes on the real corpus: semi, anti, topk, broadcast dim") {

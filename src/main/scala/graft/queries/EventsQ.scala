@@ -1524,10 +1524,174 @@ object EventsQ {
       .orderBy(col("day").asc)
   }
 
+  /** The shared sessionization CTE chain (e → flagged → sessions →
+    * spans): per-user 1800 s-gap sessions reduced to (user_id,
+    * session_id, start_sec, end_sec) interval rows — the text both
+    * [[qPeakConcurrency]] and [[qIntervalOverlap]] build on, identical
+    * to q_events_sessionize's definition so the three queries can
+    * never drift apart.
+    */
+  private val sessionSpansSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER w IS NULL
+      |      OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
+      |numbered AS (
+      |  SELECT user_id, ts_sec,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |spans AS (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |    MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+      |  FROM numbered GROUP BY user_id, session_id)""".stripMargin
+
+  /** Spark side of [[sessionSpansSql]]'s `spans`. */
+  private def sessionSpans(s: org.apache.spark.sql.SparkSession,
+                           d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").asc, col("event_id").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        floor(unix_micros(col("ts").cast(TimestampType)) / lit(1000000L))
+          .as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
+  }
+
+  /** PEAK CONCURRENCY — the capacity-planning sweep-line: per UTC day,
+    * the maximum number of simultaneously open sessions and the first
+    * second it is reached. Sessions clip to day boundaries (a span
+    * crossing midnight counts in both days), become ±1 delta events
+    * (+1 at start, −1 at end+1), deltas NET per second, and a per-day
+    * running sum sweeps to the max — the standard interval-stabbing
+    * answer with NO interval join anywhere.
+    *
+    * Scale shape: the sweep window partitions by day (never a global
+    * single-partition sort); the day-clip explode is bounded by
+    * session length in days (gap-bounded sessions are short); deltas
+    * are keys+counts. Integer seconds and integer counts end-to-end —
+    * nothing for IEEE to disturb.
+    */
+  val qPeakConcurrency: Q = Q.sql(
+    "q_events_peak_concurrency",
+    s"""$sessionSpansSql,
+       |clipped AS (
+       |  SELECT CAST(day AS BIGINT) AS day,
+       |    GREATEST(start_sec, day * 86400) AS s,
+       |    LEAST(end_sec, day * 86400 + 86399) AS t
+       |  FROM (SELECT user_id, session_id, start_sec, end_sec,
+       |          unnest(range(start_sec // 86400, end_sec // 86400 + 1)) AS day
+       |        FROM spans)),
+       |deltas AS (
+       |  SELECT day, s AS ts, 1 AS delta FROM clipped
+       |  UNION ALL
+       |  SELECT day, t + 1 AS ts, -1 AS delta FROM clipped),
+       |net AS (
+       |  SELECT day, ts, SUM(delta) AS net FROM deltas GROUP BY day, ts),
+       |swept AS (
+       |  SELECT day, ts,
+       |    SUM(net) OVER (PARTITION BY day ORDER BY ts ASC) AS run
+       |  FROM net),
+       |peaks AS (SELECT day, MAX(run) AS peak FROM swept GROUP BY day)
+       |SELECT p.day AS day, CAST(p.peak AS BIGINT) AS peak,
+       |  MIN(s.ts) AS first_peak_sec
+       |FROM swept s JOIN peaks p ON s.day = p.day AND s.run = p.peak
+       |GROUP BY p.day, p.peak
+       |ORDER BY p.day ASC""".stripMargin) { (s, d) =>
+    val clipped = sessionSpans(s, d)
+      .withColumn("day", explode(sequence(
+        floor(col("start_sec") / 86400).cast(LongType),
+        floor(col("end_sec") / 86400).cast(LongType))))
+      .select(col("day"),
+        greatest(col("start_sec"), col("day") * 86400).as("s"),
+        least(col("end_sec"), col("day") * 86400 + 86399).as("t"))
+    val deltas = clipped.select(col("day"), col("s").as("ts"), lit(1).as("delta"))
+      .unionByName(clipped.select(col("day"), (col("t") + 1).as("ts"),
+        lit(-1).as("delta")))
+    val swept = deltas.groupBy("day", "ts").agg(sum("delta").as("net"))
+      .withColumn("run", sum(col("net")).over(
+        Window.partitionBy("day").orderBy(col("ts").asc)))
+    // derived-from-self join: rename the peak side's columns so the
+    // analyzer cannot see an ambiguous lineage
+    val peaks = swept.groupBy(col("day").as("p_day"))
+      .agg(max(col("run")).as("peak"))
+    swept.join(peaks,
+        col("day") === col("p_day") && col("run") === col("peak"))
+      .groupBy(col("p_day").as("day"), col("peak").cast(LongType).as("peak"))
+      .agg(min(col("ts")).as("first_peak_sec"))
+      .orderBy(col("day").asc)
+  }
+
+  /** INTERVAL-OVERLAP self-join — the interval×interval sibling of
+    * q_range_join's point-in-band shape: for every session, how many
+    * OTHER users' sessions overlap it in time (top 100 by degree).
+    * The scalable plan is the GRID-BUCKETED candidate join: each
+    * interval explodes into the 1800 s cells it spans, candidates
+    * equi-join on the cell (never interval-vs-interval nested-loop),
+    * pairs dedup (an overlap spanning k cells collides k times), and
+    * the exact predicate a₁ ≤ b₂ ∧ a₂ ≤ b₁ confirms. This is how an
+    * interval join survives 100 TB: shuffle keys are cells, candidate
+    * volume is per-cell occupancy², and the cell width trades
+    * candidate count against dedup volume.
+    */
+  val qIntervalOverlap: Q = Q.sql(
+    "q_events_interval_overlap",
+    s"""$sessionSpansSql,
+       |cells AS (
+       |  SELECT user_id, session_id, start_sec, end_sec,
+       |    unnest(range(start_sec // 1800, end_sec // 1800 + 1)) AS cell
+       |  FROM spans),
+       |pairs AS (
+       |  SELECT DISTINCT
+       |    a.user_id AS user_a, a.session_id AS session_a,
+       |    b.user_id AS user_b, b.session_id AS session_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.user_id <> b.user_id
+       |  WHERE a.start_sec <= b.end_sec AND b.start_sec <= a.end_sec)
+       |SELECT user_a AS user_id, session_a AS session_id,
+       |  COUNT(*) AS n_overlapping
+       |FROM pairs
+       |GROUP BY user_a, session_a
+       |ORDER BY n_overlapping DESC, user_id ASC, session_id ASC
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    val cells = sessionSpans(s, d)
+      .withColumn("cell", explode(sequence(
+        floor(col("start_sec") / 1800).cast(LongType),
+        floor(col("end_sec") / 1800).cast(LongType))))
+    val a = cells.select(col("user_id").as("user_a"),
+      col("session_id").as("session_a"), col("start_sec").as("sa"),
+      col("end_sec").as("ea"), col("cell"))
+    val b = cells.select(col("user_id").as("user_b"),
+      col("session_id").as("session_b"), col("start_sec").as("sb"),
+      col("end_sec").as("eb"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("user_a") =!= col("user_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("user_a", "session_a", "user_b", "session_b")
+      .distinct()
+      .groupBy(col("user_a").as("user_id"), col("session_a").as("session_id"))
+      .agg(count(lit(1)).as("n_overlapping"))
+      .orderBy(col("n_overlapping").desc, col("user_id").asc,
+        col("session_id").asc)
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
-    qAbTest, qStickiness)
+    qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Hand-computed ground truth for the interval analytics pair: the
+  * sweep-line peak concurrency (midnight-crossing sessions clip into
+  * both days) and the grid-bucketed interval-overlap self-join (the
+  * session that spans two cells must not double-count its partner).
+  */
+class IntervalAnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long) =
+    (id, new Timestamp(sec * 1000), user, "click", 1.0, "{}")
+
+  /** Day-0 sessions: u1 [100,200], u2 [150,150], u3 [180,180] and
+    * [2100,2100] (gap 1920 > 1800 splits), u4 [86300,86500] crossing
+    * midnight; day-1: u5 [86450,86450].
+    */
+  private lazy val dir: String = {
+    val rows = Seq(
+      ev(1, 100, 1), ev(2, 200, 1),
+      ev(3, 150, 2),
+      ev(4, 180, 3), ev(5, 2100, 3),
+      ev(6, 86300, 4), ev(7, 86500, 4),
+      ev(8, 86450, 5))
+    val d = java.nio.file.Files.createTempDirectory("interval_fix").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("peak concurrency: per-day sweep, midnight session counts in both days") {
+    // day 0: u1+u2 overlap at 150 (peak 2, first at 150) — u3's first
+    // session at 180 re-reaches 2 but later; day 1: u4's clipped tail
+    // meets u5 at 86450
+    val rows = SparkEntry.queries("q_events_peak_concurrency")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 2L, 150L), (1L, 2L, 86450L)))
+  }
+
+  test("interval overlap: exact degrees, two-cell span not double-counted") {
+    // u1 overlaps u2 and u3-s1 (degree 2); u2, u3-s1 each overlap only
+    // u1; u3-s2 overlaps nothing; u4 (cells 47 AND 48) overlaps u5
+    // exactly once despite the two-cell collision surface
+    val rows = SparkEntry.queries("q_events_interval_overlap")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 2L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L), (5L, 1L, 1L)))
+  }
+}

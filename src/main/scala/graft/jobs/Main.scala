@@ -270,6 +270,17 @@ object Main {
       case "query" :: warehouse :: name :: Nil =>
         // the HTTP endpoint payload, verbatim: one FeatureCollection
         println(JsonFeatureSink.featureCollection(namedQuery(spark, warehouse, name)))
+      case "serve" :: warehouse :: rest if rest.length <= 1 =>
+        // the reference's `uvicorn src.api.main:app` (README.md):
+        // blocks serving the three endpoints until the process is
+        // killed; port 0 = ephemeral (printed for the caller)
+        val requested = rest.headOption.map(_.toInt).getOrElse(8000)
+        val server = new graft.serve.ApiServer(spark, warehouse)
+        val port = server.start(requested)
+        println(s"[serve] listening on http://127.0.0.1:$port " +
+          "(endpoints: /api/food-gaps /api/poverty-by-zip /api/rent-by-zip)")
+        val lock = new Object
+        lock.synchronized { lock.wait() } // until SIGTERM/SIGINT
       case other =>
         System.err.println(
           s"""usage: ingest <key> <rawPath> <warehouseDir> [--dry-run] [--zips <file>]
@@ -279,6 +290,7 @@ object Main {
              |       curate <sfDir> <shardOutDir>
              |       sql <warehouseDir> "<statement>"
              |       query <warehouseDir> <food-gaps|poverty-by-zip|rent-by-zip>
+             |       serve <warehouseDir> [port]
              |got: ${other.mkString(" ")}""".stripMargin)
         sys.exit(2)
     } finally spark.stop()

@@ -1551,24 +1551,33 @@ object EventsQ {
       |    MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
       |  FROM numbered GROUP BY user_id, session_id)""".stripMargin
 
-  /** Spark side of [[sessionSpansSql]]'s `spans`. */
+  /** Spark side of [[sessionSpansSql]]'s `spans` — MEMOIZED per
+    * (session, corpus): both consumers are self-join shapes (sweep vs
+    * its own per-day peaks; interval cells vs interval cells), and
+    * without materialization each side re-runs the full two-window
+    * sessionize chain — plan-verified double work. The span table is
+    * sessions-sized (≪ events), so the checkpoint is cheap to hold,
+    * and the two queries share one sessionize pass per session.
+    */
   private def sessionSpans(s: org.apache.spark.sql.SparkSession,
-                           d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_sec").asc, col("event_id").asc)
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"),
-        floor(unix_micros(col("ts").cast(TimestampType)) / lit(1000000L))
-          .as("ts_sec"))
-      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("is_new")).over(cum))
-      .groupBy("user_id", "session_id")
-      .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
-  }
+                           d: String): DataFrame =
+    SharedFrames.frame(s, s"session_spans:$d") {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec").asc, col("event_id").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          floor(unix_micros(col("ts").cast(TimestampType)) / lit(1000000L))
+            .as("ts_sec"))
+        .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
+        .localCheckpoint(true)
+    }
 
   /** PEAK CONCURRENCY — the capacity-planning sweep-line: per UTC day,
     * the maximum number of simultaneously open sessions and the first

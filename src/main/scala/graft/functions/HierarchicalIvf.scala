@@ -38,7 +38,15 @@ import org.apache.spark.sql.functions._
   * ~perfect), while near-dup co-assignment (the property retrieval
   * needs) holds at 100% and list sizes stay bounded (max 58 of 68k).
   * Classic residual-coarse-coding behavior; flat stays preferable
-  * wherever k fits the broadcast.
+  * wherever k fits the broadcast. Negative result, measured so it is
+  * not re-attempted: ALS-style alternating refinement of the additive
+  * model (s_i ← mean(x − r_j), r_j ← mean(x − s_i), the OPQ/IMI
+  * coordinate descent) does NOT recover the lost discrimination here
+  * (41002 → 41008 distinct lists after two passes on the 260×260
+  * fixture) — under QUANTIZED assignment the per-cell bias shifts the
+  * cell's offset→slot mapping with it, so the mean update reproduces
+  * the bias instead of cancelling it (a gauge freedom of the
+  * decomposition on lattice-like offset structure).
   *
   * DistributedKMeansSpec pins (a) flat↔hierarchical partition
   * equivalence on a planted grid at small k and (b) k > 65536 on a

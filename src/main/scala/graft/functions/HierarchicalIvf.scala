@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   *     effective lists from k₁ + k₂ ≈ 2√k broadcast rows and
   *     O(k₁ + k₂) = O(2√k) per-row assignment.
   *
-  * Both codebooks train through [[IvfFunctions.trainCentroids]]
-  * unchanged (ML KMeans small-k / distributed Lloyd large-k, ≤256·k
-  * hash-cut sample), assignment reuses the same broadcast-UDF scan
-  * shape, and retrieval reuses the same probe → equi-join → exact
-  * rerank tail ([[IvfFunctions.rerankProbed]]) — k = 10^6 costs two
-  * ~1000-row broadcasts instead of one impossible 10^6-row one.
+  * Both codebooks train through the distributed Lloyd trainer
+  * ([[IvfFunctions.trainCentroidsLloyd]] — ALWAYS, regardless of k;
+  * see [[train]] for why its empty-cluster repair beats the ML path
+  * here), assignment reuses the same broadcast-UDF scan shape, and
+  * retrieval reuses the same probe → equi-join → exact rerank tail
+  * ([[IvfFunctions.rerankProbed]]) — k = 10^6 costs two ~1000-row
+  * broadcasts instead of one impossible 10^6-row one.
   * Residuals are float-rounded per [[IvfFunctions.residualUdf]]'s
   * contract so assignment reproduces training bit-for-bit.
   *

@@ -270,17 +270,21 @@ object Main {
       case "query" :: warehouse :: name :: Nil =>
         // the HTTP endpoint payload, verbatim: one FeatureCollection
         println(JsonFeatureSink.featureCollection(namedQuery(spark, warehouse, name)))
-      case "serve" :: warehouse :: rest if rest.length <= 1 =>
+      case "serve" :: warehouse :: rest
+          if rest.length <= 1 && rest.forall(_.toIntOption.isDefined) =>
         // the reference's `uvicorn src.api.main:app` (README.md):
         // blocks serving the three endpoints until the process is
         // killed; port 0 = ephemeral (printed for the caller)
-        val requested = rest.headOption.map(_.toInt).getOrElse(8000)
+        val requested = rest.headOption.flatMap(_.toIntOption).getOrElse(8000)
         val server = new graft.serve.ApiServer(spark, warehouse)
         val port = server.start(requested)
         println(s"[serve] listening on http://127.0.0.1:$port " +
           "(endpoints: /api/food-gaps /api/poverty-by-zip /api/rent-by-zip)")
         val lock = new Object
-        lock.synchronized { lock.wait() } // until SIGTERM/SIGINT
+        // loop: Object.wait permits spurious wakeups, and falling out
+        // of this arm would hit the finally's spark.stop() and tear
+        // the server down while the operator believes it is serving
+        lock.synchronized { while (true) lock.wait() }
       case other =>
         System.err.println(
           s"""usage: ingest <key> <rawPath> <warehouseDir> [--dry-run] [--zips <file>]

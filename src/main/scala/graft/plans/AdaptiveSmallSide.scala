@@ -40,13 +40,19 @@ object AdaptiveSmallSide {
 
   /** Equi-join choosing broadcast vs partitioned by measuring the
     * small side once. Results are identical either way — only the
-    * physical strategy moves.
+    * physical strategy moves. The small side is checkpointed first
+    * (same contract as [[decontamSemi]]): the sizing count and the
+    * join must read the SAME rows even if the small side's lineage is
+    * non-deterministic, and the join must not re-evaluate the derived
+    * subtree the count already paid for.
     */
   def join(big: DataFrame, small: DataFrame, keys: Seq[String],
            joinType: String = "inner",
-           maxRows: Long = maxBroadcastRows): DataFrame =
-    if (small.count() <= maxRows) big.join(broadcast(small), keys, joinType)
-    else big.join(small, keys, joinType)
+           maxRows: Long = maxBroadcastRows): DataFrame = {
+    val s = small.localCheckpoint(true)
+    if (s.count() <= maxRows) big.join(broadcast(s), keys, joinType)
+    else big.join(s, keys, joinType)
+  }
 
   /** The decontamination handoff: exact broadcast semi-join below the
     * knob; above it (or when `forceBloom` demonstrates the shape on a

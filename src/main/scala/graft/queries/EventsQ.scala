@@ -72,42 +72,15 @@ object EventsQ {
     */
   val qSessionize: Q = Q.sql(
     "q_events_sessionize",
-    """WITH e AS (
-      |  SELECT user_id, event_id,
-      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
-      |  FROM events),
-      |flagged AS (
-      |  SELECT user_id, event_id, ts_sec,
-      |    CASE WHEN lag(ts_sec) OVER w IS NULL
-      |      OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
-      |sessions AS (
-      |  SELECT user_id, event_id, ts_sec,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      |  FROM flagged)
-      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-      |  COUNT(*) AS n_events,
-      |  MIN(ts_sec) AS session_start_sec, MAX(ts_sec) AS session_end_sec
-      |FROM sessions
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id ASC, session_id ASC""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_sec").asc, col("event_id").asc)
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"),
-        floor(unix_micros(col("ts").cast(TimestampType)) / lit(1000000L))
-          .as("ts_sec"))
-      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 1800, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("is_new")).over(cum))
-      .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts_sec")).as("session_start_sec"),
-        max(col("ts_sec")).as("session_end_sec"))
+    s"""$sessionSpansSql
+       |SELECT user_id, session_id, n_events,
+       |  start_sec AS session_start_sec, end_sec AS session_end_sec
+       |FROM spans
+       |ORDER BY user_id ASC, session_id ASC""".stripMargin) { (s, d) =>
+    sessionSpans(s, d)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_sec").as("session_start_sec"),
+        col("end_sec").as("session_end_sec"))
       .orderBy(col("user_id").asc, col("session_id").asc)
   }
 
@@ -1526,12 +1499,13 @@ object EventsQ {
 
   /** The shared sessionization CTE chain (e → flagged → sessions →
     * spans): per-user 1800 s-gap sessions reduced to (user_id,
-    * session_id, start_sec, end_sec) interval rows — the text both
-    * [[qPeakConcurrency]] and [[qIntervalOverlap]] build on, identical
-    * to q_events_sessionize's definition so the three queries can
-    * never drift apart.
+    * session_id, n_events, start_sec, end_sec) interval rows — the
+    * ONE session definition [[qSessionize]], [[qPeakConcurrency]] and
+    * [[qIntervalOverlap]] all build on, so the three queries cannot
+    * drift apart (q_events_sessionize's output IS a projection of
+    * this table).
     */
-  private val sessionSpansSql: String =
+  private lazy val sessionSpansSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id,
       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
@@ -1548,16 +1522,18 @@ object EventsQ {
       |  FROM flagged),
       |spans AS (
       |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |    COUNT(*) AS n_events,
       |    MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
       |  FROM numbered GROUP BY user_id, session_id)""".stripMargin
 
   /** Spark side of [[sessionSpansSql]]'s `spans` — MEMOIZED per
-    * (session, corpus): both consumers are self-join shapes (sweep vs
+    * (session, corpus): two consumers are self-join shapes (sweep vs
     * its own per-day peaks; interval cells vs interval cells), and
     * without materialization each side re-runs the full two-window
     * sessionize chain — plan-verified double work. The span table is
     * sessions-sized (≪ events), so the checkpoint is cheap to hold,
-    * and the two queries share one sessionize pass per session.
+    * and all three session queries share one sessionize pass per
+    * session per corpus.
     */
   private def sessionSpans(s: org.apache.spark.sql.SparkSession,
                            d: String): DataFrame =
@@ -1575,7 +1551,8 @@ object EventsQ {
             .otherwise(0))
         .withColumn("session_id", sum(col("is_new")).over(cum))
         .groupBy("user_id", "session_id")
-        .agg(min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
         .localCheckpoint(true)
     }
 

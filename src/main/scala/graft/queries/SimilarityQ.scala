@@ -324,7 +324,10 @@ object SimilarityQ {
     * the session (the SharedFrames contract).
     */
   private[queries] def logBucketCapLoss(keys: DataFrame, bucketCols: Seq[String],
-                                        what: String): Unit =
+                                        what: String,
+                                        lossDesc: String =
+                                          "excluded from the capped join side")
+      : Unit =
     SharedFrames.value(keys.sparkSession, s"bucket_cap_loss:$what") {
       val over = keys.groupBy(bucketCols.map(col): _*)
         .agg(count(lit(1)).as("n"))
@@ -335,7 +338,7 @@ object SimilarityQ {
       if (!over.isNullAt(1) && over.getLong(1) > 0L)
         System.err.println(s"[graft] $what: ${over.getLong(0)} band bucket(s) " +
           s"over $maxBandBucket members; ${over.getLong(1)} member row(s) " +
-          "excluded from the capped join side (disclosed loss)")
+          s"$lossDesc (disclosed loss)")
       java.lang.Boolean.TRUE
     }
 

@@ -2139,7 +2139,9 @@ object TextQ {
       "independent Levenshtein rerank.") { (s, d) =>
     val banded = minhashBandedFrame(s, d)
     SimilarityQ.logBucketCapLoss(banded, Seq("band", "bh"),
-      s"editdist neardup:$d")
+      s"editdist neardup:$d",
+      lossDesc = "reduced to a star link on the bucket head " +
+        "(clique membership lost, cluster detection kept)")
     // mega-bucket guard, clique + star form (see doc): full clique
     // among each bucket's cap lowest ids, one star edge head→member
     // past the cap — C(cap,2) + (bucket − cap) pairs per bucket

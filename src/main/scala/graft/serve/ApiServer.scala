@@ -9,7 +9,6 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.NycQueries
 import graft.sink.JsonFeatureSink
 
 /** The reference's HTTP serving surface (src/api/main.py:1-27,
@@ -34,14 +33,18 @@ import graft.sink.JsonFeatureSink
   *    fallback — empty result serves `null`.
   *
   * Serving model: Spark is the query engine the way Postgres is the
-  * reference's — each request renders its FeatureCollection with one
-  * bounded-output Spark action over feature frames that are CACHED at
-  * first touch (the three real collections are 197/177/155 features;
-  * the reference instead re-executes SQL per request). The server is
-  * the JDK's built-in [[HttpServer]] — zero dependencies, loopback
-  * bindable on an ephemeral port, so specs drive the full HTTP path
-  * (gzip negotiation included) over a local socket. This is a
-  * DRIVER-side serving shim for bounded collections: the 100 TB
+  * reference's — an endpoint's FeatureCollection renders ONCE (the
+  * three real collections are 197/177/155 features) and the body
+  * string memoizes for the server's lifetime, so steady-state
+  * requests run zero Spark actions (the reference re-executes SQL
+  * per request; this is our in-process equivalent of its preferred
+  * static-export tier). Endpoint wiring is
+  * [[graft.jobs.Main.namedQuery]] — one definition shared with the
+  * CLI and batch export, byte-parity pinned by ApiServerSpec. The
+  * server is the JDK's built-in [[HttpServer]] — zero dependencies,
+  * loopback bindable on an ephemeral port, so specs drive the full
+  * HTTP path (gzip negotiation included) over a local socket. This
+  * is a DRIVER-side serving shim for bounded collections: the 100 TB
   * serving path stays [[JsonFeatureSink.writeFeatureLines]] + a
   * static file tier, per SURVEY §3.3.
   */
@@ -52,24 +55,16 @@ final class ApiServer(
 
   private val gzipMinBytes = 1000
 
-  private def table(name: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/$name")
-
-  // cached at first request; bounded outputs (the serving contract).
-  // Materialization is tracked so stop() unpersists only frames a
-  // request actually built — forcing the lazies there would re-raise
-  // endpoint errors (e.g. a missing table) during shutdown.
-  private val materialized = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  private def cached(df: DataFrame): DataFrame = synchronized {
-    val c = df.cache(); materialized += c; c
-  }
-  private lazy val foodFeatures =
-    cached(NycQueries.foodGaps(table("ntas_2020"), table("food_supply_gaps")))
-  private lazy val povertyFeatures =
-    cached(NycQueries.povertyByZip(table("census_zctas_2020"),
-      table("census_acs_income_poverty")))
-  private lazy val rentFeatures =
-    cached(NycQueries.rentByZip(table("census_zctas_2020"), table("zillow_zori")))
+  // Endpoint wiring lives in ONE place — graft.jobs.Main.namedQuery —
+  // so the HTTP body and the CLI/export payloads can never drift
+  // (ApiServerSpec pins byte parity). Rendered bodies memoize per
+  // endpoint: the frames are deterministic bounded collections for
+  // the server's lifetime, so steady-state requests run ZERO Spark
+  // actions (the reference re-executes SQL per request; our
+  // equivalent of its static-export preference). A throwing render
+  // (e.g. missing table) is NOT memoized — each request retries.
+  private val bodyMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** FeatureCollection body, or the endpoint's empty-result value:
     * Postgres `json_agg` over zero rows is SQL NULL, so endpoints
@@ -82,12 +77,17 @@ final class ApiServer(
       else "null"
     } else JsonFeatureSink.featureCollection(features)
 
+  private def endpointBody(name: String, emptyFallback: Boolean): String =
+    bodyMemo.getOrElseUpdate(name,
+      collectionBody(graft.jobs.Main.namedQuery(spark, warehouseDir, name),
+        emptyFallback))
+
   private[serve] def foodGapsBody(): String =
-    collectionBody(foodFeatures, emptyFallback = false)
+    endpointBody("food-gaps", emptyFallback = false)
   private[serve] def povertyByZipBody(): String =
-    collectionBody(povertyFeatures, emptyFallback = true)
+    endpointBody("poverty-by-zip", emptyFallback = true)
   private[serve] def rentByZipBody(): String =
-    collectionBody(rentFeatures, emptyFallback = false)
+    endpointBody("rent-by-zip", emptyFallback = false)
 
   private var server: Option[HttpServer] = None
 
@@ -110,8 +110,7 @@ final class ApiServer(
   def stop(): Unit = synchronized {
     server.foreach(_.stop(0))
     server = None
-    materialized.foreach(_.unpersist())
-    materialized.clear()
+    bodyMemo.clear()
   }
 
   /** One middleware stack per route: render → 200 JSON, gzip when the

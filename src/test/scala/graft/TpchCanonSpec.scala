@@ -142,7 +142,12 @@ class TpchCanonSpec extends SparkSpecBase {
     assert(p22.toLowerCase.contains("leftanti"),
       s"q22's NOT EXISTS must stay an anti-join:\n$p22")
     val p6 = plan("q6_forecast_revenue")
-    assert(p6.contains("PushedFilters: ["),
-      "q6's predicates must reach the parquet scan")
+    // a concrete pushed predicate, not just the (possibly empty)
+    // PushedFilters bracket — "PushedFilters: []" prints even when
+    // nothing pushes
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q6's predicates must reach the parquet scan:\n$p6")
+    assert(p6.contains("ReadSchema: struct<l_quantity"),
+      "q6's scan must prune to the four referenced columns")
   }
 }

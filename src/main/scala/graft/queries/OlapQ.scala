@@ -153,6 +153,69 @@ object OlapQ {
         col("priority").asc_nulls_first)
   }
 
+  /** GROUPING SETS with ARBITRARY (non-hierarchical) sets — the
+    * rollup/cube sibling the pair can't express: per-nation totals
+    * AND per-segment totals in ONE Expand-based pass (a union of two
+    * grouped aggregates would scan the join twice). Spark 4's native
+    * `Dataset.groupingSets` keeps it declarative on the engine side.
+    */
+  val qGroupingSets: Q = Q.sql(
+    "q_grouping_sets",
+    s"""SELECT
+       |  CASE WHEN GROUPING(n.n_name) = 1 THEN NULL ELSE n.n_name END AS nation,
+       |  CASE WHEN GROUPING(c.c_mktsegment) = 1 THEN NULL ELSE c.c_mktsegment END AS segment,
+       |  CAST(GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS INT) AS lvl,
+       |  COUNT(*) AS n_customers,
+       |  ${Num.sqlDsum("c.c_acctbal")} AS sum_bal
+       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment))
+       |ORDER BY lvl ASC, nation ASC NULLS FIRST, segment ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+        col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"),
+        (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment")))
+          .cast(IntegerType).as("lvl"))
+      .select(col("n_name").as("nation"), col("c_mktsegment").as("segment"),
+        col("lvl"), col("n_customers"), col("sum_bal"))
+      .orderBy(col("lvl").asc, col("nation").asc_nulls_first,
+        col("segment").asc_nulls_first)
+  }
+
+  /** EXCEPT ALL / INTERSECT ALL — BAG semantics, which the distinct
+    * set ops of [[qSetOps]] cannot express: multiplicities subtract
+    * (A ∖ B keeps count_A − count_B copies) and take the minimum
+    * respectively. The multisets here are customer nation keys above
+    * two balance thresholds, so per nation EXCEPT ALL yields exactly
+    * the mid-balance population — verified value-for-value by the
+    * post-aggregation (the aggregate compacts output; the operator
+    * under test is the bag op itself).
+    */
+  val qSetOpsAll: Q = Q.sql(
+    "q_set_ops_all",
+    """WITH a AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 0),
+      |b AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000),
+      |diff AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+      |inter AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |SELECT 'except_all' AS op, c_nationkey, COUNT(*) AS n
+      |FROM diff GROUP BY c_nationkey
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, c_nationkey, COUNT(*) AS n
+      |FROM inter GROUP BY c_nationkey
+      |ORDER BY op ASC, c_nationkey ASC""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val a = cust.filter(col("c_acctbal") > 0).select("c_nationkey")
+    val b = cust.filter(col("c_acctbal") > 5000).select("c_nationkey")
+    def agg(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), col("c_nationkey"), col("n"))
+    agg(a.exceptAll(b), "except_all")
+      .unionByName(agg(a.intersectAll(b), "intersect_all"))
+      .orderBy(col("op").asc, col("c_nationkey").asc)
+  }
+
   /** Time-series gap filling (resampling): monthly order counts per
     * priority with missing months materialized as 0 — the dense-grid
     * shape every downstream time-series consumer (forecasting,
@@ -931,5 +994,5 @@ object OlapQ {
     qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
     qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
-    qTopSupplier, qSuppliersWaiting)
+    qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll)
 }

@@ -128,6 +128,30 @@ class TpchCanonSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((1L, "S1", 1L)))
   }
 
+  test("grouping sets: per-nation and per-segment totals from one pass, correct lvl markers") {
+    // sets ((n_name),(c_mktsegment)): lvl 1 rows = nations (A: C1+C2,
+    // B: C3+C4, C: C5); lvl 2 rows = segments (BUILDING: C1,C2,C4,C5;
+    // AUTOMOBILE: C3)
+    val rows = run("q_grouping_sets")
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (Some("A"), None, 1, 2L, 4000.0),
+      (Some("B"), None, 1, 2L, 4950.0),
+      (Some("C"), None, 1, 1L, 9999.0),
+      (None, Some("AUTOMOBILE"), 2, 1L, 5000.0),
+      (None, Some("BUILDING"), 2, 4L, 13949.0)))
+  }
+
+  test("bag set ops: EXCEPT ALL subtracts multiplicities, INTERSECT ALL takes the min") {
+    // a = nationkeys of acctbal>0 = {0,0,1,11}; b = acctbal>5000 = {11}
+    val rows = run("q_set_ops_all")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("except_all", 0L, 2L), ("except_all", 1L, 1L),
+      ("intersect_all", 11L, 1L)))
+  }
+
   test("plan shapes on the real corpus: semi, anti, topk, broadcast dim") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

@@ -990,9 +990,220 @@ object OlapQ {
       .orderBy(col("pid").asc)
   }
 
+  /** TPC-H Q8-shape (national market share): of the PROMO-part
+    * revenue sold into ASIA-region customers over two years, what
+    * share did NATION_2's suppliers supply, per order year — the
+    * widest join tree in the catalog (lineitem ⋈ part ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation) with nation
+    * used twice in different roles.
+    *
+    * Scale shape: orders prunes to the two-year window and part to
+    * one type BEFORE their joins; the ASIA customer restriction
+    * collapses to a broadcast semi-join against a ≤25-row nation⋈
+    * region list (customers never widen); supplier⋈nation stays a
+    * plain hash join (supplier grows with SF — deliberately NOT
+    * broadcast). Conditional volume follows the Q14 decimal contract.
+    */
+  val qMarketShare: Q = Q.sql(
+    "q8_market_share",
+    """WITH vol AS (
+      |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM vol GROUP BY o_year ORDER BY o_year ASC""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) < to_date(lit("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("o_year"))
+    val promoParts = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val asiaNationKeys = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nkey"))
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(asiaNationKeys),
+        col("c_nationkey") === col("asia_nkey"), "left_semi")
+      .select("c_custkey")
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))
+    val natRev = sum(when(col("supp_nation") === "NATION_2", rev)
+      .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(natRev.as("nation_volume"),
+        sum(rev).cast(DoubleType).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year").asc)
+  }
+
+  /** TPC-H Q12-shape (shipping priority audit): among lines shipped
+    * late in 1996 ("late" = shipped > order + 60 days, the catalog's
+    * standing Q4 adaptation — the testdata has no
+    * commit/receipt dates or ship modes, so the classic per-shipmode
+    * split becomes per-returnflag), how many belonged to
+    * high-priority vs low-priority orders. The shape under test is
+    * the conditional twin-count aggregate over a join with a
+    * non-equi residual.
+    *
+    * Scale shape: the shipdate window prunes lineitem at the scan;
+    * orders projects to three columns before the hash join; the
+    * rollup is a ≤3-row map-side-combined aggregate. Oracle SUMs
+    * cast to BIGINT (DuckDB's bare SUM(INT) widens to HUGEINT — the
+    * q_doc_pii_stats lesson).
+    */
+  val qPriorityShipping: Q = Q.sql(
+    "q12_priority_shipping",
+    """SELECT l.l_returnflag AS ship_class,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+      |  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY 1 ASC""".stripMargin) { (s, d) =>
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast(DateType) >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate").cast(DateType) < to_date(lit("1997-01-01")))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class").asc)
+  }
+
+  /** TPC-H Q17-shape (small-quantity-order revenue): yearly revenue
+    * lost if Brand#4's below-20%-of-average-quantity orders stopped —
+    * the classic correlated scalar-subquery-per-part (avg quantity of
+    * THIS part) folded against the same fact table.
+    *
+    * The engine exploits that p_brand is functionally determined by
+    * l_partkey: it semi-joins lineitem down to the brand's parts
+    * FIRST, then computes the per-part average with one window over
+    * the already-reduced slice — one shuffle on l_partkey total,
+    * versus the naive plan's full-table aggregate joined back to the
+    * filtered scan (the oracle keeps that naive form; averages over
+    * a part's lines are identical either way since brand is a part
+    * property). avg() sums small integral quantities — exact in
+    * double in both engines, so the 0.2·avg threshold compare is
+    * bit-deterministic.
+    */
+  val qSmallQtyRevenue: Q = Q.sql(
+    "q17_small_qty_revenue",
+    """WITH pa AS (
+      |  SELECT l_partkey, CAST(0.2 AS DOUBLE) * AVG(l_quantity) AS qty_thresh
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#4' AND l.l_quantity < pa.qty_thresh""".stripMargin) { (s, d) =>
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("qty_thresh",
+        lit(0.2).cast(DoubleType) * avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg((sum(dec(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19-shape (discounted revenue, disjunctive predicate):
+    * revenue from three OR'd (brand, size-range, quantity-range)
+    * conjunct groups spanning BOTH join sides — the canonical
+    * pushdown-through-OR stress test (containers/shipmodes absent
+    * from the testdata become size ranges).
+    *
+    * Catalyst cannot always factor a cross-table disjunction, so the
+    * engine adds the IMPLIED per-table prefilters by hand — p_brand
+    * IN (…) ∧ p_size ≤ 35 on part, 1 ≤ l_quantity ≤ 30 on lineitem
+    * (each the union of its disjunct's bounds, so semantics are
+    * unchanged) — which reach both parquet scans as PushedFilters;
+    * the exact disjunction then runs as the join residual over the
+    * pre-shrunk inputs.
+    */
+  val qDisjunctiveRevenue: Q = Q.sql(
+    "q19_disjunctive_revenue",
+    """SELECT
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+      |    AND l.l_quantity BETWEEN 1 AND 11)
+      |  OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+      |    AND l.l_quantity BETWEEN 10 AND 20)
+      |  OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 1 AND 35
+      |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#2", "Brand#19", "Brand#8") &&
+        col("p_size").between(1, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(1, 30))
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val disjunct =
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#8" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("p_partkey") === col("l_partkey"))
+      .filter(disjunct)
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
     qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
     qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
-    qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll)
+    qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll,
+    qMarketShare, qPriorityShipping, qSmallQtyRevenue, qDisjunctiveRevenue)
 }

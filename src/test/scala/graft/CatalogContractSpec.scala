@@ -27,7 +27,8 @@ class CatalogContractSpec extends AnyFunSuite {
     * total-ORDER-BY rule (one row needs no order).
     */
   private val singleRowAggregates = Set("q_out_of_range_counts",
-    "q_food_gaps_geo", "q6_forecast_revenue", "q14_promo_revenue")
+    "q_food_gaps_geo", "q6_forecast_revenue", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue")
 
   test("query names are unique, snake_case, and q_-prefixed") {
     val names = SparkEntry.catalog.map(_.name)

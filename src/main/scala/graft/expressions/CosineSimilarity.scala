@@ -132,7 +132,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // every native expression, so extension-built sessions need no
     // imperative ensureRegistered calls
     Seq(CosineSimilarity.fn, LshBandKeys.fn, MinhashSig.fn, Simhash64.fn,
-      DeflateSize.fn, BpeTokenCount.fn, MortonInterleave.fn)
+      DeflateSize.fn, BpeTokenCount.fn, MortonInterleave.fn, HilbertIndex.fn)
       .foreach(f => ext.injectFunction(f.injectable))
     ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
     // whole-operator tier: the bounded-heap top-k-per-group physical

@@ -265,6 +265,62 @@ object OlapQ {
       s"((($x >> $i) & 1) << ${2 * i + 1}) | ((($y >> $i) & 1) << ${2 * i})")
       .mkString(" | ")
 
+  /** The order-16 Hilbert walk as DuckDB SQL — the same per-bit
+    * quadrant+rotation recurrence as
+    * [[graft.expressions.HilbertIndex.index]], unrolled into 16
+    * chained CTEs (h0…h16; SQL has no loops) carrying the rotating
+    * frame (x_k, y_k) and accumulated position d_k. Emits a final CTE
+    * named `outCte(l_orderkey, l_linenumber, p, day, z)` reading
+    * x/y from `norm`. The (3·rx) xor ry quadrant offset is spelled
+    * CASE rx=1 → 3−ry (identical on the {0,1}² domain) to stay inside
+    * portable integer SQL.
+    */
+  private def hilbertChainSql(outCte: String): String = {
+    val steps = (0 until 16).map { k =>
+      val s = 1L << (15 - k)
+      val s2 = s * s
+      val rxPos = s"(x$k & $s) > 0"
+      val ryZero = s"(y$k & $s) = 0"
+      val ryBit = s"(CASE WHEN (y$k & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${k + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, p, day,
+         |    CASE WHEN $ryZero THEN
+         |      CASE WHEN $rxPos THEN 65535 - y$k ELSE y$k END
+         |    ELSE x$k END AS x${k + 1},
+         |    CASE WHEN $ryZero THEN
+         |      CASE WHEN $rxPos THEN 65535 - x$k ELSE x$k END
+         |    ELSE y$k END AS y${k + 1},
+         |    d$k + CAST($s2 AS BIGINT)
+         |      * (CASE WHEN $rxPos THEN 3 - $ryBit ELSE $ryBit END) AS d${k + 1}
+         |  FROM h$k)""".stripMargin
+    }
+    (s"""h0 AS (
+        |  SELECT l_orderkey, l_linenumber, p, day,
+        |    x AS x0, y AS y0, CAST(0 AS BIGINT) AS d0
+        |  FROM norm)""".stripMargin +: steps :+
+      s"""$outCte AS (
+         |  SELECT l_orderkey, l_linenumber, p, day, d16 AS z FROM h16)""".stripMargin)
+      .mkString(",\n")
+  }
+
+  /** Rank + file-cut CTE suffix shared by every layout oracle: global
+    * row rank along the curve (`zCte` supplies z), cut into 4096-row
+    * files, per-file min/max footprint of both dimensions.
+    */
+  private def layoutFilesSuffixSql(zCte: String, rCte: String,
+                                   filesCte: String): String =
+    s"""$rCte AS (
+       |  SELECT p, day,
+       |    ROW_NUMBER() OVER (ORDER BY z ASC, l_orderkey ASC,
+       |      l_linenumber ASC) - 1 AS rk
+       |  FROM $zCte),
+       |$filesCte AS (
+       |  SELECT (rk >> 12) AS file_id, COUNT(*) AS n_rows,
+       |    MIN(p) AS part_min, MAX(p) AS part_max,
+       |    MIN(day) AS day_min, MAX(day) AS day_max,
+       |    MAX(p) - MIN(p) AS part_span, MAX(day) - MIN(day) AS day_span
+       |  FROM $rCte GROUP BY 1)""".stripMargin
+
   /** Z-ORDER LAYOUT PLAN — multi-dimensional clustering for scan
     * pruning (the public Delta/Iceberg `OPTIMIZE ZORDER BY` idea,
     * Morton 1966): lineitem rows sort by the bit-interleave of
@@ -298,7 +354,7 @@ object OlapQ {
     * part_max, day_min, day_max, part_span, day_span)` — shared by the
     * layout plan's oracle and the skip-stats oracle that consumes it.
     */
-  private def zorderFilesCte: String =
+  private def layoutNormCte: String =
     s"""base AS (
        |  SELECT l_orderkey, l_linenumber, l_partkey AS p,
        |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
@@ -309,22 +365,23 @@ object OlapQ {
        |  SELECT l_orderkey, l_linenumber, p, day,
        |    ((p - b.pmin) * 65535) // GREATEST(b.pmax - b.pmin, 1) AS x,
        |    ((day - b.dmin) * 65535) // GREATEST(b.dmax - b.dmin, 1) AS y
-       |  FROM base, b),
+       |  FROM base, b)""".stripMargin
+
+  private def zorderFilesCte: String =
+    s"""$layoutNormCte,
        |z AS (
        |  SELECT l_orderkey, l_linenumber, p, day,
        |    ${mortonZSql("x", "y")} AS z
        |  FROM norm),
-       |r AS (
-       |  SELECT p, day,
-       |    ROW_NUMBER() OVER (ORDER BY z ASC, l_orderkey ASC,
-       |      l_linenumber ASC) - 1 AS rk
-       |  FROM z),
-       |files AS (
-       |  SELECT (rk >> 12) AS file_id, COUNT(*) AS n_rows,
-       |    MIN(p) AS part_min, MAX(p) AS part_max,
-       |    MIN(day) AS day_min, MAX(day) AS day_max,
-       |    MAX(p) - MIN(p) AS part_span, MAX(day) - MIN(day) AS day_span
-       |  FROM r GROUP BY 1)""".stripMargin
+       |${layoutFilesSuffixSql("z", "r", "files")}""".stripMargin
+
+  /** Same chain under the Hilbert key (CTE names disjoint from the
+    * Morton chain's so q_layout_compare can carry both).
+    */
+  private def hilbertFilesCte: String =
+    s"""$layoutNormCte,
+       |${hilbertChainSql("hz")},
+       |${layoutFilesSuffixSql("hz", "hr", "filesh")}""".stripMargin
 
   val qLayoutZorder: Q = Q.sql(
     "q_layout_zorder",
@@ -336,13 +393,27 @@ object OlapQ {
     zorderFileStats(s, d).orderBy(col("file_id").asc)
   }
 
-  /** Spark side of [[zorderFilesCte]]: the per-file min/max footprint
-    * table both layout queries consume. Recomputed per call (the rank
-    * is ~1.5 s at sf0.1); a production layout tool would persist this
-    * as the table's file-statistics manifest instead.
+  /** Spark side of [[zorderFilesCte]] / [[hilbertFilesCte]]: the
+    * per-file min/max footprint table the layout queries consume,
+    * memoized per (session, curve, corpus) — four catalog queries now
+    * read these frames, and a production layout tool would persist
+    * exactly this table as the file-statistics manifest.
     */
+  private def layoutFileStats(s: org.apache.spark.sql.SparkSession,
+                              d: String,
+                              hilbert: Boolean): org.apache.spark.sql.DataFrame =
+    SharedFrames.frame(s,
+      s"layout_files:${if (hilbert) "hilbert" else "morton"}:$d") {
+      layoutFileStatsBuild(s, d, hilbert).localCheckpoint(true)
+    }
+
   private def zorderFileStats(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
+                              d: String): org.apache.spark.sql.DataFrame =
+    layoutFileStats(s, d, hilbert = false)
+
+  private def layoutFileStatsBuild(s: org.apache.spark.sql.SparkSession,
+                                   d: String,
+                                   hilbert: Boolean): org.apache.spark.sql.DataFrame = {
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("p"),
       datediff(col("l_shipdate").cast(DateType),
@@ -361,6 +432,8 @@ object OlapQ {
     // for free, so the corpus is scanned twice (counts, rank) and
     // never materialized.
     graft.expressions.MortonInterleave.ensureRegistered(s)
+    graft.expressions.HilbertIndex.ensureRegistered(s)
+    val keyFn = if (hilbert) "hilbert_index" else "morton_interleave"
     val b = base.agg(min("p"), max("p"), min("day"), max("day")).head()
     val (pmin, pmax, dmin, dmax) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
@@ -369,7 +442,7 @@ object OlapQ {
     val z = base
       .withColumn("x", expr(s"((p - $pmin) * 65535) div $pSpan"))
       .withColumn("y", expr(s"((day - $dmin) * 65535) div $dSpan"))
-      .withColumn("z", expr("morton_interleave(x, y)"))
+      .withColumn("z", expr(s"$keyFn(x, y)"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p"), col("day"),
         col("z"))
     // Two-phase global rank: the bucket is the sort key's own leading
@@ -457,10 +530,10 @@ object OlapQ {
        |  1e0 - CAST(n_admitted AS DOUBLE) / n_files AS skip_ratio
        |FROM adm
        |ORDER BY kind ASC, probe_id ASC""".stripMargin) { (s, d) =>
-    // materialize the two-phase z-rank pipeline ONCE: both the g-bounds
-    // head() and the probe crossJoin read the checkpointed file stats
-    // (uncheckpointed, the whole z-order pipeline executed twice)
-    val files = zorderFileStats(s, d).localCheckpoint(true)
+    // the memoized frame materializes the two-phase z-rank pipeline
+    // ONCE per session×corpus: both the g-bounds head() and the probe
+    // crossJoin read the checkpointed file stats
+    val files = zorderFileStats(s, d)
     val g = files.agg(min("part_min"), max("part_max"),
       min("day_min"), max("day_max")).head()
     val (pmin, pmax, dmin, dmax) =
@@ -485,6 +558,113 @@ object OlapQ {
         (lit(1.0) - col("n_admitted").cast(DoubleType) /
           col("n_files").cast(DoubleType)).as("skip_ratio"))
       .orderBy(col("kind").asc, col("probe_id").asc)
+  }
+
+  /** HILBERT LAYOUT PLAN — [[qLayoutZorder]]'s file-footprint table
+    * under the order-16 Hilbert key instead of the Morton one, same
+    * normalization, rank machinery, and 4096-row file cut. Exists
+    * because the two curves genuinely differ where it matters for
+    * skipping: Morton's quadrant seams put corpus-wide (x, y) jumps
+    * inside files, inflating their min/max footprints; Hilbert's
+    * unit-step continuity keeps every file a contiguous curve segment
+    * of grid neighbors. [[qLayoutCompare]] measures the difference on
+    * identical probes. The oracle replays the rotation recurrence as
+    * 16 unrolled CTE steps generated from the same bit layout as the
+    * native `hilbert_index` expression, so the two cannot drift.
+    */
+  val qLayoutHilbert: Q = Q.sql(
+    "q_layout_hilbert",
+    s"""WITH $hilbertFilesCte
+       |SELECT file_id, n_rows, part_min, part_max, day_min, day_max,
+       |  part_span, day_span
+       |FROM filesh
+       |ORDER BY file_id ASC""".stripMargin) { (s, d) =>
+    layoutFileStats(s, d, hilbert = true).orderBy(col("file_id").asc)
+  }
+
+  /** LAYOUT BAKE-OFF — the head-to-head decision table for the two
+    * clustering keys: the SAME 12 probes as [[qLayoutSkipStats]]
+    * (endpoints depend only on corpus bounds, so both layouts face
+    * identical queries) admitted against each layout's file
+    * footprints, side by side. The measured answer to "is Hilbert's
+    * extra rotation arithmetic worth it over Morton here" — at 100 TB
+    * the layout is rewritten once and scanned forever, so the choice
+    * is made from exactly this table, not from folklore.
+    *
+    * Scale shape: two memoized manifest-sized file-stats frames
+    * (built once per session×corpus, shared with the other layout
+    * queries), a 12-row broadcast probe table, one map-side-combined
+    * conditional count per (layout, probe).
+    */
+  val qLayoutCompare: Q = Q.sql(
+    "q_layout_compare",
+    s"""WITH $zorderFilesCte,
+       |${hilbertChainSql("hz")},
+       |${layoutFilesSuffixSql("hz", "hr", "filesh")},
+       |allf AS (
+       |  SELECT 'morton' AS layout, * FROM files
+       |  UNION ALL
+       |  SELECT 'hilbert' AS layout, * FROM filesh),
+       |g AS (
+       |  SELECT MIN(part_min) AS pmin, MAX(part_max) AS pmax,
+       |    MIN(day_min) AS dmin, MAX(day_max) AS dmax
+       |  FROM files),
+       |pp AS (
+       |  SELECT i AS probe_id, 'part_point' AS kind,
+       |    g.pmin + i * (g.pmax - g.pmin) // 8 AS lo,
+       |    g.pmin + i * (g.pmax - g.pmin) // 8 AS hi
+       |  FROM g, (SELECT unnest(range(0, 8)) AS i)),
+       |dr AS (
+       |  SELECT j AS probe_id, 'day_range' AS kind,
+       |    g.dmin + j * (g.dmax - g.dmin) // 4 AS lo,
+       |    g.dmin + j * (g.dmax - g.dmin) // 4
+       |      + (g.dmax - g.dmin) // 8 AS hi
+       |  FROM g, (SELECT unnest(range(0, 4)) AS j)),
+       |probes AS (SELECT * FROM pp UNION ALL SELECT * FROM dr),
+       |adm AS (
+       |  SELECT f.layout, p.probe_id, p.kind, p.lo, p.hi,
+       |    COUNT(*) AS n_files,
+       |    SUM(CASE WHEN p.kind = 'part_point'
+       |      THEN CASE WHEN f.part_min <= p.lo AND p.lo <= f.part_max
+       |        THEN 1 ELSE 0 END
+       |      ELSE CASE WHEN f.day_max >= p.lo AND f.day_min <= p.hi
+       |        THEN 1 ELSE 0 END END) AS n_admitted
+       |  FROM probes p CROSS JOIN allf f
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT layout, probe_id, kind, lo, hi,
+       |  CAST(n_files AS BIGINT) AS n_files,
+       |  CAST(n_admitted AS BIGINT) AS n_admitted,
+       |  1e0 - CAST(n_admitted AS DOUBLE) / n_files AS skip_ratio
+       |FROM adm
+       |ORDER BY layout ASC, kind ASC, probe_id ASC""".stripMargin) { (s, d) =>
+    val mf = layoutFileStats(s, d, hilbert = false)
+    val hf = layoutFileStats(s, d, hilbert = true)
+    val files = mf.withColumn("layout", lit("morton"))
+      .unionByName(hf.withColumn("layout", lit("hilbert")))
+    val g = mf.agg(min("part_min"), max("part_max"),
+      min("day_min"), max("day_max")).head()
+    val (pmin, pmax, dmin, dmax) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    import s.implicits._
+    val probes = ((0L until 8L).map { i =>
+      val p = pmin + i * (pmax - pmin) / 8
+      (i, "part_point", p, p)
+    } ++ (0L until 4L).map { j =>
+      val lo = dmin + j * (dmax - dmin) / 4
+      (j, "day_range", lo, lo + (dmax - dmin) / 8)
+    }).toDF("probe_id", "kind", "lo", "hi")
+    val admits = when(col("kind") === "part_point",
+      col("part_min") <= col("lo") && col("lo") <= col("part_max"))
+      .otherwise(col("day_max") >= col("lo") && col("day_min") <= col("hi"))
+    files.crossJoin(broadcast(probes))
+      .groupBy("layout", "probe_id", "kind", "lo", "hi")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(admits, 1L).otherwise(0L)).as("n_admitted"))
+      .select(col("layout"), col("probe_id"), col("kind"), col("lo"),
+        col("hi"), col("n_files"), col("n_admitted"),
+        (lit(1.0) - col("n_admitted").cast(DoubleType) /
+          col("n_files").cast(DoubleType)).as("skip_ratio"))
+      .orderBy(col("layout").asc, col("kind").asc, col("probe_id").asc)
   }
 
   /** MARKET-BASKET PAIR MINING — the frequent-itemset primitive
@@ -1201,7 +1381,8 @@ object OlapQ {
   }
 
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
-    qLayoutZorder, qLayoutSkipStats, qMarketBasket, qFulfillmentLatency,
+    qLayoutZorder, qLayoutSkipStats, qLayoutHilbert, qLayoutCompare,
+    qMarketBasket, qFulfillmentLatency,
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
     qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
     qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll,

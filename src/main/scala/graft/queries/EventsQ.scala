@@ -1674,10 +1674,117 @@ object EventsQ {
       .limit(100)
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the mergeable-state algebra
+    * every incremental pipeline at 100 TB stands on: never re-scan
+    * history, fold the new partition's partial state into the stored
+    * one. The engine computes per-type stats as TWO independent
+    * partial states (events before / since a mid-month cut) merged by
+    * the state algebra — counts and decimal sums add, min/max
+    * combine, and the derived mean/variance come off the merged
+    * moments; the oracle aggregates the whole table directly in one
+    * pass. The driver's hash gate therefore IS the merge-correctness
+    * proof: state ⊕ state must be bit-identical to recompute, or the
+    * row hashes diverge.
+    *
+    * Variance uses the (Σv², Σv, n) moment form — each moment exact
+    * in DECIMAL, the final two IEEE ops (divide, subtract) identical
+    * expression trees in both engines. At 100 TB the two branches are
+    * yesterday's persisted state table and today's delta; the merge
+    * is a ≤#types-row aggregate.
+    */
+  val qIncrementalAgg: Q = Q.sql(
+    "q_events_incremental_agg",
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+      |    SUM(CAST(value AS DECIMAL(12,2))
+      |      * CAST(value AS DECIMAL(12,2))) AS svv,
+      |    MIN(value) AS min_value, MAX(value) AS max_value
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_events,
+      |  CAST(sv AS DOUBLE) AS sum_value,
+      |  min_value, max_value,
+      |  CAST(sv AS DOUBLE) / n_events AS mean_value,
+      |  CAST(svv AS DOUBLE) / n_events
+      |    - (CAST(sv AS DOUBLE) / n_events)
+      |      * (CAST(sv AS DOUBLE) / n_events) AS var_pop
+      |FROM m ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).as("sv"),
+        sum(dec(col("value")) * dec(col("value"))).as("svv"),
+        min("value").as("mn"), max("value").as("mx"))
+    val ev = Tables.events(s, d)
+    partial(ev.filter(col("ts") < cut))
+      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("sv").as("svm"),
+        sum("svv").as("svvm"), min("mn").as("min_value"),
+        max("mx").as("max_value"))
+      .select(col("event_type"), col("n_events"),
+        col("svm").cast(DoubleType).as("sum_value"),
+        col("min_value"), col("max_value"),
+        (col("svm").cast(DoubleType) / col("n_events")).as("mean_value"),
+        (col("svvm").cast(DoubleType) / col("n_events")
+          - (col("svm").cast(DoubleType) / col("n_events"))
+            * (col("svm").cast(DoubleType) / col("n_events"))).as("var_pop"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** DIFFERENTIALLY-PRIVATE release counts — the binomial mechanism
+    * (Dwork, Kenthapadi, McSherry, Mironov, Naor, EUROCRYPT 2006):
+    * per-type distinct-user counts (sensitivity 1 under user
+    * add/remove within a type) plus centered Binomial(60, ½) noise,
+    * Var = 15 — entirely INTEGER arithmetic, so engine and oracle
+    * agree bit-for-bit where a Laplace mechanism's transcendental
+    * sampling could differ in the last ulp between libm and the JVM.
+    *
+    * Noise bits come from a SEEDED per-cell hash (md5 of seed‖type →
+    * 60-bit popcount − 30): deterministic by design, because catalog
+    * queries must be replayable — an operational release would rotate
+    * the seed secret out-of-band, which changes no plan shape. The
+    * noisy count is the ONLY published value per cell; the exact
+    * count never leaves the aggregate.
+    *
+    * Scale shape: one distinct + one ≤#types-row count, noise is a
+    * per-row projection on the tiny aggregate — mechanism cost is
+    * zero at any corpus size.
+    */
+  val qDpCounts: Q = Q.sql(
+    "q_events_dp_counts",
+    """WITH c AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY event_type),
+      |h AS (
+      |  SELECT event_type, n_users,
+      |    (SELECT SUM(CAST(strpos('0123456789abcdef',
+      |       substr(md5('dp-seed-r8:' || event_type),
+      |         CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+      |       * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))
+      |     FROM range(15) t(i)) AS h60
+      |  FROM c)
+      |SELECT event_type,
+      |  CAST(n_users + bit_count(h60) - 30 AS BIGINT) AS noisy_users
+      |FROM h ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+    val h60 = conv(substring(md5(
+      concat(lit("dp-seed-r8:"), col("event_type")).cast(BinaryType)), 1, 15),
+      16, 10).cast(LongType)
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"),
+        (col("n_users") + bit_count(h60) - lit(30)).cast(LongType)
+          .as("noisy_users"))
+      .orderBy(col("event_type").asc)
+  }
+
   val all: Seq[Q] = Seq(qJsonProps, qTumblingWindow, qSessionize, qSaltedAgg,
     qSketchStats, qSlidingWindow, qSessionWindow, qAttribution, qFunnel,
     qRetention, qAnomaly, qDau, qWauSketch, qTrailingRange, qDebounce,
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
-    qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap)
+    qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
+    qIncrementalAgg, qDpCounts)
 }

@@ -404,16 +404,37 @@ object OlapQ {
                               hilbert: Boolean): org.apache.spark.sql.DataFrame =
     SharedFrames.frame(s,
       s"layout_files:${if (hilbert) "hilbert" else "morton"}:$d") {
-      layoutFileStatsBuild(s, d, hilbert).localCheckpoint(true)
+      layoutRows(s, d, hilbert)
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("p").as("part_min"), max("p").as("part_max"),
+          min("day").as("day_min"), max("day").as("day_max"))
+        .withColumn("part_span", col("part_max") - col("part_min"))
+        .withColumn("day_span", col("day_max") - col("day_min"))
+        .localCheckpoint(true)
     }
 
   private def zorderFileStats(s: org.apache.spark.sql.SparkSession,
                               d: String): org.apache.spark.sql.DataFrame =
     layoutFileStats(s, d, hilbert = false)
 
-  private def layoutFileStatsBuild(s: org.apache.spark.sql.SparkSession,
-                                   d: String,
-                                   hilbert: Boolean): org.apache.spark.sql.DataFrame = {
+  /** Memoized per-row file assignment (p, day, file_id) along the
+    * chosen curve — the materialized REWRITE the layout queries
+    * simulate (at 100 TB this is the re-clustered table itself; here
+    * it backs the file-stats manifest and the bloom sidecar without
+    * re-ranking the corpus per query).
+    */
+  private def layoutRows(s: org.apache.spark.sql.SparkSession,
+                         d: String,
+                         hilbert: Boolean): org.apache.spark.sql.DataFrame =
+    SharedFrames.frame(s,
+      s"layout_rows:${if (hilbert) "hilbert" else "morton"}:$d") {
+      layoutRowsBuild(s, d, hilbert).localCheckpoint(true)
+    }
+
+  private[graft] def layoutRowsBuild(s: org.apache.spark.sql.SparkSession,
+                              d: String,
+                              hilbert: Boolean): org.apache.spark.sql.DataFrame = {
     val base = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("p"),
       datediff(col("l_shipdate").cast(DateType),
@@ -470,12 +491,7 @@ object OlapQ {
       .withColumn("rk",
         row_number().over(w).cast(LongType) - 1L + col("__off"))
       .withColumn("file_id", shiftright(col("rk"), 12))
-      .groupBy("file_id")
-      .agg(count(lit(1)).as("n_rows"),
-        min("p").as("part_min"), max("p").as("part_max"),
-        min("day").as("day_min"), max("day").as("day_max"))
-      .withColumn("part_span", col("part_max") - col("part_min"))
-      .withColumn("day_span", col("day_max") - col("day_min"))
+      .select(col("p"), col("day"), col("file_id"))
   }
 
   /** FILE-SKIPPING ESTIMATE over the Z-ordered layout — the "measure,
@@ -613,13 +629,13 @@ object OlapQ {
        |  SELECT i AS probe_id, 'part_point' AS kind,
        |    g.pmin + i * (g.pmax - g.pmin) // 8 AS lo,
        |    g.pmin + i * (g.pmax - g.pmin) // 8 AS hi
-       |  FROM g, (SELECT unnest(range(0, 8)) AS i)),
+       |  FROM g, (SELECT UNNEST(RANGE(0, 8)) AS i)),
        |dr AS (
        |  SELECT j AS probe_id, 'day_range' AS kind,
        |    g.dmin + j * (g.dmax - g.dmin) // 4 AS lo,
        |    g.dmin + j * (g.dmax - g.dmin) // 4
        |      + (g.dmax - g.dmin) // 8 AS hi
-       |  FROM g, (SELECT unnest(range(0, 4)) AS j)),
+       |  FROM g, (SELECT UNNEST(RANGE(0, 4)) AS j)),
        |probes AS (SELECT * FROM pp UNION ALL SELECT * FROM dr),
        |adm AS (
        |  SELECT f.layout, p.probe_id, p.kind, p.lo, p.hi,
@@ -665,6 +681,113 @@ object OlapQ {
         (lit(1.0) - col("n_admitted").cast(DoubleType) /
           col("n_files").cast(DoubleType)).as("skip_ratio"))
       .orderBy(col("layout").asc, col("kind").asc, col("probe_id").asc)
+  }
+
+  /** The md5→60-bit-integer fragment as a DuckDB correlated scalar
+    * subquery (the engine side is `conv(substring(md5(..),1,15),16,10)`
+    * — same 15 hex chars, same value).
+    */
+  private def sqlHex60(e: String): String =
+    s"""(SELECT SUM(CAST(strpos('0123456789abcdef',
+       |       substr(md5($e), CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+       |       * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INT)))
+       |     FROM range(15) t(i))""".stripMargin
+
+  /** BLOOM SIDECAR SKIPPING ESTIMATE — the third leg of the layout
+    * family: per-file Bloom filters (m = 32768 bits, k = 3 md5-derived
+    * hashes — parquet's column bloom sidecar, Bloom CACM 1970) probed
+    * with the SAME 8 part-key point lookups as [[qLayoutSkipStats]],
+    * reported next to the min/max-footprint admissions. The structural
+    * point a min/max manifest can't make: bloom admission is
+    * CLUSTERING-INDEPENDENT — a file is admitted only if every probe
+    * hash hits its bit set (fp ≈ (1−e^{−kn/m})^k ≲ 2% at n ≤ 4096
+    * keys/file), so point probes skip cold files even where the sort
+    * order leaves a dimension's footprints corpus-wide; min/max needs
+    * the clustering. Range probes are the opposite trade (blooms
+    * cannot serve them) — which is why real manifests carry both.
+    *
+    * Scale shape: the bloom build is one explode+distinct over the
+    * memoized layout rows, bounded by files × m bits; probes are 24
+    * broadcast rows; admission is a keys-only join on bit position.
+    * The relational bit-set (file_id, bitpos) IS the sidecar, just
+    * row-oriented so the oracle can replay it.
+    */
+  val qLayoutBloomStats: Q = Q.sql(
+    "q_layout_bloom_stats",
+    s"""WITH $zorderFilesCte,
+       |ph AS (SELECT DISTINCT p FROM base),
+       |phh AS (
+       |  SELECT p,
+       |    ${sqlHex60("'1:' || CAST(p AS VARCHAR)")} % 32768 AS b1,
+       |    ${sqlHex60("'2:' || CAST(p AS VARCHAR)")} % 32768 AS b2,
+       |    ${sqlHex60("'3:' || CAST(p AS VARCHAR)")} % 32768 AS b3
+       |  FROM ph),
+       |rows_ AS (SELECT (rk >> 12) AS file_id, p FROM r),
+       |fb AS (SELECT DISTINCT file_id, bitpos FROM (
+       |  SELECT r2.file_id, unnest([ph2.b1, ph2.b2, ph2.b3]) AS bitpos
+       |  FROM rows_ r2 JOIN phh ph2 USING (p))),
+       |g AS (SELECT MIN(part_min) AS pmin, MAX(part_max) AS pmax FROM files),
+       |probes AS (
+       |  SELECT i AS probe_id, g.pmin + i * (g.pmax - g.pmin) // 8 AS lo
+       |  FROM g, (SELECT UNNEST(RANGE(0, 8)) AS i)),
+       |pbh AS (
+       |  SELECT probe_id, lo,
+       |    ${sqlHex60("'1:' || CAST(lo AS VARCHAR)")} % 32768 AS b1,
+       |    ${sqlHex60("'2:' || CAST(lo AS VARCHAR)")} % 32768 AS b2,
+       |    ${sqlHex60("'3:' || CAST(lo AS VARCHAR)")} % 32768 AS b3
+       |  FROM probes),
+       |pb AS (SELECT DISTINCT probe_id, bitpos FROM (
+       |  SELECT probe_id, unnest([b1, b2, b3]) AS bitpos FROM pbh)),
+       |req AS (SELECT probe_id, COUNT(*) AS k FROM pb GROUP BY 1),
+       |bm AS (
+       |  SELECT pb.probe_id, f.file_id, COUNT(DISTINCT pb.bitpos) AS nb
+       |  FROM pb JOIN fb f ON f.bitpos = pb.bitpos GROUP BY 1, 2),
+       |badm AS (
+       |  SELECT bm.probe_id, COUNT(*) AS bloom_admitted
+       |  FROM bm JOIN req ON bm.probe_id = req.probe_id AND bm.nb = req.k
+       |  GROUP BY 1),
+       |mm AS (
+       |  SELECT p.probe_id, p.lo, COUNT(*) AS n_files,
+       |    SUM(CASE WHEN f.part_min <= p.lo AND p.lo <= f.part_max
+       |      THEN 1 ELSE 0 END) AS mm_admitted
+       |  FROM probes p CROSS JOIN files f GROUP BY 1, 2)
+       |SELECT m.probe_id, m.lo, CAST(m.n_files AS BIGINT) AS n_files,
+       |  CAST(m.mm_admitted AS BIGINT) AS mm_admitted,
+       |  CAST(COALESCE(b.bloom_admitted, 0) AS BIGINT) AS bloom_admitted
+       |FROM mm m LEFT JOIN badm b ON m.probe_id = b.probe_id
+       |ORDER BY m.probe_id ASC""".stripMargin) { (s, d) =>
+    val rows = layoutRows(s, d, hilbert = false)
+    val files = layoutFileStats(s, d, hilbert = false)
+    def h(j: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(
+        concat(lit(s"$j:"), c.cast(StringType)).cast(BinaryType)), 1, 15),
+        16, 10).cast(LongType), lit(32768L))
+    val g = files.agg(min("part_min"), max("part_max")).head()
+    val (pmin, pmax) = (g.getLong(0), g.getLong(1))
+    import s.implicits._
+    val probes = (0L until 8L).map(i => (i, pmin + i * (pmax - pmin) / 8))
+      .toDF("probe_id", "lo")
+    val probebits = probes.select(col("probe_id"),
+      explode(array(h(1, col("lo")), h(2, col("lo")), h(3, col("lo"))))
+        .as("bitpos")).distinct()
+    val req = probebits.groupBy("probe_id").agg(count(lit(1)).as("k"))
+    val filebits = rows.select(col("file_id"),
+      explode(array(h(1, col("p")), h(2, col("p")), h(3, col("p"))))
+        .as("bitpos")).distinct()
+    val bloomAdm = filebits.join(broadcast(probebits), "bitpos")
+      .groupBy("probe_id", "file_id").agg(countDistinct(col("bitpos")).as("nb"))
+      .join(broadcast(req), "probe_id")
+      .filter(col("nb") === col("k"))
+      .groupBy("probe_id").agg(count(lit(1)).as("bloom_admitted"))
+    files.crossJoin(broadcast(probes))
+      .groupBy("probe_id", "lo")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("part_min") <= col("lo") && col("lo") <= col("part_max"),
+          1L).otherwise(0L)).as("mm_admitted"))
+      .join(bloomAdm, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("lo"), col("n_files"), col("mm_admitted"),
+        coalesce(col("bloom_admitted"), lit(0L)).as("bloom_admitted"))
+      .orderBy(col("probe_id").asc)
   }
 
   /** MARKET-BASKET PAIR MINING — the frequent-itemset primitive
@@ -1382,7 +1505,7 @@ object OlapQ {
 
   val all: Seq[Q] = Seq(qSetOps, qRollup, qPivot, qWindowFuncs, qCube, qTimeFill,
     qLayoutZorder, qLayoutSkipStats, qLayoutHilbert, qLayoutCompare,
-    qMarketBasket, qFulfillmentLatency,
+    qLayoutBloomStats, qMarketBasket, qFulfillmentLatency,
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
     qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
     qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll,

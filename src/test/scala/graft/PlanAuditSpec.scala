@@ -835,7 +835,10 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("z-order layout rank is bucket-partitioned with a broadcast offset table") {
-    val p = plan("q_layout_zorder")
+    // the rank pipeline moved inside the memoized layout-rows manifest
+    // (built once per session×corpus); audit the BUILD plan directly
+    val p = graft.queries.OlapQ.layoutRowsBuild(spark, sfDir, hilbert = false)
+      .queryExecution.executedPlan.toString
     // the rank window must partition by the z-prefix bucket; the only
     // global (SinglePartition) exchange allowed is the 4-value bounds
     // reduction, which is constant-size at any corpus
@@ -846,8 +849,13 @@ class PlanAuditSpec extends SparkSpecBase {
       s"only the 1-row bounds reduction may plan a global exchange:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       "the <=256-row bucket-offset table must broadcast")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      "per-file stats must map-side combine")
+    // the catalog queries consume the checkpointed manifest, never
+    // re-running the rank
+    val q = plan("q_layout_zorder")
+    assert(q.contains("ExistingRDD"),
+      s"q_layout_zorder must read the memoized manifest:\n$q")
+    assert(!q.contains("windowspecdefinition"),
+      "the catalog query must not re-run the rank window")
   }
 
   test("SCD2 build is window-only over the user_id exchange — no change-log self-join") {

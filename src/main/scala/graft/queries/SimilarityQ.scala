@@ -524,6 +524,64 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }.preparedBy(prepareAnnLshKeys)
 
+  /** BFS HOP DISTANCE over the kNN graph — min hops (≤ 4) from the
+    * benchmark seed set (vec_id < 5, the corpus's standing query
+    * vectors) to every reachable vector: the semantic-radius operator
+    * behind "how far is this example from the eval set" triage, and
+    * the unweighted-SSSP primitive the component/label-prop family
+    * doesn't expose (components say WHETHER connected, hops say HOW
+    * CLOSE).
+    *
+    * Scale shape: Pregel-style frontier expansion over the memoized
+    * kNN edge table — each of the 4 rounds is one keys-only join +
+    * distinct + anti-join against the reached set, with a
+    * localCheckpoint truncating plan lineage per round (the iterative
+    * DataFrame idiom; at 100 TB each round is one bounded shuffle and
+    * the frontier shrinks as the graph saturates). Depth is FIXED at
+    * 4, so the loop is 4 declarative plans, not a driver-side
+    * convergence test. ORACLE REPLAY: DuckDB recursive CTE walks the
+    * same edges carrying (node, hops), deduped by UNION, min-hop per
+    * node — BFS is deterministic, so the hash gate is exact.
+    */
+  val qEmbKnnHops: Q = Q.sql(
+    "q_emb_knn_hops",
+    s"""WITH RECURSIVE $knnRankedCte,
+       |knn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= $knnK),
+       |edges AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM knn
+       |  UNION SELECT neighbor_id, vec_id FROM knn),
+       |walk AS (
+       |  SELECT DISTINCT src AS v, 0 AS hops FROM edges WHERE src < 5
+       |  UNION
+       |  SELECT e.dst AS v, w.hops + 1 AS hops
+       |  FROM walk w JOIN edges e ON w.v = e.src WHERE w.hops < 4)
+       |SELECT v AS vec_id, CAST(MIN(hops) AS INT) AS hops
+       |FROM walk GROUP BY v
+       |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
+    val knn = knnGraphFrame(s, d).select(col("vec_id"), col("neighbor_id"))
+    val edges = knn
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .unionByName(knn
+        .select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var reached = edges.filter(col("src") < 5)
+      .select(col("src").as("v")).distinct()
+      .withColumn("hops", lit(0))
+    var frontier = reached
+    for (h <- 1 to 4) {
+      frontier = frontier.join(edges, frontier("v") === edges("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(reached, Seq("v"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      reached = reached.unionByName(frontier).localCheckpoint(true)
+    }
+    reached
+      .select(col("v").as("vec_id"), col("hops").cast(IntegerType).as("hops"))
+      .orderBy(col("vec_id").asc)
+  }.preparedBy(prepareAnnLshKeys)
+
   /** HARD-NEGATIVE MINING for retrieval/metric training (the standard
     * contrastive-training data op: for each anchor, the most similar
     * vectors of a DIFFERENT label are the negatives that actually move
@@ -2052,5 +2110,5 @@ object SimilarityQ {
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
     qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,
-    qEmbMatryoshka)
+    qEmbMatryoshka, qEmbKnnHops)
 }

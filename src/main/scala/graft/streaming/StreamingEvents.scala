@@ -94,6 +94,26 @@ object StreamingEvents {
           .as("window_start_sec"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming MATERIALIZED running stats — the live view of
+    * q_events_incremental_agg's merged state: per-type count, exact
+    * decimal sum, min and max, maintained by the streaming
+    * aggregation state store and re-emitted complete every batch.
+    * Deliberately unwatermarked in COMPLETE mode: the state is
+    * bounded by the KEY DOMAIN (≤ #event-types rows of moments),
+    * not the stream's length, so there is nothing for a watermark to
+    * evict — the same mergeable-moment algebra the batch query
+    * proves against the oracle, running continuously.
+    */
+  def runningStats(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .select(col("event_type"), col("n_events"),
+        col("sv").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+
   /** Streaming sessionization with a 30-minute idle gap — the same
     * session definition as the batch gaps-and-islands query
     * (q_events_sessionize), implemented as per-user state:

@@ -67,6 +67,40 @@ class StreamingEventsSpec extends SparkSpecBase {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("streaming running stats equal the batch merge after incremental chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = StreamingEvents.runningStats(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("running_parity")
+      .outputMode("complete").start()
+    try {
+      // two chunks split mid-stream: the state store must MERGE, not
+      // recompute — the streaming twin of q_events_incremental_agg
+      val (a, b) = fixture.partition(_.ts_sec % 2 == 0)
+      stream.addData(a)
+      q.processAllAvailable()
+      stream.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("running_parity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streaming sessionization equals the batch gaps-and-islands query") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]

@@ -1733,6 +1733,77 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** SIMPLE EXPONENTIAL SMOOTHING over the per-type daily series —
+    * the forecasting baseline every ops dashboard runs on its volume
+    * counts. α is FIXED AT ½ so every weight is dyadic (2^−(j+1) has
+    * an exact finite decimal expansion), the recursion unrolls to a
+    * 12-term weighted sum computed entirely in DECIMAL, and the
+    * result is bit-identical across engines — an arbitrary α's
+    * pow() would drift in the last ulp between libm and the JVM (the
+    * same transcendental-avoidance call as q_events_dp_counts).
+    * Truncation at 12 terms discards ≤ 2^−12 of the weight mass;
+    * warm-up rows (the first 11 days per type) are NOT emitted, so
+    * every published value carries the full declared window.
+    *
+    * Scale shape: one dense (type × day) grid (tiny — the month grid
+    * times the key domain), one window pass per type with 12 lag
+    * taps; no self-joins, no recursion at runtime.
+    */
+  val qSes: Q = {
+    val weights = (1 to 12).map(j =>
+      java.math.BigDecimal.ONE.divide(new java.math.BigDecimal(1L << j)))
+    val sqlTerms = weights.zipWithIndex.map { case (wj, j) =>
+      s"CAST(LAG(n, $j, 0) OVER w AS DECIMAL(10,0))\n      |    * CAST(${wj.toPlainString} AS DECIMAL(13,12))"
+    }.mkString("\n      |  + ")
+    Q.sql(
+      "q_events_ses",
+      s"""WITH e AS (
+         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+         |    AS BIGINT) AS day, event_type
+         |  FROM events),
+         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+         |  FROM ty t CROSS JOIN days d
+         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+         |smoothed AS (
+         |  SELECT event_type, day, n,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    $sqlTerms AS ses_dec
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC))
+         |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         |  CAST(ses_dec AS DOUBLE) AS ses
+         |FROM smoothed WHERE rn >= 12
+         |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(epochDay(col("ts")).as("day"), col("event_type"))
+      val b = e.agg(min("day").as("lo"), max("day").as("hi"))
+      val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      val ses = weights.zipWithIndex.map { case (wj, j) =>
+        lag(col("n"), j, 0L).over(w).cast(DecimalType(10, 0)) *
+          lit(wj).cast(DecimalType(13, 12))
+      }.reduce(_ + _)
+      grid
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ses_dec", ses)
+        .filter(col("rn") >= 12)
+        .select(col("event_type"), col("day"), col("n"),
+          col("ses_dec").cast(DoubleType).as("ses"))
+        .orderBy(col("event_type").asc, col("day").asc)
+    }
+  }
+
   /** DIFFERENTIALLY-PRIVATE release counts — the binomial mechanism
     * (Dwork, Kenthapadi, McSherry, Mironov, Naor, EUROCRYPT 2006):
     * per-type distinct-user counts (sensitivity 1 under user
@@ -1786,5 +1857,5 @@ object EventsQ {
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
-    qIncrementalAgg, qDpCounts)
+    qIncrementalAgg, qDpCounts, qSes)
 }

@@ -63,6 +63,45 @@ class IncrementalMechanismsSpec extends SparkSpecBase {
     }
   }
 
+  private lazy val sesDir: String = {
+    val d = Files.createTempDirectory("ses_fix").toString
+    // type "flat": 4 events every day for 20 days -> SES of a constant
+    // series is c * (1 - 2^-12) (the truncated dyadic mass, exactly).
+    // type "spike": 1 event daily plus 32 extra on day 12 -> the spike
+    // decays by exact halves through the following days.
+    val day0 = 19800L
+    val rows = (0 until 20).flatMap { dday =>
+      val ts = new java.sql.Timestamp((day0 + dday) * 86400000L)
+      val flat = (0 until 4).map(k =>
+        (dday * 100L + k, ts, k.toLong, "flat", 1.0, "{}"))
+      val spike = (0 until (if (dday == 11) 33 else 1)).map(k =>
+        (dday * 1000L + 500L + k, ts, k.toLong, "spike", 1.0, "{}"))
+      flat ++ spike
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("ses: constant series smooths to c*(1-2^-12); a spike decays by exact halves") {
+    val rows = SparkEntry.queries("q_events_ses")(spark, sesDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val flat = rows.filter(_._1 == "flat")
+    assert(flat.length == 9, s"20-day series must emit days 12..20, got ${flat.length}")
+    flat.foreach { case (_, _, n, ses) =>
+      assert(n == 4L)
+      assert(ses == 4.0 * (1.0 - 1.0 / 4096.0), s"constant SES wrong: $ses")
+    }
+    // spike of +32 on day index 11 (the 12th day, first emitted row):
+    // contributes 32 * 2^-(j+1) on the j-th day after it
+    val spike = rows.filter(_._1 == "spike").sortBy(_._2)
+    val base = 1.0 * (1.0 - 1.0 / 4096.0)
+    spike.zipWithIndex.foreach { case ((_, _, _, ses), j) =>
+      val expected = base + 32.0 / (1L << (j + 1))
+      assert(ses == expected, s"day +$j after spike: $ses != $expected")
+    }
+  }
+
   private lazy val bloomDir: String = {
     val d = Files.createTempDirectory("bloom_fix").toString
     // two parts at the key-range ends: the single file's footprint is

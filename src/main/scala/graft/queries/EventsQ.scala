@@ -1804,6 +1804,79 @@ object EventsQ {
     }
   }
 
+  /** ROBUST TREND over the per-type daily series — Theil–Sen slope
+    * (the median of all pairwise day-to-day slopes, Sen JASA 1968:
+    * breakdown point 29%, immune to the outlier days that drag OLS)
+    * reported NEXT TO the OLS slope, so the gap between them is
+    * itself the outlier diagnostic.
+    *
+    * Determinism: every pairwise slope is an IEEE divide of exact
+    * integers (identical doubles in both engines); the median is an
+    * order statistic (avg of the two middles when even — both
+    * engines' convention), never a sum. OLS runs on integer moment
+    * sums (Σd, Σn, Σdn, Σd²) with ONE final divide; int64 holds
+    * until ~4·10^14 events/day·days — stated contract, cast
+    * explicitly on the oracle side so both engines do int64 math.
+    *
+    * Scale shape: the pair join is CO-PARTITIONED per type and the
+    * pair space is (#days choose 2) per type — bounded by the
+    * calendar, not the corpus (30 days → 435 pairs however many
+    * events); the OLS moments map-side combine to one row per type.
+    */
+  val qTrend: Q = Q.sql(
+    "q_events_trend",
+    """WITH dgrid AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+      |      AS BIGINT) AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM dgrid a JOIN dgrid b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |ts_med AS (
+      |  SELECT event_type, MEDIAN(slope) AS theil_sen_slope
+      |  FROM pairs GROUP BY 1),
+      |ols AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+      |    CAST(SUM(day * n) AS BIGINT) AS sxy,
+      |    CAST(SUM(day * day) AS BIGINT) AS sxx
+      |  FROM dgrid GROUP BY 1)
+      |SELECT o.event_type, o.m AS n_days,
+      |  CAST(o.m * o.sxy - o.sx * o.sy AS DOUBLE)
+      |    / CAST(o.m * o.sxx - o.sx * o.sx AS DOUBLE) AS ols_slope,
+      |  t.theil_sen_slope
+      |FROM ols o JOIN ts_med t ON o.event_type = t.event_type
+      |ORDER BY o.event_type ASC""".stripMargin) { (s, d) =>
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"), epochDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val slopes = g.select(col("event_type"), col("day").as("da"), col("n").as("na"))
+      .join(g.select(col("event_type"), col("day").as("db"), col("n").as("nb")),
+        Seq("event_type"))
+      .filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("nb") - col("na")).cast(DoubleType) / (col("db") - col("da")))
+          .as("slope"))
+    val tsMed = slopes.groupBy("event_type")
+      .agg(median(col("slope")).as("theil_sen_slope"))
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("day").as("sx"), sum("n").as("sy"),
+        sum(col("day") * col("n")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .join(tsMed, "event_type")
+      .select(col("event_type"), col("m").as("n_days"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("m") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("ols_slope"),
+        col("theil_sen_slope"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** DIFFERENTIALLY-PRIVATE release counts — the binomial mechanism
     * (Dwork, Kenthapadi, McSherry, Mironov, Naor, EUROCRYPT 2006):
     * per-type distinct-user counts (sensitivity 1 under user
@@ -1857,5 +1930,5 @@ object EventsQ {
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
-    qIncrementalAgg, qDpCounts, qSes)
+    qIncrementalAgg, qDpCounts, qSes, qTrend)
 }

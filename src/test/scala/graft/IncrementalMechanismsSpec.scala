@@ -102,6 +102,20 @@ class IncrementalMechanismsSpec extends SparkSpecBase {
     }
   }
 
+  test("trend: Theil-Sen shrugs off the spike day that drags OLS") {
+    val rows = SparkEntry.queries("q_events_trend")(spark, sesDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (fn, fOls, fTs) = rows("flat")
+    assert(fn == 20L && fOls == 0.0 && fTs == 0.0, s"constant series: $rows")
+    val (sn, sOls, sTs) = rows("spike")
+    // one +32 outlier day just past the series midpoint: the median of
+    // pairwise slopes is still 0 (171 of 190 pairs avoid the spike),
+    // while OLS is dragged positive
+    assert(sn == 20L && sTs == 0.0, s"Theil-Sen must resist the outlier: $sTs")
+    assert(sOls > 0.0, s"OLS must be dragged by the outlier: $sOls")
+  }
+
   private lazy val bloomDir: String = {
     val d = Files.createTempDirectory("bloom_fix").toString
     // two parts at the key-range ends: the single file's footprint is

@@ -435,6 +435,38 @@ object ScaleProbeMain {
       time("market_basket_10x(baskets unchanged)") {
         SparkEntry.queries("q_market_basket")(spark, bigDir).count()
       }
+      // round-8 continuation: the layout family's other legs at 10x —
+      // hilbert shares the rank machinery (same two scans + window),
+      // compare reads both memoized manifests, bloom explodes 3 bit
+      // positions per row then joins keys-only. All ride the memoized
+      // layout-rows frame, so the marginal probes price the SHARED
+      // build once (hilbert) and the per-leg deltas after it.
+      time(s"layout_hilbert_10x(${nli * 10} order keys)") {
+        SparkEntry.queries("q_layout_hilbert")(spark, bigDir).count()
+      }
+      time("layout_compare_10x") {
+        SparkEntry.queries("q_layout_compare")(spark, bigDir).count()
+      }
+      time("layout_bloom_10x") {
+        SparkEntry.queries("q_layout_bloom_stats")(spark, bigDir).count()
+      }
+    }
+    // round-8 continuation: BFS over the duplicate-heavy kNN graph
+    // (twin buckets make dense frontiers — the stress case for the
+    // anti-join against reached), and the three event mechanisms at
+    // 10x users (grid and state sizes key-domain-bounded, so these
+    // must scale with the scan, not the state)
+    time(s"knn_hops_10x(${nEmb * 10} vecs, duplicate-heavy)") {
+      SparkEntry.queries("q_emb_knn_hops")(spark, bigDir).count()
+    }
+    time("incremental_agg_10x(10x users)") {
+      SparkEntry.queries("q_events_incremental_agg")(spark, bigDir).count()
+    }
+    time("ses_10x(10x users)") {
+      SparkEntry.queries("q_events_ses")(spark, bigDir).count()
+    }
+    time("dp_counts_10x(10x users)") {
+      SparkEntry.queries("q_events_dp_counts")(spark, bigDir).count()
     }
     time(s"novelty_curve_10x(${n * 10} docs, 90% dups)") {
       SparkEntry.queries("q_doc_novelty_curve")(spark, bigDir).count()

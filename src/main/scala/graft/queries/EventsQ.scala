@@ -1877,6 +1877,172 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** CUSUM LEVEL-SHIFT DETECTION over the per-type daily series (Page
+    * Biometrika 1954): the day where the cumulative deviation of
+    * observed prefix mass from the expected (uniform-rate) prefix
+    * peaks — the classic changepoint locator for "when did the volume
+    * regime shift". INTEGER-EXACT throughout: the statistic is scaled
+    * by m (C_t = m·prefix_t − t·total, so no per-row mean division),
+    * argmax ties break on the earlier day, and only the final
+    * per-type normalization divides. Pairs with [[qTrend]] and
+    * [[qSes]] as the detection leg of the time-series family.
+    *
+    * Scale shape: dense per-type grid (calendar-bounded), one window
+    * prefix sum and one argmax window per type; int64 holds until
+    * m·total ≈ 2^63 (≈ 3·10^17 events/month) — stated contract.
+    */
+  val qChangepoint: Q = Q.sql(
+    "q_events_changepoint",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      |  FROM ty t CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      |pfx AS (
+      |  SELECT event_type, day,
+      |    SUM(n) OVER w AS p,
+      |    ROW_NUMBER() OVER w AS t,
+      |    SUM(n) OVER (PARTITION BY event_type) AS total,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS m
+      |  FROM grid
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+      |cusum AS (
+      |  SELECT event_type, day,
+      |    CAST(m AS BIGINT) * CAST(p AS BIGINT)
+      |      - CAST(t AS BIGINT) * CAST(total AS BIGINT) AS c,
+      |    CAST(m AS BIGINT) AS m
+      |  FROM pfx),
+      |ranked AS (
+      |  SELECT event_type, day, c, m,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(c) DESC, day ASC) AS rn
+      |  FROM cusum)
+      |SELECT event_type, day AS cp_day, CAST(abs(c) AS BIGINT) AS cusum_abs,
+      |  CAST(abs(c) AS DOUBLE) / m AS deviation_events
+      |FROM ranked WHERE rn = 1
+      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), epochDay(col("ts")).as("day"))
+    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+        Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cn"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wAll = Window.partitionBy("event_type")
+    val cusum = grid
+      .withColumn("p", sum("n").over(w))
+      .withColumn("t", row_number().over(w).cast(LongType))
+      .withColumn("total", sum("n").over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll).cast(LongType))
+      .withColumn("c", col("m") * col("p") - col("t") * col("total"))
+    cusum
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("c")).desc,
+          col("day").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("c")).as("cusum_abs"),
+        (abs(col("c")).cast(DoubleType) / col("m")).as("deviation_events"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** LAG AUTOCORRELATION of the per-type daily series at lags 1 and
+    * 7 — the cadence detector (is yesterday predictive; is there a
+    * weekly rhythm) read before fitting any seasonal model. Computed
+    * in the m²-scaled integer form (numerator Σ(m·x_t − S)(m·x_{t+k}
+    * − S), denominator Σ(m·x_t − S)² with S = Σx) so no per-row mean
+    * subtraction in floating point — sums run in DECIMAL(38,0)
+    * (exact far past int64; DuckDB's HUGEINT mirrors it) and the
+    * single final divide is IEEE-identical in both engines.
+    *
+    * Scale shape: dense calendar-bounded grid, one self-join per lag
+    * on (type, day+k) — the grid is tiny at any corpus size, so both
+    * lags cost two broadcast-sized joins.
+    */
+  val qAutocorr: Q = Q.sql(
+    "q_events_autocorr",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      |  FROM ty t CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(n) AS BIGINT) AS sy
+      |  FROM grid GROUP BY 1),
+      |dev AS (
+      |  SELECT g.event_type, g.day,
+      |    CAST(s.m AS DECIMAL(18,0)) * CAST(g.n AS DECIMAL(18,0))
+      |      - CAST(s.sy AS DECIMAL(18,0)) AS dv
+      |  FROM grid g JOIN st s ON g.event_type = s.event_type),
+      |lags AS (SELECT UNNEST([1, 7]) AS k),
+      |num AS (
+      |  SELECT a.event_type, l.k, SUM(a.dv * b2.dv) AS nsum
+      |  FROM dev a
+      |  CROSS JOIN lags l
+      |  JOIN dev b2 ON b2.event_type = a.event_type
+      |    AND b2.day = a.day + l.k
+      |  GROUP BY 1, 2),
+      |den AS (
+      |  SELECT event_type, SUM(dv * dv) AS dsum FROM dev GROUP BY 1)
+      |SELECT n2.event_type, CAST(n2.k AS INT) AS k,
+      |  CAST(n2.nsum AS DOUBLE) / NULLIF(CAST(d2.dsum AS DOUBLE), 0) AS acf
+      |FROM num n2 JOIN den d2 ON n2.event_type = d2.event_type
+      |ORDER BY n2.event_type ASC, k ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), epochDay(col("ts")).as("day"))
+    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+        Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cn"), lit(0L)).as("n"))
+    val st = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("n").as("sy"))
+    val dev = grid.join(st, "event_type")
+      .select(col("event_type"), col("day"),
+        (col("m").cast(DecimalType(18, 0)) * col("n").cast(DecimalType(18, 0))
+          - col("sy").cast(DecimalType(18, 0))).as("dv"))
+      .localCheckpoint(true)
+    import s.implicits._
+    val lags = Seq(1, 7).toDF("k")
+    val num = dev.as("a")
+      .crossJoin(broadcast(lags))
+      .join(dev.as("b2"),
+        col("b2.event_type") === col("a.event_type") &&
+          col("b2.day") === col("a.day") + col("k"))
+      .groupBy(col("a.event_type").as("event_type"), col("k"))
+      .agg(sum(col("a.dv") * col("b2.dv")).as("nsum"))
+    val den = dev.groupBy("event_type").agg(sum(col("dv") * col("dv")).as("dsum"))
+    num.join(den, "event_type")
+      .select(col("event_type"), col("k").cast(IntegerType).as("k"),
+        (col("nsum").cast(DoubleType)
+          / nullif(col("dsum").cast(DoubleType), lit(0.0))).as("acf"))
+      .orderBy(col("event_type").asc, col("k").asc)
+  }
+
   /** DIFFERENTIALLY-PRIVATE release counts — the binomial mechanism
     * (Dwork, Kenthapadi, McSherry, Mironov, Naor, EUROCRYPT 2006):
     * per-type distinct-user counts (sensitivity 1 under user
@@ -1930,5 +2096,5 @@ object EventsQ {
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
-    qIncrementalAgg, qDpCounts, qSes, qTrend)
+    qIncrementalAgg, qDpCounts, qSes, qTrend, qChangepoint, qAutocorr)
 }

@@ -116,6 +116,32 @@ class IncrementalMechanismsSpec extends SparkSpecBase {
     assert(sOls > 0.0, s"OLS must be dragged by the outlier: $sOls")
   }
 
+  test("changepoint: CUSUM peaks the day before the spike; flat series peaks at zero") {
+    val rows = SparkEntry.queries("q_events_changepoint")(spark, sesDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val day0 = 19800L
+    // spike series: prefix deficit -32t grows until the spike lands,
+    // so |C| maxes at t=11 (the day BEFORE the +32 day): |C|=352
+    assert(rows("spike") == ((day0 + 10, 352L, 352.0 / 20.0)), rows("spike"))
+    // constant series: C == 0 everywhere, tie broken to the first day
+    assert(rows("flat") == ((day0, 0L, 0.0)), rows("flat"))
+  }
+
+  test("autocorr: exact rational ACF on the spike; NULL on the zero-variance series") {
+    val rows = SparkEntry.queries("q_events_autocorr")(spark, sesDir).collect()
+    val spike = rows.filter(_.getString(0) == "spike")
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // hand-computed on dv = 20x - 52: den = 389120,
+    // num(1) = 17*1024 - 2*19456, num(7) = 11*1024 - 2*19456
+    assert(spike(1) == -21504.0 / 389120.0, s"acf(1)=${spike(1)}")
+    assert(spike(7) == -27648.0 / 389120.0, s"acf(7)=${spike(7)}")
+    rows.filter(_.getString(0) == "flat").foreach { r =>
+      assert(r.isNullAt(2), "zero-variance series must yield NULL acf")
+    }
+  }
+
   private lazy val bloomDir: String = {
     val d = Files.createTempDirectory("bloom_fix").toString
     // two parts at the key-range ends: the single file's footprint is

@@ -1958,6 +1958,71 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** DAY-OF-WEEK SEASONALITY PROFILE — the weekly shape of each
+    * type's volume: per (type, weekday) the mean daily count over the
+    * dense grid and its index against the type's overall mean (1.0 =
+    * flat; the multiplicative profile a seasonal-naive forecast or a
+    * staffing model consumes). Weekday is computed arithmetically as
+    * (epoch_day + 4) mod 7 (day 0 = 1970-01-01 was a Thursday; 0 =
+    * Sunday) so both engines share one integer definition instead of
+    * two datetime libraries. Means and the index are ratios of exact
+    * integer sums evaluated in the same operand order — IEEE-stable.
+    *
+    * Scale shape: calendar-bounded grid, one ≤ 7·#types-row
+    * aggregate; the overall mean joins back per type (broadcast-tiny).
+    */
+  val qSeasonality: Q = Q.sql(
+    "q_events_seasonality",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      |  FROM ty t CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      |dw AS (
+      |  SELECT event_type, CAST((day + 4) % 7 AS INT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(n) AS BIGINT) AS sn
+      |  FROM grid GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(n) AS BIGINT) AS s
+      |  FROM grid GROUP BY 1)
+      |SELECT d.event_type, d.dow, d.n_days,
+      |  CAST(d.sn AS DOUBLE) / d.n_days AS mean_n,
+      |  (CAST(d.sn AS DOUBLE) / d.n_days)
+      |    / (CAST(t2.s AS DOUBLE) / t2.m) AS dow_index
+      |FROM dw d JOIN tot t2 ON d.event_type = t2.event_type
+      |ORDER BY d.event_type ASC, d.dow ASC""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), epochDay(col("ts")).as("day"))
+    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val grid = e.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+        Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cn"), lit(0L)).as("n"))
+    val dw = grid
+      .groupBy(col("event_type"), ((col("day") + 4) % 7).cast(IntegerType).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("n").as("sn"))
+    val tot = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("n").as("s"))
+    dw.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (col("sn").cast(DoubleType) / col("n_days")).as("mean_n"),
+        ((col("sn").cast(DoubleType) / col("n_days"))
+          / (col("s").cast(DoubleType) / col("m"))).as("dow_index"))
+      .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
   /** LAG AUTOCORRELATION of the per-type daily series at lags 1 and
     * 7 — the cadence detector (is yesterday predictive; is there a
     * weekly rhythm) read before fitting any seasonal model. Computed
@@ -2096,5 +2161,6 @@ object EventsQ {
     qTransitions, qValueHistogram, qPaths, qAudienceOverlap, qBotCadence,
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
-    qIncrementalAgg, qDpCounts, qSes, qTrend, qChangepoint, qAutocorr)
+    qIncrementalAgg, qDpCounts, qSes, qTrend, qChangepoint, qAutocorr,
+    qSeasonality)
 }

@@ -1958,6 +1958,93 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** HOLT LINEAR (level + trend) FORECAST over the per-type daily
+    * series — [[qSes]]'s double-exponential sibling: with α = β = ½
+    * and zero initial state, the 12-day windowed recursion
+    *   l_t = (x_t + l_{t−1} + b_{t−1})/2,
+    *   b_t = (l_t − l_{t−1})/2 + b_{t−1}/2
+    * unrolls to fixed dyadic tap weights. Those weights are carried
+    * as INTEGERS scaled by 2^24 (generated from the recursion with
+    * exact rational arithmetic; IncrementalMechanismsSpec re-derives
+    * them independently), so level, trend and the 7-day-ahead
+    * forecast (l + 7b) are integer tap sums with ONE final double
+    * divide each — bit-identical across engines, immune to both
+    * libm drift and Spark's decimal-precision-loss rescaling. The
+    * zero-init window convention trades ~1.7% of weight mass
+    * (Σw = 0.9834) for restartability — each output row depends on
+    * exactly its 12 trailing days, nothing earlier. int64 holds to
+    * ~10^11 events/day (|k|·x·12 < 2^63) — stated contract.
+    *
+    * Scale shape: identical to [[qSes]] — calendar-bounded grid, one
+    * window pass, 12 lag taps.
+    */
+  val qHolt: Q = {
+    // tap weights × 2^24 for window position j (0 = oldest of 12):
+    // level taps kl, trend taps kb — exact by construction
+    val kl = Seq(54742L, -57544L, -253344L, -518272L, -788992L, -935936L,
+      -761856L, -32768L, 1441792L, 3670016L, 6291456L, 8388608L)
+    val kb = Seq(139657L, 167028L, 138256L, 11584L, -247552L, -642048L,
+      -1110016L, -1490944L, -1507328L, -786432L, 1048576L, 4194304L)
+    val d24 = (1L << 24).toDouble
+    def taps(ks: Seq[Long]): String =
+      ks.zipWithIndex.map { case (k, j) =>
+        s"($k) * CAST(LAG(n, ${11 - j}, 0) OVER w AS BIGINT)"
+      }.mkString("\n      |    + ")
+    Q.sql(
+      "q_events_holt",
+      s"""WITH e AS (
+         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+         |    AS BIGINT) AS day, event_type
+         |  FROM events),
+         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+         |  FROM ty t CROSS JOIN days d
+         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+         |tapped AS (
+         |  SELECT event_type, day, n,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    ${taps(kl)} AS lnum,
+         |    ${taps(kb)} AS bnum
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC))
+         |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         |  CAST(lnum AS DOUBLE) / 16777216e0 AS level,
+         |  CAST(bnum AS DOUBLE) / 16777216e0 AS trend,
+         |  CAST(lnum + 7 * bnum AS DOUBLE) / 16777216e0 AS forecast_7d
+         |FROM tapped WHERE rn >= 12
+         |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(epochDay(col("ts")).as("day"), col("event_type"))
+      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      def num(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
+        lit(k) * lag(col("n"), 11 - j, 0L).over(w).cast(LongType)
+      }.reduce(_ + _)
+      grid
+        .withColumn("rn", row_number().over(w))
+        .withColumn("lnum", num(kl))
+        .withColumn("bnum", num(kb))
+        .filter(col("rn") >= 12)
+        .select(col("event_type"), col("day"), col("n"),
+          (col("lnum").cast(DoubleType) / lit(d24)).as("level"),
+          (col("bnum").cast(DoubleType) / lit(d24)).as("trend"),
+          ((col("lnum") + lit(7L) * col("bnum")).cast(DoubleType) / lit(d24))
+            .as("forecast_7d"))
+        .orderBy(col("event_type").asc, col("day").asc)
+    }
+  }
+
   /** DAY-OF-WEEK SEASONALITY PROFILE — the weekly shape of each
     * type's volume: per (type, weekday) the mean daily count over the
     * dense grid and its index against the type's overall mean (1.0 =
@@ -2162,5 +2249,5 @@ object EventsQ {
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
     qIncrementalAgg, qDpCounts, qSes, qTrend, qChangepoint, qAutocorr,
-    qSeasonality)
+    qSeasonality, qHolt)
 }

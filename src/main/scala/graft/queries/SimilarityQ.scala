@@ -558,13 +558,14 @@ object SimilarityQ {
        |SELECT v AS vec_id, CAST(MIN(hops) AS INT) AS hops
        |FROM walk GROUP BY v
        |ORDER BY vec_id ASC""".stripMargin) { (s, d) =>
-    val knn = knnGraphFrame(s, d).select(col("vec_id"), col("neighbor_id"))
-    val edges = knn
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .unionByName(knn
-        .select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = SharedFrames.frame(s, s"knn_undirected_edges:$d") {
+      val knn = knnGraphFrame(s, d).select(col("vec_id"), col("neighbor_id"))
+      knn.select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .unionByName(knn
+          .select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+    }
     var reached = edges.filter(col("src") < 5)
       .select(col("src").as("v")).distinct()
       .withColumn("hops", lit(0))

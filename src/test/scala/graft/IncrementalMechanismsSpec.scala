@@ -142,6 +142,45 @@ class IncrementalMechanismsSpec extends SparkSpecBase {
     }
   }
 
+  test("holt: taps re-derive from the recursion; flat series pins to the exact tap sums") {
+    // independent exact re-derivation of the 2^24-scaled tap weights:
+    // run the zero-init alpha=beta=1/2 recursion on unit impulses with
+    // BigDecimal (exact — every division is by 2)
+    val W = 12
+    val half = new java.math.BigDecimal("0.5")
+    var la = Vector.fill(W)(java.math.BigDecimal.ZERO)
+    var ba = Vector.fill(W)(java.math.BigDecimal.ZERO)
+    (0 until W).foreach { t =>
+      val nl0 = (0 until W).map(j => la(j).add(ba(j)).multiply(half))
+      val nl = nl0.updated(t, nl0(t).add(half))
+      val nb = (0 until W).map(j =>
+        nl(j).subtract(la(j)).multiply(half).add(ba(j).multiply(half)))
+      la = nl.toVector; ba = nb.toVector
+    }
+    val d24 = new java.math.BigDecimal(1L << 24)
+    val kl = la.map(_.multiply(d24).longValueExact())
+    val kb = ba.map(_.multiply(d24).longValueExact())
+    // flat series (n = 4 every day): level = 4*sum(kl)/2^24 etc.
+    val rows = SparkEntry.queries("q_events_holt")(spark, sesDir).collect()
+      .filter(_.getString(0) == "flat")
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 9)
+    val expL = 4.0 * kl.sum / (1L << 24).toDouble
+    val expB = 4.0 * kb.sum / (1L << 24).toDouble
+    val expF = 4.0 * (kl.sum + 7 * kb.sum) / (1L << 24).toDouble
+    rows.foreach { case (l, b, f) =>
+      assert(l == expL, s"level $l != $expL")
+      assert(b == expB, s"trend $b != $expB")
+      assert(f == expF, s"forecast $f != $expF")
+    }
+    // the production taps must equal the re-derived ones: compare via
+    // the published values on a delta series (impulse on the last day)
+    // — cheaper: assert the sums used above match the query's scaladoc
+    // constants by recomputing one emitted row's level from raw counts
+    assert(kl.sum == 16497902L && kb.sum == -84915L,
+      s"re-derived tap sums drifted: ${kl.sum}, ${kb.sum}")
+  }
+
   private lazy val bloomDir: String = {
     val d = Files.createTempDirectory("bloom_fix").toString
     // two parts at the key-range ends: the single file's footprint is

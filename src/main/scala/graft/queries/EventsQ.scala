@@ -2045,6 +2045,119 @@ object EventsQ {
     }
   }
 
+  /** FORECAST BACKTEST — the model-selection operator over the
+    * smoothing pair: for each type, walk the daily series and score
+    * the ONE-STEP-AHEAD error of [[qSes]] (forecast = yesterday's
+    * smoothed level) against [[qHolt]] (forecast = yesterday's level
+    * + trend), reporting both MAEs and the winner. Which smoother a
+    * stream deserves is an empirical question; this query answers it
+    * from data, per stream — the forecasting leg's q_layout_compare.
+    *
+    * Exactness: both forecasts are 2^24-scaled INTEGER tap sums, so
+    * each residual is |int − 2^24·x| in int64, the MAE is one
+    * integer sum divided once, and the winner comes from comparing
+    * the two integer sums directly (no float ever decides).
+    *
+    * Scale shape: same calendar-bounded grid and window pass as the
+    * smoothers; the verdict is a ≤#types-row aggregate.
+    */
+  val qBacktest: Q = {
+    val ksSes = (0 until 12).map(j => 1L << (23 - j)) // 2^24 * 2^-(j+1)
+    val klHolt = Seq(54742L, -57544L, -253344L, -518272L, -788992L, -935936L,
+      -761856L, -32768L, 1441792L, 3670016L, 6291456L, 8388608L)
+    val kbHolt = Seq(139657L, 167028L, 138256L, 11584L, -247552L, -642048L,
+      -1110016L, -1490944L, -1507328L, -786432L, 1048576L, 4194304L)
+    // taps indexed by window position j (0 = oldest of 12) -> lag 11-j;
+    // ses taps are by LAG j directly (j = 0 newest)
+    def lagTaps(ks: Seq[Long]): String =
+      ks.zipWithIndex.map { case (k, j) =>
+        s"($k) * CAST(LAG(n, ${11 - j}, 0) OVER w AS BIGINT)"
+      }.mkString("\n      |    + ")
+    val sesTaps = (0 until 12).map { j =>
+      s"(${ksSes(j)}) * CAST(LAG(n, $j, 0) OVER w AS BIGINT)"
+    }.mkString("\n      |    + ")
+    Q.sql(
+      "q_events_backtest",
+      s"""WITH e AS (
+         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+         |    AS BIGINT) AS day, event_type
+         |  FROM events),
+         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+         |  FROM ty t CROSS JOIN days d
+         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+         |tapped AS (
+         |  SELECT event_type, day, n,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    $sesTaps AS snum,
+         |    ${lagTaps(klHolt)} AS lnum,
+         |    ${lagTaps(kbHolt)} AS bnum
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)),
+         |scored AS (
+         |  SELECT event_type, day, n, rn,
+         |    LAG(snum, 1) OVER w2 AS psnum,
+         |    LAG(lnum + bnum, 1) OVER w2 AS phnum
+         |  FROM tapped
+         |  WINDOW w2 AS (PARTITION BY event_type ORDER BY day ASC)),
+         |agg AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |    CAST(SUM(ABS(psnum - 16777216 * n)) AS BIGINT) AS ses_sum,
+         |    CAST(SUM(ABS(phnum - 16777216 * n)) AS BIGINT) AS holt_sum
+         |  FROM scored WHERE rn >= 13
+         |  GROUP BY 1)
+         |SELECT event_type, n_eval,
+         |  CAST(ses_sum AS DOUBLE) / (16777216e0 * n_eval) AS ses_mae,
+         |  CAST(holt_sum AS DOUBLE) / (16777216e0 * n_eval) AS holt_mae,
+         |  CASE WHEN holt_sum < ses_sum THEN 'holt'
+         |       WHEN ses_sum < holt_sum THEN 'ses'
+         |       ELSE 'tie' END AS better_model
+         |FROM agg
+         |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(epochDay(col("ts")).as("day"), col("event_type"))
+      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      def byPos(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
+        lit(k) * lag(col("n"), 11 - j, 0L).over(w).cast(LongType)
+      }.reduce(_ + _)
+      val snum = (0 until 12).map { j =>
+        lit(ksSes(j)) * lag(col("n"), j, 0L).over(w).cast(LongType)
+      }.reduce(_ + _)
+      val scored = grid
+        .withColumn("rn", row_number().over(w))
+        .withColumn("snum", snum)
+        .withColumn("hnum", byPos(klHolt) + byPos(kbHolt))
+        .withColumn("psnum", lag(col("snum"), 1).over(w))
+        .withColumn("phnum", lag(col("hnum"), 1).over(w))
+        .filter(col("rn") >= 13)
+      scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("psnum") - lit(16777216L) * col("n"))).as("ses_sum"),
+          sum(abs(col("phnum") - lit(16777216L) * col("n"))).as("holt_sum"))
+        .select(col("event_type"), col("n_eval"),
+          (col("ses_sum").cast(DoubleType)
+            / (lit(16777216.0) * col("n_eval"))).as("ses_mae"),
+          (col("holt_sum").cast(DoubleType)
+            / (lit(16777216.0) * col("n_eval"))).as("holt_mae"),
+          when(col("holt_sum") < col("ses_sum"), "holt")
+            .when(col("ses_sum") < col("holt_sum"), "ses")
+            .otherwise("tie").as("better_model"))
+        .orderBy(col("event_type").asc)
+    }
+  }
+
   /** DAY-OF-WEEK SEASONALITY PROFILE — the weekly shape of each
     * type's volume: per (type, weekday) the mean daily count over the
     * dense grid and its index against the type's overall mean (1.0 =
@@ -2249,5 +2362,5 @@ object EventsQ {
     qKAnonymity, qScd2, qLDiversity, qWatermarkAdvisor, qRfm, qExactQuantiles,
     qAbTest, qStickiness, qPeakConcurrency, qIntervalOverlap,
     qIncrementalAgg, qDpCounts, qSes, qTrend, qChangepoint, qAutocorr,
-    qSeasonality, qHolt)
+    qSeasonality, qHolt, qBacktest)
 }

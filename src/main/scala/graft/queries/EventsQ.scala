@@ -510,6 +510,30 @@ object EventsQ {
   private def epochDay(ts: Column): Column =
     floor(floor(unix_micros(ts).cast(DoubleType) / 1000000.0) / 86400.0).cast(LongType)
 
+  /** Dense (type × day) daily-count grid — the calendar-bounded base
+    * the whole time-series leg (ses/holt/backtest/changepoint/
+    * autocorr/seasonality) smooths or scans. Memoized per
+    * session×corpus: the grid is ≤ #types × #days rows, so the
+    * checkpoint is trivially cheap and the six queries share one
+    * build instead of re-aggregating the event scan each.
+    */
+  private def dailyGrid(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    SharedFrames.frame(s, s"events_daily_grid:$d") {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), epochDay(col("ts")).as("day"))
+      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
+      val days = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      e.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
+          Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+        .localCheckpoint(true)
+    }
+
   /** Exact daily active users — the per-day distinct that feeds every
     * engagement dashboard. One shuffle keyed (day, user), partial agg
     * first.
@@ -1779,16 +1803,7 @@ object EventsQ {
          |  CAST(ses_dec AS DOUBLE) AS ses
          |FROM smoothed WHERE rn >= 12
          |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(epochDay(col("ts")).as("day"), col("event_type"))
-      val b = e.agg(min("day").as("lo"), max("day").as("hi"))
-      val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      val grid = e.select("event_type").distinct()
-        .crossJoin(broadcast(days))
-        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-          Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("cn"), lit(0L)).as("n"))
+      val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       val ses = weights.zipWithIndex.map { case (wj, j) =>
         lag(col("n"), j, 0L).over(w).cast(DecimalType(10, 0)) *
@@ -1929,16 +1944,7 @@ object EventsQ {
       |  CAST(abs(c) AS DOUBLE) / m AS deviation_events
       |FROM ranked WHERE rn = 1
       |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_type"), epochDay(col("ts")).as("day"))
-    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
-    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val grid = e.select("event_type").distinct()
-      .crossJoin(broadcast(days))
-      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-        Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("cn"), lit(0L)).as("n"))
+    val grid = dailyGrid(s, d)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val wAll = Window.partitionBy("event_type")
     val cusum = grid
@@ -2017,16 +2023,7 @@ object EventsQ {
          |  CAST(lnum + 7 * bnum AS DOUBLE) / 16777216e0 AS forecast_7d
          |FROM tapped WHERE rn >= 12
          |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(epochDay(col("ts")).as("day"), col("event_type"))
-      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
-      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      val grid = e.select("event_type").distinct()
-        .crossJoin(broadcast(days))
-        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-          Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("cn"), lit(0L)).as("n"))
+      val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       def num(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
         lit(k) * lag(col("n"), 11 - j, 0L).over(w).cast(LongType)
@@ -2118,16 +2115,7 @@ object EventsQ {
          |       ELSE 'tie' END AS better_model
          |FROM agg
          |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(epochDay(col("ts")).as("day"), col("event_type"))
-      val bounds = e.agg(min("day").as("lo"), max("day").as("hi"))
-      val days = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      val grid = e.select("event_type").distinct()
-        .crossJoin(broadcast(days))
-        .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-          Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("cn"), lit(0L)).as("n"))
+      val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       def byPos(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
         lit(k) * lag(col("n"), 11 - j, 0L).over(w).cast(LongType)
@@ -2200,16 +2188,7 @@ object EventsQ {
       |    / (CAST(t2.s AS DOUBLE) / t2.m) AS dow_index
       |FROM dw d JOIN tot t2 ON d.event_type = t2.event_type
       |ORDER BY d.event_type ASC, d.dow ASC""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_type"), epochDay(col("ts")).as("day"))
-    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
-    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val grid = e.select("event_type").distinct()
-      .crossJoin(broadcast(days))
-      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-        Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("cn"), lit(0L)).as("n"))
+    val grid = dailyGrid(s, d)
     val dw = grid
       .groupBy(col("event_type"), ((col("day") + 4) % 7).cast(IntegerType).as("dow"))
       .agg(count(lit(1)).as("n_days"), sum("n").as("sn"))
@@ -2274,16 +2253,7 @@ object EventsQ {
       |  CAST(n2.nsum AS DOUBLE) / NULLIF(CAST(d2.dsum AS DOUBLE), 0) AS acf
       |FROM num n2 JOIN den d2 ON n2.event_type = d2.event_type
       |ORDER BY n2.event_type ASC, k ASC""".stripMargin) { (s, d) =>
-    val e = Tables.events(s, d)
-      .select(col("event_type"), epochDay(col("ts")).as("day"))
-    val b = e.agg(min("day").as("lo"), max("day").as("hi"))
-    val days = b.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-    val grid = e.select("event_type").distinct()
-      .crossJoin(broadcast(days))
-      .join(e.groupBy("event_type", "day").agg(count(lit(1)).as("cn")),
-        Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"),
-        coalesce(col("cn"), lit(0L)).as("n"))
+    val grid = dailyGrid(s, d)
     val st = grid.groupBy("event_type")
       .agg(count(lit(1)).as("m"), sum("n").as("sy"))
     val dev = grid.join(st, "event_type")

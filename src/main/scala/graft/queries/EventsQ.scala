@@ -517,6 +517,26 @@ object EventsQ {
     * checkpoint is trivially cheap and the six queries share one
     * build instead of re-aggregating the event scan each.
     */
+  /** [[dailyGrid]]'s DuckDB twin: the same dense-grid construction as
+    * a CTE chain ending at `grid(event_type, day, n)` — factored so
+    * the six time-series oracles share ONE definition (a grid fix
+    * applied to the engine must be applied exactly once here too).
+    */
+  private val dailyGridSql: String =
+    """e AS (
+      |  SELECT event_type,
+      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
+      |      AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+      |  FROM ty t CROSS JOIN days d
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day)""".stripMargin
+
   private def dailyGrid(s: org.apache.spark.sql.SparkSession,
                         d: String): org.apache.spark.sql.DataFrame =
     SharedFrames.frame(s, s"events_daily_grid:$d") {
@@ -1741,8 +1761,11 @@ object EventsQ {
         sum(dec(col("value")) * dec(col("value"))).as("svv"),
         min("value").as("mn"), max("value").as("mx"))
     val ev = Tables.events(s, d)
+    // the two partitions must COVER the table — a null ts (possible
+    // under either physical ts shape) goes to the "new" side, so the
+    // merge-vs-recompute proof stays sound on any corpus
     partial(ev.filter(col("ts") < cut))
-      .unionByName(partial(ev.filter(col("ts") >= cut)))
+      .unionByName(partial(ev.filter(col("ts") >= cut || col("ts").isNull)))
       .groupBy("event_type")
       .agg(sum("n").as("n_events"), sum("sv").as("svm"),
         sum("svv").as("svvm"), min("mn").as("min_value"),
@@ -1781,18 +1804,7 @@ object EventsQ {
     }.mkString("\n      |  + ")
     Q.sql(
       "q_events_ses",
-      s"""WITH e AS (
-         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-         |    AS BIGINT) AS day, event_type
-         |  FROM events),
-         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-         |ty AS (SELECT DISTINCT event_type FROM e),
-         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-         |  FROM ty t CROSS JOIN days d
-         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      s"""WITH $dailyGridSql,
          |smoothed AS (
          |  SELECT event_type, day, n,
          |    ROW_NUMBER() OVER w AS rn,
@@ -1908,19 +1920,7 @@ object EventsQ {
     */
   val qChangepoint: Q = Q.sql(
     "q_events_changepoint",
-    """WITH e AS (
-      |  SELECT event_type,
-      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-      |      AS BIGINT) AS day
-      |  FROM events),
-      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-      |ty AS (SELECT DISTINCT event_type FROM e),
-      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-      |  FROM ty t CROSS JOIN days d
-      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+    s"""WITH $dailyGridSql,
       |pfx AS (
       |  SELECT event_type, day,
       |    SUM(n) OVER w AS p,
@@ -1964,6 +1964,20 @@ object EventsQ {
       .orderBy(col("event_type").asc)
   }
 
+  /** Holt tap weights × 2^24 for window position j (0 = oldest of
+    * 12): level taps and trend taps — generated from the α = β = ½
+    * zero-init recursion with exact rational arithmetic;
+    * IncrementalMechanismsSpec re-derives the FULL vectors
+    * independently (element-wise, so a transposition cannot hide).
+    * Shared by [[qHolt]] and [[qBacktest]] — one source of truth.
+    */
+  private[graft] val holtTapsL = Seq(54742L, -57544L, -253344L, -518272L,
+    -788992L, -935936L, -761856L, -32768L, 1441792L, 3670016L, 6291456L,
+    8388608L)
+  private[graft] val holtTapsB = Seq(139657L, 167028L, 138256L, 11584L,
+    -247552L, -642048L, -1110016L, -1490944L, -1507328L, -786432L,
+    1048576L, 4194304L)
+
   /** HOLT LINEAR (level + trend) FORECAST over the per-type daily
     * series — [[qSes]]'s double-exponential sibling: with α = β = ½
     * and zero initial state, the 12-day windowed recursion
@@ -1985,12 +1999,8 @@ object EventsQ {
     * window pass, 12 lag taps.
     */
   val qHolt: Q = {
-    // tap weights × 2^24 for window position j (0 = oldest of 12):
-    // level taps kl, trend taps kb — exact by construction
-    val kl = Seq(54742L, -57544L, -253344L, -518272L, -788992L, -935936L,
-      -761856L, -32768L, 1441792L, 3670016L, 6291456L, 8388608L)
-    val kb = Seq(139657L, 167028L, 138256L, 11584L, -247552L, -642048L,
-      -1110016L, -1490944L, -1507328L, -786432L, 1048576L, 4194304L)
+    val kl = holtTapsL
+    val kb = holtTapsB
     val d24 = (1L << 24).toDouble
     def taps(ks: Seq[Long]): String =
       ks.zipWithIndex.map { case (k, j) =>
@@ -1998,18 +2008,7 @@ object EventsQ {
       }.mkString("\n      |    + ")
     Q.sql(
       "q_events_holt",
-      s"""WITH e AS (
-         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-         |    AS BIGINT) AS day, event_type
-         |  FROM events),
-         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-         |ty AS (SELECT DISTINCT event_type FROM e),
-         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-         |  FROM ty t CROSS JOIN days d
-         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      s"""WITH $dailyGridSql,
          |tapped AS (
          |  SELECT event_type, day, n,
          |    ROW_NUMBER() OVER w AS rn,
@@ -2060,10 +2059,8 @@ object EventsQ {
     */
   val qBacktest: Q = {
     val ksSes = (0 until 12).map(j => 1L << (23 - j)) // 2^24 * 2^-(j+1)
-    val klHolt = Seq(54742L, -57544L, -253344L, -518272L, -788992L, -935936L,
-      -761856L, -32768L, 1441792L, 3670016L, 6291456L, 8388608L)
-    val kbHolt = Seq(139657L, 167028L, 138256L, 11584L, -247552L, -642048L,
-      -1110016L, -1490944L, -1507328L, -786432L, 1048576L, 4194304L)
+    val klHolt = holtTapsL
+    val kbHolt = holtTapsB
     // taps indexed by window position j (0 = oldest of 12) -> lag 11-j;
     // ses taps are by LAG j directly (j = 0 newest)
     def lagTaps(ks: Seq[Long]): String =
@@ -2075,18 +2072,7 @@ object EventsQ {
     }.mkString("\n      |    + ")
     Q.sql(
       "q_events_backtest",
-      s"""WITH e AS (
-         |  SELECT CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-         |    AS BIGINT) AS day, event_type
-         |  FROM events),
-         |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-         |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-         |ty AS (SELECT DISTINCT event_type FROM e),
-         |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-         |grid AS (
-         |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-         |  FROM ty t CROSS JOIN days d
-         |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+      s"""WITH $dailyGridSql,
          |tapped AS (
          |  SELECT event_type, day, n,
          |    ROW_NUMBER() OVER w AS rn,
@@ -2161,19 +2147,7 @@ object EventsQ {
     */
   val qSeasonality: Q = Q.sql(
     "q_events_seasonality",
-    """WITH e AS (
-      |  SELECT event_type,
-      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-      |      AS BIGINT) AS day
-      |  FROM events),
-      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-      |ty AS (SELECT DISTINCT event_type FROM e),
-      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-      |  FROM ty t CROSS JOIN days d
-      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+    s"""WITH $dailyGridSql,
       |dw AS (
       |  SELECT event_type, CAST((day + 4) % 7 AS INT) AS dow,
       |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(n) AS BIGINT) AS sn
@@ -2217,27 +2191,15 @@ object EventsQ {
     */
   val qAutocorr: Q = Q.sql(
     "q_events_autocorr",
-    """WITH e AS (
-      |  SELECT event_type,
-      |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400)
-      |      AS BIGINT) AS day
-      |  FROM events),
-      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
-      |days AS (SELECT UNNEST(RANGE(b.lo, b.hi + 1)) AS day FROM b),
-      |ty AS (SELECT DISTINCT event_type FROM e),
-      |counts AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
-      |grid AS (
-      |  SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
-      |  FROM ty t CROSS JOIN days d
-      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day),
+    s"""WITH $dailyGridSql,
       |st AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
       |    CAST(SUM(n) AS BIGINT) AS sy
       |  FROM grid GROUP BY 1),
       |dev AS (
       |  SELECT g.event_type, g.day,
-      |    CAST(s.m AS DECIMAL(18,0)) * CAST(g.n AS DECIMAL(18,0))
-      |      - CAST(s.sy AS DECIMAL(18,0)) AS dv
+      |    CAST(CAST(s.m AS DECIMAL(18,0)) * CAST(g.n AS DECIMAL(18,0))
+      |      - CAST(s.sy AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS dv
       |  FROM grid g JOIN st s ON g.event_type = s.event_type),
       |lags AS (SELECT UNNEST([1, 7]) AS k),
       |num AS (
@@ -2259,7 +2221,8 @@ object EventsQ {
     val dev = grid.join(st, "event_type")
       .select(col("event_type"), col("day"),
         (col("m").cast(DecimalType(18, 0)) * col("n").cast(DecimalType(18, 0))
-          - col("sy").cast(DecimalType(18, 0))).as("dv"))
+          - col("sy").cast(DecimalType(18, 0))).cast(DecimalType(18, 0))
+          .as("dv"))
       .localCheckpoint(true)
     import s.implicits._
     val lags = Seq(1, 7).toDF("k")

@@ -771,9 +771,12 @@ object OlapQ {
       explode(array(h(1, col("lo")), h(2, col("lo")), h(3, col("lo"))))
         .as("bitpos")).distinct()
     val req = probebits.groupBy("probe_id").agg(count(lit(1)).as("k"))
-    val filebits = rows.select(col("file_id"),
-      explode(array(h(1, col("p")), h(2, col("p")), h(3, col("p"))))
-        .as("bitpos")).distinct()
+    // hash once per DISTINCT (file, part) pair — the oracle's ph shape;
+    // hashing before the distinct would run 3 md5s per corpus row
+    val filebits = rows.select(col("file_id"), col("p")).distinct()
+      .select(col("file_id"),
+        explode(array(h(1, col("p")), h(2, col("p")), h(3, col("p"))))
+          .as("bitpos")).distinct()
     val bloomAdm = filebits.join(broadcast(probebits), "bitpos")
       .groupBy("probe_id", "file_id").agg(countDistinct(col("bitpos")).as("nb"))
       .join(broadcast(req), "probe_id")

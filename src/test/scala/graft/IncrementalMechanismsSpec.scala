@@ -177,8 +177,12 @@ class IncrementalMechanismsSpec extends SparkSpecBase {
     // the published values on a delta series (impulse on the last day)
     // — cheaper: assert the sums used above match the query's scaladoc
     // constants by recomputing one emitted row's level from raw counts
-    assert(kl.sum == 16497902L && kb.sum == -84915L,
-      s"re-derived tap sums drifted: ${kl.sum}, ${kb.sum}")
+    // element-wise against the production constants (order-sensitive:
+    // a transposition cannot hide behind matching sums)
+    assert(kl == graft.queries.EventsQ.holtTapsL,
+      s"level taps drifted from the recursion: $kl")
+    assert(kb == graft.queries.EventsQ.holtTapsB,
+      s"trend taps drifted from the recursion: $kb")
   }
 
   private lazy val bloomDir: String = {

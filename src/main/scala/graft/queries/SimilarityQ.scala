@@ -2106,10 +2106,135 @@ object SimilarityQ {
       .orderBy(col("vec_id").asc)
   }.preparedBy(prepareAnnLshKeys)
 
+  /** ANN RECALL CURVE — the evaluation operator for the retrieval
+    * family as a first-class query: recall@k (k ∈ 1, 5, 10) of the
+    * LSH and IVF arms against the brute-force ground truth over the
+    * benchmark query set, as a (method × k) decision table. The
+    * recall each approximation buys is THE number that picks an
+    * index; AnnRecallSpec measures it as a test bound, this query
+    * publishes it as data (and the DuckDB oracle replays all three
+    * retrieval paths end-to-end, so even the evaluation itself is
+    * hash-verified).
+    *
+    * Determinism: all three arms share the exact-cosine rerank with
+    * (score desc, id asc) tie-break, so top-k sets are identical
+    * across engines; matches are integer counts and each recall is
+    * one IEEE divide.
+    *
+    * Scale shape: the arms reuse the catalog queries' own plans
+    * (broadcast query side, banded/probed candidates); the
+    * evaluation joins are top-k-sized (queries × k rows).
+    */
+  val qAnnRecall: Q = Q.sql(
+    "q_emb_ann_recall",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |bfs AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.embedding")} AS score
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |bfr AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS bf_rank
+       |  FROM bfs),
+       |bf AS (SELECT query_id, neighbor_id, bf_rank FROM bfr
+       |  WHERE bf_rank <= $topK),
+       |keyed AS (
+       |  SELECT vec_id, bk FROM read_parquet('$annLshAuxDir/*/*.parquet')
+       |  WHERE corpus_key = (SELECT SUM(vec_id) FROM embeddings)),
+       |lcand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+       |  FROM keyed q JOIN keyed v ON q.bk = v.bk
+       |  WHERE q.vec_id < $nQueries AND v.vec_id <> q.vec_id),
+       |lsc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("qe.embedding", "ve.embedding")} AS score
+       |  FROM lcand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ve ON ve.vec_id = c.neighbor_id),
+       |lr AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM lsc),
+       |larm AS (SELECT 'lsh' AS method, query_id, neighbor_id, rank
+       |  FROM lr WHERE rank <= $topK),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist WHERE vec_id < $nQueries) WHERE rn <= $ivfNProbe),
+       |icand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN assigned a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |isc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${oracleCosine("q2.embedding", "v2.embedding")} AS score
+       |  FROM icand c
+       |  JOIN embeddings q2 ON q2.vec_id = c.query_id
+       |  JOIN embeddings v2 ON v2.vec_id = c.neighbor_id),
+       |ir AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM isc),
+       |iarm AS (SELECT 'ivf' AS method, query_id, neighbor_id, rank
+       |  FROM ir WHERE rank <= $topK),
+       |arms AS (SELECT * FROM larm UNION ALL SELECT * FROM iarm),
+       |nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM bf),
+       |ks AS (SELECT UNNEST([1, 5, 10]) AS k),
+       |methods AS (SELECT UNNEST(['ivf', 'lsh']) AS method),
+       |hits AS (
+       |  SELECT a.method, ks.k, COUNT(*) AS n_matched
+       |  FROM arms a
+       |  JOIN bf b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+       |  CROSS JOIN ks
+       |  WHERE a.rank <= ks.k AND b.bf_rank <= ks.k
+       |  GROUP BY 1, 2)
+       |SELECT m.method, CAST(ks.k AS INT) AS k,
+       |  CAST(nq.n AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+       |  CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / (ks.k * nq.n) AS mean_recall
+       |FROM methods m CROSS JOIN ks CROSS JOIN nq
+       |LEFT JOIN hits h ON h.method = m.method AND h.k = ks.k
+       |ORDER BY m.method ASC, ks.k ASC""".stripMargin) { (s, d) =>
+    val bf = qAnnBruteForce.fn(s, d)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("bf_rank"))
+    val arms = Seq("ivf" -> qAnnIvf.fn(s, d), "lsh" -> qAnnLsh.fn(s, d))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+          col("rank"))
+      }.reduce(_ unionByName _)
+    import s.implicits._
+    val ks = Seq(1, 5, 10).toDF("k")
+    val nq = bf.select("query_id").distinct().count()
+    val hits = arms.join(bf, Seq("query_id", "neighbor_id"))
+      .crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k") && col("bf_rank") <= col("k"))
+      .groupBy("method", "k").agg(count(lit(1)).as("n_matched"))
+    Seq("ivf", "lsh").toDF("method").crossJoin(ks)
+      .join(hits, Seq("method", "k"), "left")
+      .select(col("method"), col("k"), lit(nq).as("n_queries"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast(DoubleType)
+          / (col("k") * lit(nq)).cast(DoubleType)).as("mean_recall"))
+      .orderBy(col("method").asc, col("k").asc)
+  }.preparedBy { (s, d) =>
+    prepareAnnLshKeys(s, d)
+    prepareCentroids(ivfAuxDir)(s, d)
+  }
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
     qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,
-    qEmbMatryoshka, qEmbKnnHops)
+    qEmbMatryoshka, qEmbKnnHops, qAnnRecall)
 }

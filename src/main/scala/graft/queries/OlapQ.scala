@@ -793,6 +793,122 @@ object OlapQ {
       .orderBy(col("probe_id").asc)
   }
 
+  /** BALANCE CONCENTRATION per nation — Gini coefficient plus the
+    * top-decile share of positive account balances: the inequality
+    * diagnostics behind "how dependent is this market on its largest
+    * accounts". Gini uses the rank form G = (2·Σi·x − (n+1)·Σx) /
+    * (n·Σx) over ascending ranks — every sum is DECIMAL-exact and
+    * the two final divides are IEEE on identical operands; ties in x
+    * leave both Σi·x and the decile boundary sum invariant under any
+    * tie order, so ROW_NUMBER's arbitrary tie choice cannot diverge
+    * the engines. Negative/zero balances are excluded (Gini is
+    * defined on nonnegative mass) — disclosed.
+    *
+    * Scale shape: one window pass per nation partition and a
+    * ≤#nations-row aggregate; nothing touches the driver.
+    */
+  val qCustomerGini: Q = Q.sql(
+    "q_customer_gini",
+    """WITH pos AS (
+      |  SELECT c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS x
+      |  FROM customer WHERE c_acctbal > 0),
+      |r AS (
+      |  SELECT c_nationkey, x,
+      |    ROW_NUMBER() OVER w AS i,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      |  FROM pos
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY x ASC)),
+      |a AS (
+      |  SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(x) AS sx,
+      |    SUM(CAST(i AS DECIMAL(18,0)) * x) AS six,
+      |    SUM(CASE WHEN i > n - (n + 9) // 10 THEN x
+      |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS topx
+      |  FROM r GROUP BY 1)
+      |SELECT a.c_nationkey, nn.n_name AS nation, a.n AS n_customers,
+      |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |    / CAST(n * sx AS DOUBLE) AS gini,
+      |  CAST(topx AS DOUBLE) / CAST(sx AS DOUBLE) AS top_decile_share
+      |FROM a JOIN nation nn ON a.c_nationkey = nn.n_nationkey
+      |ORDER BY a.c_nationkey ASC""".stripMargin) { (s, d) =>
+    val pos = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_nationkey"), dec(col("c_acctbal")).as("x"))
+    val w = Window.partitionBy("c_nationkey").orderBy(col("x").asc)
+    val wAll = Window.partitionBy("c_nationkey")
+    val r = pos
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val a = r.groupBy("c_nationkey")
+      .agg(max("n").cast(LongType).as("n"),
+        sum("x").as("sx"),
+        sum(col("i").cast(DecimalType(18, 0)) * col("x")).as("six"),
+        sum(when(col("i") > col("n") - expr("(n + 9) div 10"), col("x"))
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).as("topx"))
+    a.join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey"), col("n_name").as("nation"),
+        col("n").as("n_customers"),
+        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast(DoubleType)
+          / (col("n") * col("sx")).cast(DoubleType)).as("gini"),
+        (col("topx").cast(DoubleType) / col("sx").cast(DoubleType))
+          .as("top_decile_share"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
+  /** LENGTH CONCENTRATION per document source — the same Gini +
+    * top-decile machinery over per-document character mass: the
+    * "does a handful of mega-documents carry this source" triage a
+    * curation pipeline reads before setting per-document token caps
+    * (a high Gini source truncates differently than a flat one).
+    * Same exactness argument as [[qCustomerGini]].
+    */
+  val qDocLengthGini: Q = Q.sql(
+    "q_doc_length_gini",
+    """WITH pos AS (
+      |  SELECT source, CAST(n_chars AS DECIMAL(18,0)) AS x
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (
+      |  SELECT source, x,
+      |    ROW_NUMBER() OVER w AS i,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM pos
+      |  WINDOW w AS (PARTITION BY source ORDER BY x ASC)),
+      |a AS (
+      |  SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(x) AS sx,
+      |    SUM(CAST(i AS DECIMAL(18,0)) * x) AS six,
+      |    SUM(CASE WHEN i > n - (n + 9) // 10 THEN x
+      |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS topx
+      |  FROM r GROUP BY 1)
+      |SELECT source, n AS n_docs,
+      |  CAST(2 * six - (n + 1) * sx AS DOUBLE)
+      |    / CAST(n * sx AS DOUBLE) AS gini,
+      |  CAST(topx AS DOUBLE) / CAST(sx AS DOUBLE) AS top_decile_share
+      |FROM a
+      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+    val pos = Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_chars").cast(DecimalType(18, 0)).as("x"))
+    val w = Window.partitionBy("source").orderBy(col("x").asc)
+    val wAll = Window.partitionBy("source")
+    val r = pos
+      .withColumn("i", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+    r.groupBy("source")
+      .agg(max("n").cast(LongType).as("n"),
+        sum("x").as("sx"),
+        sum(col("i").cast(DecimalType(18, 0)) * col("x")).as("six"),
+        sum(when(col("i") > col("n") - expr("(n + 9) div 10"), col("x"))
+          .otherwise(lit(0).cast(DecimalType(18, 0)))).as("topx"))
+      .select(col("source"), col("n").as("n_docs"),
+        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast(DoubleType)
+          / (col("n") * col("sx")).cast(DoubleType)).as("gini"),
+        (col("topx").cast(DoubleType) / col("sx").cast(DoubleType))
+          .as("top_decile_share"))
+      .orderBy(col("source").asc)
+  }
+
   /** MARKET-BASKET PAIR MINING — the frequent-itemset primitive
     * (Agrawal & Srikant VLDB 1994, at the k = 2 level that co-purchase
     * dashboards actually consume): for every pair of parts appearing
@@ -1512,5 +1628,6 @@ object OlapQ {
     qLargeVolumeCustomers, qPartitionBalance, qOrderPriority, qForecastRevenue,
     qReturnedItems, qCustomerDistribution, qPromoRevenue, qGlobalSalesOpp,
     qTopSupplier, qSuppliersWaiting, qGroupingSets, qSetOpsAll,
-    qMarketShare, qPriorityShipping, qSmallQtyRevenue, qDisjunctiveRevenue)
+    qMarketShare, qPriorityShipping, qSmallQtyRevenue, qDisjunctiveRevenue,
+    qCustomerGini, qDocLengthGini)
 }

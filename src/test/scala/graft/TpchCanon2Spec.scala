@@ -103,6 +103,29 @@ class TpchCanon2Spec extends SparkSpecBase {
     assert(r.getDouble(0) == 1600.0 && r.getLong(1) == 3L)
   }
 
+  private lazy val giniDir: String = {
+    val d = Files.createTempDirectory("gini_fix").toString
+    Seq((0L, "A", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    // balances 1,1,1,97: rank form gives G = (2*394 - 5*100)/(4*100)
+    // = 0.72 exactly; top decile = ceil(4/10) = 1 holder = 0.97
+    Seq((1L, "C1", 0L, 1.0, "B"), (2L, "C2", 0L, 1.0, "B"),
+      (3L, "C3", 0L, 1.0, "B"), (4L, "C4", 0L, 97.0, "B"),
+      (5L, "C5", 0L, -5.0, "B")) // negative balance excluded
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$d/customer.parquet")
+    d
+  }
+
+  test("gini: closed form on a planted distribution, negatives excluded") {
+    val r = run("q_customer_gini").headOption // fixture reuse guard
+    val rows = SparkEntry.queries("q_customer_gini")(spark, giniDir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(rows.toSeq == Seq((0L, "A", 4L, 0.72, 0.97)), rows.toSeq)
+    assert(r.nonEmpty) // and the shared fixture still answers
+  }
+
   test("plan shapes on the real corpus: Q8 semi-joins, Q17 single shuffle, Q19 pushdown") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString

@@ -1362,21 +1362,25 @@ object PipelineQ {
     *
     * Scale shape: regexp_extract_all counts compute per-row in the
     * scan; the rollup is one map-side-combined aggregate to ≤ #sources
-    * rows. Patterns are the proven Java/RE2-compatible pair from
-    * qRedact, so counts agree across engines.
+    * rows.
     *
-    * Determinism: `pii_doc_frac` is quantized HALF_UP to DECIMAL(18,6)
-    * on BOTH sides (the catalog's standard ratio contract — same as
-    * the quality-model weight table), and the oracle's SUMs are cast
-    * back to BIGINT: DuckDB's bare SUM(BIGINT) widens to HUGEINT
-    * (arrow decimal128) while Spark's sum(Long) stays int64, so the
-    * uncast form hash-mismatches even on identical values.
+    * Determinism: every output column is exact int64. The carrying-doc
+    * ratio is published as integer PERMILLE via floor division
+    * (`(n_pii_docs * 1000) div n_docs` / DuckDB `//`) — the
+    * q_doc_token_budget_select idiom — because the earlier
+    * DOUBLE→DECIMAL(18,6) quantization is the one engine-divergent
+    * rounding in the catalog (Spark HALF_UP vs DuckDB round-half-even
+    * on 7th-digit ties such as 1/128). Likewise the URL pattern spells
+    * its whitespace class explicitly (`[^ \x09-\x0d]`): java.util.regex
+    * `\s` includes \x0b while RE2's does not, so the shorthand can
+    * count differently at the margins. Oracle SUMs are cast back to
+    * BIGINT (DuckDB widens SUM(BIGINT) to HUGEINT; Spark stays int64).
     */
   val qPiiStats: Q = Q.sql(
     "q_doc_pii_stats",
     """WITH per_doc AS (
       |  SELECT source,
-      |    CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+      |    CAST(len(regexp_extract_all(text, 'https?://[^ \x09-\x0d]+')) AS BIGINT) AS n_url,
       |    CAST(len(regexp_extract_all(text,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
       |  FROM documents)
@@ -1384,14 +1388,15 @@ object PipelineQ {
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(n_url) AS BIGINT) AS total_urls,
       |  CAST(SUM(n_email) AS BIGINT) AS total_emails,
-      |  CAST(CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*) AS DECIMAL(18,6)) AS pii_doc_frac
+      |  CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+      |  (CAST(SUM(CASE WHEN n_url + n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+      |    // COUNT(*) AS pii_permille
       |FROM per_doc
       |GROUP BY source
       |ORDER BY source ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("source"),
-        size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
+        size(regexp_extract_all(col("text"), lit("https?://[^ \\x09-\\x0d]+"), lit(0)))
           .cast(LongType).as("n_url"),
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
@@ -1400,9 +1405,9 @@ object PipelineQ {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_url").as("total_urls"),
         sum("n_email").as("total_emails"),
-        (sum(when(col("n_url") + col("n_email") > 0, 1L).otherwise(0L))
-          .cast(DoubleType) / count(lit(1)))
-          .cast(DecimalType(18, 6)).as("pii_doc_frac"))
+        sum(when(col("n_url") + col("n_email") > 0, 1L).otherwise(0L))
+          .as("n_pii_docs"))
+      .withColumn("pii_permille", expr("(n_pii_docs * 1000L) div n_docs"))
       .orderBy(col("source").asc)
   }
 

@@ -68,6 +68,18 @@ object AdaptiveSmallSide {
   def decontamSemi(corpus: DataFrame, probe: DataFrame, key: String,
                    maxRows: Long = maxBroadcastRows,
                    forceBloom: Boolean = false): DataFrame = {
+    // key-type contract checked at ENTRY, not when the bloom arm
+    // happens to engage: stat.bloomFilter supports string and integral
+    // keys, so any other type must fail identically on both arms
+    // instead of splitting behavior on the knob
+    import org.apache.spark.sql.types.{StringType, LongType, IntegerType}
+    val kt = corpus.schema(key).dataType
+    require(kt == StringType || kt == LongType || kt == IntegerType,
+      s"decontamSemi key '$key' has unsupported type $kt " +
+        "(string or int/bigint required — both join arms reject it)")
+    require(probe.schema(key).dataType == kt,
+      s"decontamSemi key '$key' type mismatch: corpus $kt vs " +
+        s"probe ${probe.schema(key).dataType}")
     val bench = probe.localCheckpoint(true)
     val n = bench.count()
     val fitsBroadcast = n <= maxRows
@@ -76,9 +88,19 @@ object AdaptiveSmallSide {
     else {
       val bloom = bench.stat.bloomFilter(key, math.max(n, 1000L), 0.01)
       val bBloom = corpus.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain =
-        udf { g: String => g != null && bBloom.value.mightContain(g) }
-      val cut = corpus.filter(mightContain(col(key)))
+      val mightContain = kt match {
+        case StringType =>
+          udf { g: String => g != null && bBloom.value.mightContain(g) }
+        case _ =>
+          // bloomFilter hashes integral keys as longs; IntegerType
+          // upcasts losslessly so one long-typed UDF serves both
+          udf { g: java.lang.Long =>
+            g != null && bBloom.value.mightContainLong(g.longValue())
+          }
+      }
+      val probeCol =
+        if (kt == IntegerType) col(key).cast(LongType) else col(key)
+      val cut = corpus.filter(mightContain(probeCol))
       if (fitsBroadcast) cut.join(broadcast(bench), Seq(key), "left_semi")
       else cut.join(bench, Seq(key), "left_semi")
     }

@@ -1732,9 +1732,13 @@ object EventsQ {
     *
     * Variance uses the (Σv², Σv, n) moment form — each moment exact
     * in DECIMAL, the final two IEEE ops (divide, subtract) identical
-    * expression trees in both engines. At 100 TB the two branches are
-    * yesterday's persisted state table and today's delta; the merge
-    * is a ≤#types-row aggregate.
+    * expression trees in both engines. Non-finite values are excluded
+    * once on both sides ([[finiteValue]] / isfinite) like the sibling
+    * adaptive-bucket queries: an unguarded DECIMAL(12,2) cast of
+    * NaN/Infinity yields NULL in Spark but raises in DuckDB, and
+    * min/max NaN ordering differs — the guard closes both surfaces.
+    * At 100 TB the two branches are yesterday's persisted state table
+    * and today's delta; the merge is a ≤#types-row aggregate.
     */
   val qIncrementalAgg: Q = Q.sql(
     "q_events_incremental_agg",
@@ -1744,7 +1748,7 @@ object EventsQ {
       |    SUM(CAST(value AS DECIMAL(12,2))
       |      * CAST(value AS DECIMAL(12,2))) AS svv,
       |    MIN(value) AS min_value, MAX(value) AS max_value
-      |  FROM events GROUP BY event_type)
+      |  FROM events WHERE isfinite(value) GROUP BY event_type)
       |SELECT event_type, n_events,
       |  CAST(sv AS DOUBLE) AS sum_value,
       |  min_value, max_value,
@@ -1760,7 +1764,7 @@ object EventsQ {
         sum(dec(col("value"))).as("sv"),
         sum(dec(col("value")) * dec(col("value"))).as("svv"),
         min("value").as("mn"), max("value").as("mx"))
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(s, d).filter(finiteValue)
     // the two partitions must COVER the table — a null ts (possible
     // under either physical ts shape) goes to the "new" side, so the
     // merge-vs-recompute proof stays sound on any corpus

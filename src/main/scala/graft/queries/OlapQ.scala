@@ -948,7 +948,10 @@ object OlapQ {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val nOrders = li.select("ok").distinct().count()
+    // 1-row order total folded in lazily (crossJoin of a broadcast
+    // aggregate, matching the oracle's CROSS JOIN t) — no driver-side
+    // action, the whole query stays one plan
+    val t = li.select(countDistinct(col("ok")).as("n_orders"))
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -958,8 +961,9 @@ object OlapQ {
     pairs
       .join(parts.select(col("pk").as("part_a"), col("n").as("n_a")), Seq("part_a"))
       .join(parts.select(col("pk").as("part_b"), col("n").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(t))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
-        (col("n_ab").cast(DoubleType) / lit(nOrders.toDouble)).as("support"),
+        (col("n_ab").cast(DoubleType) / col("n_orders")).as("support"),
         (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
           .as("confidence_a"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)

@@ -93,6 +93,39 @@ class AdaptiveSmallSideSpec extends SparkSpecBase {
     }
   }
 
+  test("decontamSemi: bigint keys work identically on every arm; bad key types fail at entry") {
+    // a hashed-gram key is the realistic non-string case: the bloom
+    // arm must not be string-only (knob-dependent behavior split)
+    val corpus = spark.range(0, 3000)
+      .select(col("id").as("doc_id"), (col("id") % 211).as("g"))
+    val probe = spark.range(0, 17).select((col("id") * 5).as("g"))
+    def docs(df: DataFrame): Seq[Long] =
+      df.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    withAutoBroadcastOff {
+      val exact = AdaptiveSmallSide.decontamSemi(corpus, probe, "g")
+      val bloomed = AdaptiveSmallSide.decontamSemi(corpus, probe, "g",
+        forceBloom = true)
+      val pastKnob = AdaptiveSmallSide.decontamSemi(corpus, probe, "g",
+        maxRows = 0)
+      val want = docs(exact)
+      assert(want.nonEmpty, "fixture must actually overlap")
+      assert(docs(bloomed) == want && docs(pastKnob) == want,
+        "bigint-keyed bloom/partitioned arms must agree with broadcast")
+    }
+    // unsupported key type: BOTH arms reject identically, at entry,
+    // before any knob decides which physical path would have run
+    val dblCorpus = corpus.select(col("doc_id"),
+      (col("g") + lit(0.5)).as("g"))
+    val dblProbe = probe.select((col("g") + lit(0.5)).as("g"))
+    intercept[IllegalArgumentException] {
+      AdaptiveSmallSide.decontamSemi(dblCorpus, dblProbe, "g")
+    }
+    intercept[IllegalArgumentException] {
+      AdaptiveSmallSide.decontamSemi(dblCorpus, dblProbe, "g",
+        forceBloom = true)
+    }
+  }
+
   test("bm25: broadcast and partitioned arms rank identically on the corpus") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4))

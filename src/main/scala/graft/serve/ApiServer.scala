@@ -51,7 +51,7 @@ import graft.sink.JsonFeatureSink
 final class ApiServer(
     spark: SparkSession,
     warehouseDir: String,
-    allowedOrigins: Seq[String] = Seq("http://localhost:5173")) {
+    allowedOrigins: Seq[String] = ApiServer.originsFromEnv()) {
 
   private val gzipMinBytes = 1000
 
@@ -66,28 +66,26 @@ final class ApiServer(
   private val bodyMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** FeatureCollection body, or the endpoint's empty-result value:
-    * Postgres `json_agg` over zero rows is SQL NULL, so endpoints
-    * without the routes.py:95-97 fallback serve literal `null`.
+  /** FeatureCollection body, or the endpoint's empty-result value.
+    * Postgres `json_agg` over zero rows is SQL NULL, but routes.py
+    * nests it INSIDE json_build_object, so every endpoint serves
+    * `{"type":"FeatureCollection","features":null}` when empty —
+    * including poverty-by-zip: its routes.py:95-97 `if not result`
+    * fallback is dead code (the one-row json_build_object dict is
+    * always truthy), so the `features:[]` branch never runs there
+    * either.
     */
-  private[serve] def collectionBody(features: DataFrame,
-                                    emptyFallback: Boolean): String =
-    if (features.isEmpty) {
-      if (emptyFallback) """{"type":"FeatureCollection","features":[]}"""
-      else "null"
-    } else JsonFeatureSink.featureCollection(features)
+  private[serve] def collectionBody(features: DataFrame): String =
+    if (features.isEmpty) """{"type":"FeatureCollection","features":null}"""
+    else JsonFeatureSink.featureCollection(features)
 
-  private def endpointBody(name: String, emptyFallback: Boolean): String =
+  private def endpointBody(name: String): String =
     bodyMemo.getOrElseUpdate(name,
-      collectionBody(graft.jobs.Main.namedQuery(spark, warehouseDir, name),
-        emptyFallback))
+      collectionBody(graft.jobs.Main.namedQuery(spark, warehouseDir, name)))
 
-  private[serve] def foodGapsBody(): String =
-    endpointBody("food-gaps", emptyFallback = false)
-  private[serve] def povertyByZipBody(): String =
-    endpointBody("poverty-by-zip", emptyFallback = true)
-  private[serve] def rentByZipBody(): String =
-    endpointBody("rent-by-zip", emptyFallback = false)
+  private[serve] def foodGapsBody(): String = endpointBody("food-gaps")
+  private[serve] def povertyByZipBody(): String = endpointBody("poverty-by-zip")
+  private[serve] def rentByZipBody(): String = endpointBody("rent-by-zip")
 
   private var server: Option[HttpServer] = None
 
@@ -157,4 +155,16 @@ final class ApiServer(
   private def corsOrigin(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Origin"))
       .filter(allowedOrigins.contains)
+}
+
+object ApiServer {
+  /** CORS allow-list from configuration, replicating main.py:8 —
+    * `os.getenv("ALLOWED_ORIGINS", "http://localhost:5173").split(",")`
+    * — including its quirks: a plain comma split (no trimming), and an
+    * empty env value yielding the one-empty-string list (which allows
+    * nothing, since a real Origin header is never empty).
+    */
+  def originsFromEnv(env: Map[String, String] = sys.env): Seq[String] =
+    env.getOrElse("ALLOWED_ORIGINS", "http://localhost:5173")
+      .split(",", -1).toSeq
 }

@@ -86,7 +86,34 @@ class ApiServerSpec extends SparkSpecBase {
     assert(no.headers().firstValue("Access-Control-Allow-Origin").toScala.isEmpty)
   }
 
-  test("poverty empty-result fallback is an empty FeatureCollection; food-gaps serves null (routes.py parity)") {
+  test("CORS allow-list is config-driven: ALLOWED_ORIGINS comma-split with main.py:8 semantics") {
+    // default when unset
+    assert(ApiServer.originsFromEnv(Map.empty) == Seq("http://localhost:5173"))
+    // comma split, no trimming (split(',') in python does not trim)
+    assert(ApiServer.originsFromEnv(
+      Map("ALLOWED_ORIGINS" -> "https://a.example, https://b.example")) ==
+      Seq("https://a.example", " https://b.example"))
+    // empty value -> one empty string, which can never match a real Origin
+    assert(ApiServer.originsFromEnv(Map("ALLOWED_ORIGINS" -> "")) == Seq(""))
+    // a server constructed with a configured list enforces it end-to-end
+    val cfg = new ApiServer(spark, warehouse, Seq("https://cfg.example"))
+    cfg.start()
+    try {
+      def getOn(h: (String, String)) = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${cfg.port}/api/rent-by-zip"))
+          .header(h._1, h._2).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(getOn("Origin" -> "https://cfg.example").headers()
+        .firstValue("Access-Control-Allow-Origin").toScala
+        .contains("https://cfg.example"))
+      assert(getOn("Origin" -> "http://localhost:5173").headers()
+        .firstValue("Access-Control-Allow-Origin").toScala.isEmpty,
+        "the compiled-in default must not leak past a configured list")
+    } finally cfg.stop()
+  }
+
+  test("empty warehouse serves features:null on every endpoint (routes.py parity — the [] fallback is dead code)") {
     // derived warehouse: fact tables emptied, dims intact
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-wh").toString
     Seq("ntas_2020", "census_zctas_2020").foreach { t =>
@@ -101,12 +128,16 @@ class ApiServerSpec extends SparkSpecBase {
       def getOn(p: String) = client.send(
         HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${empty.port}$p"))
           .GET().build(), HttpResponse.BodyHandlers.ofString())
-      val pov = getOn("/api/poverty-by-zip")
-      assert(pov.statusCode() == 200)
-      assert(pov.body() == """{"type":"FeatureCollection","features":[]}""")
-      val food = getOn("/api/food-gaps")
-      assert(food.statusCode() == 200)
-      assert(food.body() == "null", "no-fallback endpoints serve json_agg's NULL")
+      // json_agg's NULL nests INSIDE json_build_object, so zero rows
+      // produce features:null — never literal null, never [] (the
+      // poverty `if not result` fallback never fires: the dict is
+      // always truthy)
+      Seq("/api/poverty-by-zip", "/api/food-gaps").foreach { p =>
+        val r = getOn(p)
+        assert(r.statusCode() == 200, p)
+        assert(r.body() == """{"type":"FeatureCollection","features":null}""",
+          s"$p must serve json_build_object's features:null shape")
+      }
     } finally empty.stop()
   }
 

@@ -23,7 +23,7 @@ import graft.transform.Transformers
   * [--dry-run]; scripts/export_static_data.py; src/api/routes.py):
   *
   * {{{
-  * runMain graft.jobs.Main ingest <key> <rawParquet> <warehouseDir> [--dry-run] [--zips <file>]
+  * runMain graft.jobs.Main ingest <key> <rawParquet> <warehouseDir> [--dry-run] [--zips <file>] [--registry <dir>]
   * runMain graft.jobs.Main ingest-soda <key> <warehouseDir> [--filter <json>] [--dry-run] [--zips <file>]
   * runMain graft.jobs.Main ingest-all <rawDir> <warehouseDir> [--zips <file>]
   * runMain graft.jobs.Main export <warehouseDir> <outDir>
@@ -72,14 +72,54 @@ object Main {
           s"unknown dataset '$other' (known: ${Registry.all.keys.mkString(", ")})")
     }
 
+  /** Transformer resolution for YAML-registered datasets: the
+    * reference loads `transformer_class` by reflection
+    * (parser.py:29-46); here the class path resolves by NAME to the
+    * compiled chain when one exists, and to the config-driven
+    * [[Transformers.generic]] chain otherwise — which is what lets a
+    * dataset defined ONLY in YAML ingest end-to-end with no recompile.
+    */
+  def transformerForClass(transformerClass: String,
+                          spec: graft.catalog.DatasetSpec,
+                          zips: Seq[String]): DataFrame => DataFrame = {
+    val simple = transformerClass.split('.').lastOption.getOrElse("")
+    simple match {
+      case "FoodSupplyGapTransformer" => transformerFor("food_supply_gap", zips)
+      case "CensusACSTransformer" => transformerFor("census_acs", zips)
+      case "Ntas2020Transformer" => transformerFor("ntas_2020", zips)
+      case "CensusZctas2020Transformer" => transformerFor("census_zctas_2020", zips)
+      case "ZillowZoriTransformer" => transformerFor("zillow_zori", zips)
+      case _ =>
+        // config-only dataset: generic chain, ingest-order-stamped
+        // dedup like the compiled chains (pandas keep='last' parity)
+        df => Transformers.generic(spec, Seq(col("__ingest_order")))(
+          df.withColumn("__ingest_order", monotonically_increasing_id()))
+            .drop("__ingest_order")
+    }
+  }
+
+  /** Resolve a dataset key against the optional YAML registry first
+    * (runtime extension point), then the compiled [[Registry]].
+    */
+  def resolveDataset(key: String, registryDir: Option[String],
+                     zips: Seq[String]): (graft.catalog.DatasetSpec, DataFrame => DataFrame) =
+    registryDir.flatMap(dir => graft.catalog.YamlRegistry.load(dir).get(key)) match {
+      case Some(entry) =>
+        (entry.spec, transformerForClass(entry.transformerClass, entry.spec, zips))
+      case None =>
+        val spec = Registry.all.getOrElse(key,
+          throw new IllegalArgumentException(s"unknown dataset '$key'"))
+        (spec, transformerFor(key, zips))
+    }
+
   def ingest(spark: SparkSession, key: String, rawPath: String,
-             warehouse: String, dryRun: Boolean, zips: Seq[String]): IngestJob.Result = {
-    val spec = Registry.all.getOrElse(key,
-      throw new IllegalArgumentException(s"unknown dataset '$key'"))
+             warehouse: String, dryRun: Boolean, zips: Seq[String],
+             registryDir: Option[String] = None): IngestJob.Result = {
+    val (spec, chain) = resolveDataset(key, registryDir, zips)
     val raw = spark.read.option("header", "true")
       .format(if (rawPath.endsWith(".csv")) "csv" else "parquet")
       .load(rawPath)
-    IngestJob.run(spark, spec, raw, transformerFor(key, zips), warehouse, dryRun)
+    IngestJob.run(spark, spec, raw, chain, warehouse, dryRun)
   }
 
   /** `--filter '{"col": value, …}'` — the reference's filter contract
@@ -212,6 +252,7 @@ object Main {
     var dryRun = false
     var zips: Seq[String] = Nil
     var filters: Map[String, Any] = Map.empty
+    var registryDir: Option[String] = None
     val positional = List.newBuilder[String]
     var i = 0
     while (i < args.length) {
@@ -224,6 +265,8 @@ object Main {
         case "--filter" =>
           filters = parseFilterJson(args(i + 1))
           i += 2
+        case "--registry" =>
+          registryDir = Some(args(i + 1)); i += 2
         case a => positional += a; i += 1
       }
     }
@@ -231,7 +274,7 @@ object Main {
     val spark = Sessions.local()
     try positional.result() match {
       case "ingest" :: key :: rawPath :: warehouse :: Nil =>
-        val r = ingest(spark, key, rawPath, warehouse, dryRun, zips)
+        val r = ingest(spark, key, rawPath, warehouse, dryRun, zips, registryDir)
         println(s"[ingest] ${r.datasetKey}: ${r.recordCount} rows -> ${r.tableDir} " +
           s"(validation ok=${r.report.ok})")
       case "ingest-soda" :: key :: warehouse :: Nil =>

@@ -115,4 +115,58 @@ object Transformers {
       .select("zip_code", "rent_index", "date")
       .transform(Ops.withIngestionMetadata(Registry.zillowZori.datasetId))
   }
+
+  /** CONFIG-DRIVEN GENERIC CHAIN — the transform a YAML-registered
+    * dataset gets when its `transformer_class` has no compiled
+    * counterpart (the engine's answer to parser.py:29-46's reflection
+    * for brand-new datasets): every step is derived from the
+    * [[graft.catalog.DatasetSpec]] the config declared, composing the
+    * same [[Ops]] primitives the hand-written chains use —
+    *
+    *   drop `:` SODA metadata → standardize names → per-declared-column
+    *   typed coercion (numerics null-on-fail, strings trimmed) →
+    *   declared min/max range-invalidation → keyed dedup keep-last on
+    *   the validation unique_keys (when duplicates are disallowed) →
+    *   ingestion metadata.
+    *
+    * Like the compiled chains it is ONE lazy Catalyst plan; dedup
+    * order is the caller-stamped ingest order (pandas keep='last'
+    * parity, SURVEY §7.5.1).
+    */
+  def generic(spec: graft.catalog.DatasetSpec,
+              dedupOrder: Seq[Column] = Nil)(raw: DataFrame): DataFrame = {
+    var df = raw
+      .transform(Ops.dropByPrefix(":"))
+      .transform(Ops.normalizeColumnNames)
+    for (c <- spec.columns if df.columns.contains(c.name)) {
+      val target = graft.catalog.SchemaCompiler.toSparkType(c.sqlType)
+      df = target match {
+        case t: NumericType =>
+          df.withColumn(c.name, Ops.coerceNumeric(col(c.name), t))
+        case StringType =>
+          df.withColumn(c.name, trim(col(c.name).cast(StringType)))
+        case t =>
+          df.withColumn(c.name, col(c.name).cast(t))
+      }
+      (c.min, c.max) match {
+        case (Some(lo), Some(hi)) =>
+          df = df.withColumn(c.name, Ops.rangeInvalidate(col(c.name), lo, hi))
+        case (Some(lo), None) =>
+          df = df.withColumn(c.name, when(col(c.name) >= lo, col(c.name)))
+        case (None, Some(hi)) =>
+          df = df.withColumn(c.name, when(col(c.name) <= hi, col(c.name)))
+        case _ => ()
+      }
+    }
+    // dedup ONLY when every unique key is present (dataset_id is the
+    // constant stamped below, so it never discriminates) — deduping on
+    // a partial key set would silently over-collapse
+    val keys = spec.validation.uniqueKeys.filterNot(_ == "dataset_id")
+    val deduped =
+      if (!spec.validation.allowDuplicates && keys.nonEmpty &&
+          keys.forall(df.columns.contains) && dedupOrder.nonEmpty)
+        df.transform(Ops.dedupKeepLast(keys, dedupOrder))
+      else df
+    deduped.transform(Ops.withIngestionMetadata(spec.datasetId))
+  }
 }

@@ -395,32 +395,44 @@ object SimilarityQ {
     */
   private def rankedPairsFrame(s: SparkSession, d: String): DataFrame =
     SharedFrames.frame(s, s"knn_ranked_pairs:$d") {
-      val keys = annLshKeyedFrame(s, d)
-        .select(col("vec_id"), col("bk"), col("label"))
-      logBucketCapLoss(keys, Seq("bk"), s"knn ranked pairs:$d")
+      val keyed = annLshKeyedFrame(s, d)
+        .select(col("vec_id"), col("bk"), col("label"), col("embedding"))
+      logBucketCapLoss(keyed.select(col("vec_id"), col("bk")), Seq("bk"),
+        s"knn ranked pairs:$d")
       // mega-bucket guard: neighbor side capped per bucket (see
       // [[maxBandBucket]]) — pair space bucket × cap, never bucket²
       val wB = Window.partitionBy(col("bk")).orderBy(col("vec_id").asc)
-      val kept = keys
+      val kept = keyed
         .withColumn("__bpos", row_number().over(wB))
         .filter(col("__bpos") <= maxBandBucket)
-      val cand = keys.join(
-          kept.select(col("vec_id").as("neighbor_id"), col("bk"),
-            col("label").as("n_label")), Seq("bk"))
+        .select(col("vec_id").as("neighbor_id"), col("bk"),
+          col("label").as("n_label"), col("embedding").as("n_emb"))
+      // Score INSIDE the bucket join: both join sides are keys-table-
+      // sized (vectors × bands) and carry their embeddings, so the
+      // pair-sized join output is projected to narrow (ids, labels,
+      // score) tuples in the SAME stage — the arrays never enter a
+      // pair-sized shuffle. (The previous shape deduped bare id pairs
+      // first and re-joined embeddings onto the pair table twice; at
+      // sf10 those two sort-merge joins sorted ~4e8 array-carrying
+      // rows and overflowed local disk with >60 GB of spill.) Cosine
+      // is recomputed per band duplicate — a cheap codegen'd kernel —
+      // to buy the narrow shuffle.
+      val scored = keyed.join(kept, Seq("bk"))
         .filter(col("vec_id") =!= col("neighbor_id"))
-        .select(col("vec_id"), col("neighbor_id"), col("label"), col("n_label"))
-        .dropDuplicates("vec_id", "neighbor_id")
-      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("neighbor_id"), col("label"),
+          col("n_label"),
+          fastCosine(col("embedding"), col("n_emb")).as("score"))
+      // cross-band dedup on the narrow rows: score/labels are pure
+      // functions of the id pair, so first() over duplicates is exact
+      val deduped = scored
+        .groupBy(col("vec_id"), col("neighbor_id"))
+        .agg(first(col("label")).as("label"),
+          first(col("n_label")).as("n_label"),
+          first(col("score")).as("score"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)
       val xlabel = col("label") =!= col("n_label")
-      cand
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("n_emb")), Seq("neighbor_id"))
-        .withColumn("score", fastCosine(col("embedding"), col("n_emb")))
-        .select(col("vec_id"), col("neighbor_id"), col("label"),
-          col("n_label"), col("score"))
+      deduped
         .withColumn("rank", row_number().over(w))
         .withColumn("xrank",
           sum(when(xlabel, 1).otherwise(0)).over(

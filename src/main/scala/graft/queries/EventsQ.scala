@@ -1664,17 +1664,35 @@ object EventsQ {
       .orderBy(col("day").asc)
   }
 
-  /** INTERVAL-OVERLAP self-join — the interval×interval sibling of
+  /** INTERVAL-OVERLAP degree — the interval×interval sibling of
     * q_range_join's point-in-band shape: for every session, how many
     * OTHER users' sessions overlap it in time (top 100 by degree).
-    * The scalable plan is the GRID-BUCKETED candidate join: each
-    * interval explodes into the 1800 s cells it spans, candidates
-    * equi-join on the cell (never interval-vs-interval nested-loop),
-    * pairs dedup (an overlap spanning k cells collides k times), and
-    * the exact predicate a₁ ≤ b₂ ∧ a₂ ≤ b₁ confirms. This is how an
-    * interval join survives 100 TB: shuffle keys are cells, candidate
-    * volume is per-cell occupancy², and the cell width trades
-    * candidate count against dedup volume.
+    *
+    * The oracle states the spec as the obvious pair join; the engine
+    * computes the degree WITHOUT materializing a single pair, by the
+    * exact sweep-rank identity over span a = [sₐ, eₐ]:
+    *
+    *   n_overlapping(a) = [#starts ≤ eₐ − #ends < sₐ]
+    *                    − [same for a's own user's sessions]
+    *
+    * (a span overlaps a iff it starts by eₐ and has not ended before
+    * sₐ; every span with end < sₐ also started before sₐ, so the
+    * difference counts overlaps exactly; the per-user term removes a
+    * itself and same-user sessions in one stroke.) Each rank is a
+    * merged-event running count: start/end rows and query rows union
+    * into one frame ordered by (time, kind) — kind ordering resolves
+    * the ≤ vs < tie direction — and a running SUM of the event flag
+    * read at the query rows is the rank. The global rank uses the
+    * catalog's two-phase prefix idiom (adaptive time buckets →
+    * bounded ≤8192-row driver prefix → broadcast offsets + per-bucket
+    * window); the per-user rank is a plain user-partitioned window.
+    *
+    * Scale shape: the prior grid-bucketed candidate join was
+    * O(Σ cell-occupancy²) — measured fatal at sf10, where co-peaking
+    * sessions drove >100 GB of shuffle spill into ENOSPC. The sweep is
+    * O(N log N) in spans with only narrow 5-column rows in any
+    * exchange, and no interval ever meets another: degree-counting
+    * needs ranks, not pairs.
     */
   val qIntervalOverlap: Q = Q.sql(
     "q_events_interval_overlap",
@@ -1696,26 +1714,90 @@ object EventsQ {
        |GROUP BY user_a, session_a
        |ORDER BY n_overlapping DESC, user_id ASC, session_id ASC
        |LIMIT 100""".stripMargin) { (s, d) =>
-    val cells = sessionSpans(s, d)
-      .withColumn("cell", explode(sequence(
-        floor(col("start_sec") / 1800).cast(LongType),
-        floor(col("end_sec") / 1800).cast(LongType))))
-    val a = cells.select(col("user_id").as("user_a"),
-      col("session_id").as("session_a"), col("start_sec").as("sa"),
-      col("end_sec").as("ea"), col("cell"))
-    val b = cells.select(col("user_id").as("user_b"),
-      col("session_id").as("session_b"), col("start_sec").as("sb"),
-      col("end_sec").as("eb"), col("cell"))
-    a.join(b, Seq("cell"))
-      .filter(col("user_a") =!= col("user_b") &&
-        col("sa") <= col("eb") && col("sb") <= col("ea"))
-      .select("user_a", "session_a", "user_b", "session_b")
-      .distinct()
-      .groupBy(col("user_a").as("user_id"), col("session_a").as("session_id"))
-      .agg(count(lit(1)).as("n_overlapping"))
+    // checkpointed spans table: the min/max probe, two bucket-count
+    // collects, and the final plan all read the materialized spans
+    val spans = sessionSpans(s, d)
+    val mm = spans.agg(min("start_sec"), max("end_sec")).head()
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1800L, (hi - lo) / overlapDriverBuckets + 1)
+    val nBuckets = (hi - lo) / width + 1
+    val started = sweepRank(
+      spans.select(col("start_sec").as("time"), col("user_id")),
+      spans.select(col("end_sec").as("time"), col("user_id"),
+        col("session_id")),
+      eventsWinTies = true, lo, width, nBuckets,
+      "all_started", "user_started")
+    val ended = sweepRank(
+      spans.select(col("end_sec").as("time"), col("user_id")),
+      spans.select(col("start_sec").as("time"), col("user_id"),
+        col("session_id")),
+      eventsWinTies = false, lo, width, nBuckets,
+      "all_ended", "user_ended")
+    started.join(ended, Seq("user_id", "session_id"))
+      .withColumn("n_overlapping",
+        (col("all_started") - col("all_ended")) -
+          (col("user_started") - col("user_ended")))
+      .filter(col("n_overlapping") > 0)
+      .select(col("user_id"), col("session_id"), col("n_overlapping"))
       .orderBy(col("n_overlapping").desc, col("user_id").asc,
         col("session_id").asc)
       .limit(100)
+  }
+
+  private val overlapDriverBuckets = 8192L
+
+  /** Merged-event running rank for [[qIntervalOverlap]]: for each
+    * `queries` row, the number of `events` rows at-or-before it in
+    * (time, kind) order — globally (two-phase: adaptive time buckets,
+    * dense driver-side exclusive prefix over ≤8192 bucket counts,
+    * broadcast offsets + per-bucket running sum) and per user (plain
+    * user-partitioned window; a user's session count is bounded).
+    * `eventsWinTies = true` sorts events before queries at equal time
+    * (rank counts events ≤ t); `false` sorts them after (rank counts
+    * events < t). The prefix table is DENSE over the bucket range so
+    * buckets holding only query rows still receive their offset.
+    * Deterministic: query rows carry is_ev = 0, so their running sums
+    * depend only on event rows strictly ahead in (time, kind) order —
+    * tied query rows cannot disturb each other.
+    */
+  private def sweepRank(events: DataFrame, queries: DataFrame,
+                        eventsWinTies: Boolean, lo: Long, width: Long,
+                        nBuckets: Long,
+                        globalName: String, userName: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (evKind, qKind) = if (eventsWinTies) (0, 1) else (1, 0)
+    val merged = events
+      .select(col("time"), col("user_id"),
+        lit(null).cast(LongType).as("session_id"),
+        lit(1L).as("is_ev"), lit(evKind).as("kind"))
+      .unionByName(queries.select(col("time"), col("user_id"),
+        col("session_id"), lit(0L).as("is_ev"), lit(qKind).as("kind")))
+      .withColumn("__bucket",
+        floor((col("time") - lit(lo)) / lit(width)).cast(LongType))
+    val perBucket = merged.filter(col("is_ev") === 1L)
+      .groupBy("__bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var acc = 0L
+    val offsets = (0L until nBuckets).map { b =>
+      val off = acc; acc += perBucket.getOrElse(b, 0L); (b, off)
+    }
+    val cum = Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col("time").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("time").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .join(broadcast(offsets.toDF("__bucket", "__offset")), Seq("__bucket"))
+      .withColumn(globalName, sum(col("is_ev")).over(cum) + col("__offset"))
+      .withColumn(userName, sum(col("is_ev")).over(cumUser))
+      .filter(col("is_ev") === 0L)
+      .select(col("user_id"), col("session_id"),
+        col(globalName), col(userName))
   }
 
   /** INCREMENTAL AGGREGATE MAINTENANCE — the mergeable-state algebra

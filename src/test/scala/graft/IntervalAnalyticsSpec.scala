@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 /** Hand-computed ground truth for the interval analytics pair: the
   * sweep-line peak concurrency (midnight-crossing sessions clip into
-  * both days) and the grid-bucketed interval-overlap self-join (the
-  * session that spans two cells must not double-count its partner).
+  * both days) and the sweep-rank interval-overlap degrees (long spans
+  * must count each overlapping partner exactly once, and same-user
+  * sessions must never count).
   */
 class IntervalAnalyticsSpec extends SparkSpecBase {
   import spark.implicits._

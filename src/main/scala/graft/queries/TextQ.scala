@@ -1848,26 +1848,47 @@ object TextQ {
     // total stream mass = sum of any one row's cells (row 0)
     val n = sketch.collect { case (k, c) if k.startsWith("0:") => c }.sum
     val threshold = (n + divisor - 1) / divisor
-    val bc = docs.sparkSession.sparkContext.broadcast(sketch)
+    // flat-array point query: the string-keyed Map lookup allocated a
+    // "r:" + 3-hex-char key (plus a StringBuilder and a MessageDigest
+    // instance) PER OCCURRENCE PER ROW of the sketch — at sf10 the GC
+    // churn of ~4e8 such lookups on 32 threads bent the per-decade
+    // exponent to 1.48. The sketch re-keys once on the driver to
+    // cells[r * 16^prefixLen + bucket] (bucket = the same first
+    // prefixLen nibbles of md5("r:gram") the hex prefix spells), and
+    // the per-row loop is digest + mask + array read: zero allocation
+    // beyond the digest itself, MessageDigest reused per thread.
+    val width = 1 << (4 * prefixLen)
+    val cells = new Array[Long](depth * width)
+    sketch.foreach { case (k, c) =>
+      val sep = k.indexOf(':')
+      val r = k.substring(0, sep).toInt
+      var b = 0
+      var i = sep + 1
+      while (i < k.length) {
+        b = (b << 4) | Character.digit(k.charAt(i), 16); i += 1
+      }
+      cells(r * width + b) = c
+    }
+    val bc = docs.sparkSession.sparkContext.broadcast(cells)
     val estUdf = udf { gram: String =>
       // same salted-md5-prefix bucket as cmsBucket / the oracle:
-      // lowercase hex of md5(UTF-8("r:gram")), first prefixLen chars
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // first prefixLen nibbles of md5(UTF-8("r:gram"))
+      val md = CmsMd5.get()
+      val arr = bc.value
       var est = Long.MaxValue
       var r = 0
       while (r < depth) {
         md.reset()
         val h = md.digest(
           (r + ":" + gram).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val sb = new java.lang.StringBuilder(prefixLen)
+        var b = 0
         var i = 0
-        while (sb.length < prefixLen) {
-          val b = h(i) & 0xff
-          sb.append(Character.forDigit(b >> 4, 16))
-          if (sb.length < prefixLen) sb.append(Character.forDigit(b & 0xf, 16))
+        while (i < prefixLen) {
+          val nib = if (i % 2 == 0) (h(i / 2) & 0xff) >> 4 else h(i / 2) & 0xf
+          b = (b << 4) | nib
           i += 1
         }
-        val c = bc.value.getOrElse(r + ":" + sb.toString, 0L)
+        val c = arr(r * width + b)
         if (c < est) est = c
         r += 1
       }
@@ -2804,4 +2825,15 @@ object TextQ {
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
     qRetrievalTriplets, qC4Rules, qZipfSlope, qQualityCalibrate,
     qSimhashAccuracy, qMinhashAccuracy, qNoveltyCurve)
+}
+
+/** Per-executor-thread MessageDigest for the CMS point-query UDF:
+  * referenced statically from the closure (never captured — a
+  * ThreadLocal is not serializable), instantiated once per task
+  * thread instead of once per row.
+  */
+private[queries] object CmsMd5 {
+  private val tl = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = tl.get()
 }

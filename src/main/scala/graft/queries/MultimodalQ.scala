@@ -207,9 +207,10 @@ object MultimodalQ {
     * arithmetic from doc_id — a hash match proves every pixel survived
     * the codec round trip, since one wrong pixel flips output bits.
     *
-    * Scale shape: the band self-join carries (doc_id, band, 16-bit
-    * value) keys only; hashes attach per candidate pair from the
-    * checkpointed (doc_id, dh) table; cluster size is bounded by the
+    * Scale shape: the band self-join carries (doc_id, dh, band, 16-bit
+    * value) — the full 64-bit hash rides along so the Hamming rerank
+    * evaluates inside the join stage and no pair-sized re-join against
+    * the hash table exists; cluster size is bounded by the
     * fixture (4), so pairs grow linearly with the corpus. Real-world
     * skew (one viral image × 10⁶ copies) is the same disclosed
     * O(Σ bucket²) hazard as the text LSH family — dedup-before-graph
@@ -257,25 +258,27 @@ object MultimodalQ {
       "pixel replay on the oracle side — a hash match certifies the " +
       "PNG encode/decode/unfilter/dHash chain bit-for-bit.") { (s, d) =>
     val hashes = dhashFrame(s, d)
-    val banded = hashes.select(col("doc_id"),
+    // the 64-bit hash rides the band rows (one extra Long per row), so
+    // Hamming evaluates INSIDE the band join and the pair table never
+    // re-joins the hash table — the same narrow-shuffle shape as the
+    // kNN rerank; cross-band duplicates dedup on the already-scored
+    // narrow rows (hamming is a pure function of the pair)
+    val banded = hashes.select(col("doc_id"), col("dh"),
       explode(transform(sequence(lit(0), lit(3)), k =>
         struct(k.as("band"),
           call_function("shiftright", col("dh"), k * lit(16))
             .bitwiseAND(lit(65535L)).as("bv")))).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bv"))
-    val pairs = banded.as("a")
+      .select(col("doc_id"), col("dh"), col("bb.band"), col("bb.bv"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
-      .join(hashes.select(col("doc_id").as("doc_a"), col("dh").as("dh_a")), Seq("doc_a"))
-      .join(hashes.select(col("doc_id").as("doc_b"), col("dh").as("dh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        call_function("bit_count", col("dh_a").bitwiseXOR(col("dh_b")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        call_function("bit_count",
+          col("a.dh").bitwiseXOR(col("b.dh")))
           .cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 

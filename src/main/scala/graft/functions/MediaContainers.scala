@@ -57,6 +57,20 @@ import graft.functions.MultimodalFunctions.MediaMeta
   */
 object MediaContainers {
 
+  /** Per-thread zlib codecs, reset between uses: a Deflater/Inflater
+    * instantiation allocates ~quarter-MB of NATIVE zlib state, and the
+    * media UDFs run once per row — per-row instantiation churned
+    * native memory across 32 task threads at sf10. Never call end()
+    * on these; reset() returns them to their initial state.
+    */
+  private val tlDeflater = ThreadLocal.withInitial[Deflater](() => new Deflater())
+  private val tlInflater = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
+    new java.util.zip.Inflater())
+  private def deflaterRef(): Deflater = { val d = tlDeflater.get(); d.reset(); d }
+  private def inflaterRef(): java.util.zip.Inflater = {
+    val i = tlInflater.get(); i.reset(); i
+  }
+
   // ------------------------------------------------------------------
   // byte-order helpers
   // ------------------------------------------------------------------
@@ -428,13 +442,12 @@ object MediaContainers {
       System.arraycopy(pix, r * w, raw, r * (w + 1) + 1, w)
       r += 1
     }
-    val deflater = new Deflater()
+    val deflater = deflaterRef()
     deflater.setInput(raw)
     deflater.finish()
     val buf = new Array[Byte](8192)
     val idat = new ByteArrayOutputStream()
     while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
     pngChunk(out, "IDAT", idat.toByteArray)
     pngChunk(out, "IEND", Array.empty)
     out.toByteArray
@@ -479,7 +492,7 @@ object MediaContainers {
       off += 12 + len
     }
     require(w > 0 && h > 0, "missing IHDR")
-    val inflater = new java.util.zip.Inflater()
+    val inflater = inflaterRef()
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte](h * (w + 1))
     var got = 0
@@ -488,7 +501,6 @@ object MediaContainers {
       require(n > 0 || inflater.finished(), "truncated IDAT stream")
       got += n
     }
-    inflater.end()
     require(got == raw.length, s"short pixel data: $got of ${raw.length}")
     // unfilter: prev = byte to the left, up = byte above (0 past edges)
     val pix = new Array[Byte](w * h)
@@ -538,13 +550,12 @@ object MediaContainers {
     // compression 0, filter 0, interlace 0 already zeroed
     pngChunk(out, "IHDR", ihdr)
     val raw = new Array[Byte](h * (w + 1)) // filter byte + w gray pixels per row
-    val deflater = new Deflater()
+    val deflater = deflaterRef()
     deflater.setInput(raw)
     deflater.finish()
     val buf = new Array[Byte](8192)
     val idat = new ByteArrayOutputStream()
     while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
     pngChunk(out, "IDAT", idat.toByteArray)
     pngChunk(out, "IEND", Array.empty)
     out.toByteArray

@@ -399,6 +399,14 @@ object SimilarityQ {
         .select(col("vec_id"), col("bk"), col("label"), col("embedding"))
       logBucketCapLoss(keyed.select(col("vec_id"), col("bk")), Seq("bk"),
         s"knn ranked pairs:$d")
+      buildRankedPairs(keyed).localCheckpoint(true)
+    }
+
+  /** The ranked-pairs derivation over a (vec_id, bk, label, embedding)
+    * band-key table — package-private so PlanAuditSpec can pin the
+    * shape the memoizing checkpoint above would hide.
+    */
+  private[graft] def buildRankedPairs(keyed: DataFrame): DataFrame = {
       // mega-bucket guard: neighbor side capped per bucket (see
       // [[maxBandBucket]]) — pair space bucket × cap, never bucket²
       val wB = Window.partitionBy(col("bk")).orderBy(col("vec_id").asc)
@@ -438,8 +446,7 @@ object SimilarityQ {
           sum(when(xlabel, 1).otherwise(0)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("rank") <= knnK || (xlabel && col("xrank") <= hardNegK))
-        .localCheckpoint(true)
-    }
+  }
 
   /** kNN-graph edge table (vec_id, neighbor_id, rank, score) over the
     * shared [[rankedPairsFrame]] — checkpointed in its own right so

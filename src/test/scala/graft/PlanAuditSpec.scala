@@ -875,4 +875,59 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("FileScan"),
       "edges are (vec_id, neighbor_id) longs off the checkpoint — no embedding re-scan")
   }
+
+  // ---- round-9 scale-fix shapes -------------------------------------
+
+  test("kNN ranked pairs score inside the band join — arrays never reach the pair dedup") {
+    import spark.implicits._
+    // audit the derivation directly (the catalog entry reads the memo);
+    // the r9 sf10 killer was embeddings re-joined onto the pair table
+    val keyed = Seq(
+      (1L, "b0", 0, Array(1f, 0f)), (2L, "b0", 1, Array(0f, 1f)),
+      (3L, "b1", 0, Array(1f, 1f)))
+      .toDF("vec_id", "bk", "label", "embedding")
+    val o = graft.queries.SimilarityQ.buildRankedPairs(keyed)
+      .queryExecution.optimizedPlan.toString
+    val dedup = o.linesIterator.find(l =>
+      l.contains("Aggregate") && l.contains("vec_id") && l.contains("neighbor_id"))
+    assert(dedup.isDefined, o)
+    assert(dedup.get.contains("score"),
+      s"cosine must be scored BEFORE the cross-band dedup: ${dedup.get}")
+    assert(!dedup.get.contains("embedding") && !dedup.get.contains("n_emb"),
+      s"embedding arrays leaked into the pair-sized dedup: ${dedup.get}")
+    assert("Join Inner".r.findAllIn(o).size == 1,
+      s"exactly the band self-join — no post-dedup embedding re-join:\n$o")
+  }
+
+  test("interval overlap is a rank sweep — no cell explosion, no pair join") {
+    val p = plan("q_events_interval_overlap")
+    assert(!p.contains("Generate"),
+      s"the grid-cell explode (O(cell²) candidate join) returned:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the two dense prefix tables broadcast onto the merged-event frames
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected the two broadcast offset joins of the two-phase sweep:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "the global rank must come from bucketed windows, never one task")
+  }
+
+  test("stickiness MAU is a span-merge delta sweep — no 28x explode") {
+    val p = plan("q_events_stickiness")
+    assert(!p.contains("Generate"),
+      s"the explode-to-28-observation-days shape returned:\n$p")
+    // the one single-partition window runs over the day-grain table
+    // (calendar-bounded — a year is 366 rows), and there is only one
+    assert("SinglePartition".r.findAllIn(p).size <= 2,
+      s"only the day-grain sweep may single-partition:\n$p")
+  }
+
+  test("dhash near-dup scores Hamming inside the band join — single join, no hash re-join") {
+    val p = plan("q_media_dhash_neardup")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1,
+      s"exactly the band self-join — the pair table must not re-join the hash table:\n$p")
+    val dedup = p.linesIterator.find(l =>
+      l.contains("HashAggregate") && l.contains("doc_a") && l.contains("doc_b"))
+    assert(dedup.isDefined && dedup.get.contains("hamming"),
+      s"dedup must run on already-scored narrow rows:\n${dedup.getOrElse(p)}")
+  }
 }

@@ -42,11 +42,40 @@ class IntervalAnalyticsSpec extends SparkSpecBase {
 
   test("interval overlap: exact degrees, two-cell span not double-counted") {
     // u1 overlaps u2 and u3-s1 (degree 2); u2, u3-s1 each overlap only
-    // u1; u3-s2 overlaps nothing; u4 (cells 47 AND 48) overlaps u5
-    // exactly once despite the two-cell collision surface
+    // u1; u3-s2 overlaps nothing; u4 (spanning midnight) overlaps u5
+    // exactly once despite covering two sweep buckets
     val rows = SparkEntry.queries("q_events_interval_overlap")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq(
       (1L, 1L, 2L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L), (5L, 1L, 1L)))
+  }
+
+  /** Spans spread across a ~70-day range so the sweep's adaptive time
+    * buckets are NON-trivial: several buckets hold query rows (span
+    * ends) but no start events, and vice versa — the dense driver
+    * prefix must cover those gaps or the offset join silently drops
+    * the query rows (the bug class this pins). Layout: u1 [0,100] and
+    * u2 [50,150] overlap at the range start; u3 [3_000_000, 3_000_050]
+    * and u4 [3_000_025, 3_000_075] overlap mid-range; u5 sits alone at
+    * day 69 and must NOT appear (degree 0 rows are filtered).
+    */
+  private lazy val sparseDir: String = {
+    val rows = Seq(
+      ev(11, 0, 1), ev(12, 100, 1),
+      ev(13, 50, 2), ev(14, 150, 2),
+      ev(15, 3000000, 3), ev(16, 3000050, 3),
+      ev(17, 3000025, 4), ev(18, 3000075, 4),
+      ev(19, 6000000, 5))
+    val d = java.nio.file.Files.createTempDirectory("interval_sparse").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("interval overlap: sparse spans across empty sweep buckets keep exact degrees") {
+    val rows = SparkEntry.queries("q_events_interval_overlap")(spark, sparseDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L)))
   }
 }

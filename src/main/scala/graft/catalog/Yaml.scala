@@ -18,7 +18,16 @@ import scala.collection.immutable.ListMap
   *
   * NOT supported (and rejected loudly rather than misparsed): flow
   * mappings, anchors/aliases, multi-line scalars (`|`/`>`), tabs in
-  * indentation, documents (`---`). Parsed mappings preserve key order
+  * indentation, documents (`---`), block sequences nested inside a
+  * sequence-of-mappings item, and quoted KEYS in sequence-of-mapping
+  * items (a quote-leading item is always parsed as a scalar, so
+  * `- "a: b"` is the string "a: b", never a one-key mapping).
+  *
+  * Deliberate divergence from YAML 1.1 octals: an unquoted multi-digit
+  * integer with a leading zero (`010`, `089`) stays a STRING here —
+  * PyYAML would octal-parse `010` to 8 and keep `089` (failed octal) a
+  * string; we keep both strings so identifiers like zip codes survive
+  * unquoted. Parsed mappings preserve key order
   * (ListMap) so generated schemas keep the declared column order —
   * the same property the reference gets from Python 3.7+ dicts.
   */
@@ -113,7 +122,11 @@ object Yaml {
            lines(i)._1.trim.startsWith("- ")) {
       val (line, n) = lines(i)
       val item = line.trim.stripPrefix("- ").trim
-      if (item.contains(": ") || item.endsWith(":")) {
+      // a quote-leading item is a scalar even if it contains ": " —
+      // `- "a: b"` is the string "a: b" (quoted keys in mapping items
+      // are outside the subset, per the header)
+      val quoted = item.startsWith("\"") || item.startsWith("'")
+      if (!quoted && (item.contains(": ") || item.endsWith(":"))) {
         // sequence of mappings (`- name: x` + continuation lines at the
         // item's indent): rewrite the dash as indentation and parse the
         // item as a mapping whose keys sit at indent + 2
@@ -194,6 +207,10 @@ object Yaml {
     case "false" | "False" | "FALSE" => false
     case q if (q.startsWith("\"") && q.endsWith("\"") && q.length >= 2) ||
               (q.startsWith("'") && q.endsWith("'") && q.length >= 2) => unquote(q)
+    // leading-zero multi-digit integers stay strings (see header: zip
+    // codes; deliberate divergence from YAML 1.1 octal parsing)
+    case IntRe() if { val d = s.dropWhile(c => c == '+' || c == '-')
+                      d.length > 1 && d.charAt(0) == '0' } => s
     case IntRe() => s.toLong
     case FloatRe(_, _) if s.exists(c => c == '.' || c == 'e' || c == 'E') => s.toDouble
     case other => other

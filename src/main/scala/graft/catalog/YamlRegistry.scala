@@ -58,7 +58,12 @@ object YamlRegistry {
       throw new IllegalArgumentException(
         s"$regPath: missing top-level 'datasets' mapping"))
     datasets.map { case (key, v) =>
-      val entry = v.asInstanceOf[Yaml.YMap]
+      val entry = v match {
+        case m: ListMap[_, _] => m.asInstanceOf[Yaml.YMap]
+        case other => throw new IllegalArgumentException(
+          s"dataset '$key': registry entry must be a mapping, got " +
+            (if (other == null) "null" else other.getClass.getSimpleName))
+      }
       val configPath = Yaml.str(entry, "config_path").getOrElse(
         throw new IllegalArgumentException(s"dataset '$key': missing config_path"))
       // settings.py:57 resolves config_path against PROJECT_ROOT (the

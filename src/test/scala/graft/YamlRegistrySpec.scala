@@ -54,10 +54,29 @@ class YamlRegistrySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Yaml.parse("a: {flow: map}"))
     intercept[IllegalArgumentException](Yaml.parse("a: |\n  block"))
     intercept[IllegalArgumentException](Yaml.parse("\ta: 1"))
+    // nested block sequence inside a sequence-of-mappings item is
+    // outside the subset and must fail loudly, not misparse
+    intercept[IllegalArgumentException](
+      Yaml.parse("xs:\n  - k: v\n    ys:\n      - 1\n      - 2"))
+  }
+
+  test("yaml subset: quoted colon scalars in sequences, leading-zero strings") {
+    // `- "a: b"` is the scalar string "a: b", not a one-key mapping
+    val doc = Yaml.parse("xs:\n  - \"a: b\"\n  - 'c: d'\n  - plain")
+    assert(Yaml.strSeq(doc, "xs").contains(Seq("a: b", "c: d", "plain")))
+    // unquoted leading-zero integers stay strings (zip codes survive);
+    // plain zero and quoted forms are unaffected
+    val z = Yaml.parse("zip: 089\noct: 010\nzero: 0\nneg: -07\nq: \"089\"\nn: 89")
+    assert(z("zip") == "089" && z("oct") == "010" && z("neg") == "-07")
+    assert(z("zero") == 0L && z("q") == "089" && z("n") == 89L)
   }
 
   test("the reference's own registry.yaml and config.yaml shapes load faithfully") {
-    // parse the actual reference files (read-only study of behavior)
+    // parse the actual reference files (read-only study of behavior);
+    // skip cleanly on machines without the reference checkout
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/reference/datasets")),
+      "reference checkout not present")
     val reg = YamlRegistry.load("/root/reference/datasets")
     assert(reg.keySet == Set("food_supply_gap", "ntas_2020", "census_acs",
       "census_zctas_2020", "zillow_zori"))

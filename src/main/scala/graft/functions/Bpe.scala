@@ -149,7 +149,12 @@ object Bpe {
     */
   def countTokens(text: String, ranks: java.util.HashMap[String, Integer],
                   cache: java.util.HashMap[String, Integer]): Int = {
-    val words = text.trim.toLowerCase.split("\\s+", -1)
+    // TextFunctions.tokensLocal, NOT java String.trim: Java trim strips
+    // every char <= 0x20 (so a word of control chars vanishes at text
+    // edges), while Spark's trim — which the oracle's word table and
+    // TextFunctions.tokens replicate — strips ASCII spaces only. The
+    // full-text count must equal the sum of the per-word replay counts.
+    val words = graft.functions.TextFunctions.tokensLocal(text)
     var total = 0
     var i = 0
     while (i < words.length) {

@@ -81,6 +81,17 @@ object IvfFunctions {
   private val toVec = udf((a: Seq[Float]) =>
     Vectors.dense(a.map(_.toDouble).toArray))
 
+  /** TRUE iff every component is finite. K-means training drops
+    * non-finite vectors (Spark ML's KMeans rejects NaN/Inf input
+    * outright, and a NaN component would poison every mean it touches)
+    * — a data-quality guard, not a semantic choice: such vectors are
+    * still ASSIGNED a list downstream (the argmin is NaN-deterministic
+    * — no distance ever compares below Double.MaxValue, so cid = 0)
+    * and the oracle replays whatever assignment the engine publishes.
+    */
+  def finiteVec(c: Column): Column =
+    forall(c, x => !isnan(x) && abs(x) <= lit(Float.MaxValue))
+
   /** Small-k trainer: Spark ML KMeans (k-means|| init, seeded). */
   def trainCentroidsML(emb: DataFrame, embeddingCol: String, k: Int,
                        seed: Long = 42, maxIter: Int = 10): Array[Array[Double]] =
@@ -93,7 +104,8 @@ object IvfFunctions {
   private[functions] def fitKmeans(train: DataFrame, embeddingCol: String,
                                    k: Int, seed: Long,
                                    maxIter: Int = 10): Array[Array[Double]] = {
-    val feats = train.select(toVec(col(embeddingCol)).as("features"))
+    val feats = train.filter(finiteVec(col(embeddingCol)))
+      .select(toVec(col(embeddingCol)).as("features"))
     val model = new KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
       .fit(feats)
@@ -234,7 +246,7 @@ object IvfFunctions {
                           tol: Double = 1e-4): Array[Array[Double]] = {
     import org.apache.spark.ml.linalg.Vector
     import org.apache.spark.ml.stat.Summarizer
-    val feats = trainSample(emb, k, seed)
+    val feats = trainSample(emb.filter(finiteVec(col(embeddingCol))), k, seed)
       .select(col("vec_id"), col(embeddingCol).as("v"),
         toVec(col(embeddingCol)).as("fv"))
       .cache()
@@ -338,7 +350,11 @@ object IvfFunctions {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      (best, bestD)
+      // re-derive the winning distance rather than reporting the fold
+      // accumulator: for a non-finite vector no NaN comparison ever
+      // lands, so bestD would surface as Double.MaxValue where every
+      // oracle recomputation of ||x - c||² says NaN
+      (best, l2sq(a, centroids(best)))
     }
 
   /** Residual r = x − centroid(cid), rounded back to FLOAT per element

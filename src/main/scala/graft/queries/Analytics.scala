@@ -240,7 +240,7 @@ object Analytics {
       |      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
       |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
       |WHERE rn <= 3
-      |ORDER BY c_mktsegment ASC, pos ASC""".stripMargin) { (s, d) =>
+      |ORDER BY c_mktsegment ASC NULLS FIRST, pos ASC""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val topk = udaf(graft.functions.TopKAggregator(3),
       ExpressionEncoder[(Double, Long)]())

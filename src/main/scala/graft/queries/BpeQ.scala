@@ -90,7 +90,7 @@ object BpeQ {
        |  FROM read_parquet('$auxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
        |w AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS word
        |  FROM documents),
        |bt AS (
        |  SELECT w.doc_id, CAST(COUNT(*) AS INT) AS n_words,
@@ -123,7 +123,8 @@ object BpeQ {
   val qTokenCountBpe: Q = Q.sql(
     "q_doc_token_count_bpe",
     s"""$perDocCte
-       |SELECT doc_id, n_words, n_tokens_bpe FROM bt
+       |SELECT d.doc_id, bt.n_words, bt.n_tokens_bpe
+       |FROM documents d LEFT JOIN bt USING (doc_id)
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     BpeTokenCount.ensureRegistered(s)
     val docs = Tables.documents(s, d)
@@ -141,11 +142,12 @@ object BpeQ {
   val qShardPackBpe: Q = Q.sql(
     "q_doc_shard_pack_bpe",
     s"""$perDocCte
-       |SELECT doc_id, CAST(n_tokens_bpe AS BIGINT) AS n_tokens,
-       |  CAST(floor((SUM(n_tokens_bpe) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens_bpe)
+       |SELECT d.doc_id, CAST(bt.n_tokens_bpe AS BIGINT) AS n_tokens,
+       |  CAST(floor((SUM(bt.n_tokens_bpe) OVER (ORDER BY d.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - bt.n_tokens_bpe)
        |    / ${PipelineQ.shardTokenBudget}.0) AS BIGINT) AS shard_id
-       |FROM bt
+       |FROM documents d LEFT JOIN bt USING (doc_id)
        |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     BpeTokenCount.ensureRegistered(s)
     val docs = Tables.documents(s, d)
@@ -183,9 +185,9 @@ object BpeQ {
        |  CAST(SUM(l.n_chars_calc) AS BIGINT) AS n_chars,
        |  CAST(SUM(bt.n_tokens_bpe) AS DOUBLE) / SUM(bt.n_words) AS fertility,
        |  CAST(SUM(l.n_chars_calc) AS DOUBLE) / SUM(bt.n_tokens_bpe) AS chars_per_token
-       |FROM bt JOIN l USING (doc_id)
+       |FROM l LEFT JOIN bt USING (doc_id)
        |GROUP BY l.lang
-       |ORDER BY lang ASC""".stripMargin) { (s, d) =>
+       |ORDER BY lang ASC NULLS FIRST""".stripMargin) { (s, d) =>
     BpeTokenCount.ensureRegistered(s)
     val docs = Tables.documents(s, d)
     val merges = sharedMerges(s, d, docs)

@@ -25,17 +25,22 @@ object EventsQ {
     */
   val qJsonProps: Q = Q.sql(
     "q_events_json_props",
-    """SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+    """SELECT event_type,
+      |  TRY_CAST(CASE WHEN json_valid(props)
+      |    THEN json_extract_string(props, '$.k') END AS INT) % 10 AS k_mod,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY event_type ASC, k_mod ASC NULLS FIRST""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST, k_mod ASC NULLS FIRST""".stripMargin) { (s, d) =>
     // k_mod is nullable (events lacking an integer $.k): Spark ASC is
     // NULLS FIRST but DuckDB ASC is NULLS LAST, so the oracle pins
-    // NULLS FIRST and TRY_CASTs (DuckDB CAST would error on non-numeric).
+    // NULLS FIRST and TRY_CASTs (DuckDB CAST would error on non-numeric,
+    // and json_extract_string on malformed JSON — Spark's
+    // get_json_object returns NULL for both, hence the json_valid
+    // guard + try_cast pairing).
     Tables.events(s, d)
       .withColumn("k_mod",
-        get_json_object(col("props"), "$.k").cast(IntegerType) % 10)
+        get_json_object(col("props"), "$.k").try_cast(IntegerType) % 10)
       .groupBy("event_type", "k_mod")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc, col("k_mod").asc)
@@ -48,10 +53,10 @@ object EventsQ {
     "q_events_tumbling",
     """SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS window_start_sec,
       |  event_type, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2
-      |ORDER BY window_start_sec ASC, event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY window_start_sec ASC, event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     // window start emitted as epoch seconds (BIGINT): timestamp columns
     // round-trip through parquet with engine-specific tz/precision
     // annotations; integer seconds compare exactly everywhere.
@@ -91,11 +96,11 @@ object EventsQ {
     */
   val qSaltedAgg: Q = Q.sql(
     "q_events_salted_agg",
-    """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+    """SELECT event_type, CAST(SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       |  COUNT(*) AS n
       |FROM events
       |GROUP BY event_type
-      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     import graft.transform.Ops
     Tables.events(s, d)
       .transform(Ops.saltedSumCount(Seq("event_type"), col("event_id"), 32,
@@ -181,7 +186,7 @@ object EventsQ {
       |FROM pb p
       |JOIN au ON au.event_type = p.event_type
       |JOIN st ON st.event_type = p.event_type
-      |ORDER BY p.event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY p.event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val k = 256
     val e = Tables.events(s, d)
       .filter(finiteValue)
@@ -245,7 +250,7 @@ object EventsQ {
     """WITH e AS (
       |  SELECT event_type,
       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
-      |    CAST(value AS DECIMAL(12,2)) AS v
+      |    TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2)) AS v
       |  FROM events),
       |expanded AS (
       |  SELECT event_type, v,
@@ -255,7 +260,7 @@ object EventsQ {
       |  CAST(SUM(v) AS DOUBLE) AS sum_value
       |FROM expanded
       |GROUP BY 1, 2
-      |ORDER BY window_start_sec ASC, event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY window_start_sec ASC, event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -267,12 +272,14 @@ object EventsQ {
   }
 
   /** Native session_window operator (the built-in counterpart to the
-    * custom gaps-and-islands sessionize). Boundary semantics differ
-    * deliberately and are pinned here: session_window extends a session
-    * to [ts, ts+gap) and merges OVERLAPPING intervals, so a successor
-    * exactly `gap` seconds later starts a NEW session — whereas
-    * q_events_sessionize's `diff > gap` keeps it. The oracle encodes
-    * the strict-< islands accordingly.
+    * custom gaps-and-islands sessionize). Boundary pinned EMPIRICALLY
+    * by the adversarial corpus's exact-gap events: session_window
+    * extends a session to [ts, ts+gap) and merges sessions that
+    * overlap OR TOUCH, so a successor exactly `gap` seconds later
+    * stays in the SAME session — `diff > gap` islands, the same
+    * boundary as q_events_sessionize. (The prior belief that an
+    * at-gap successor opens a new session was green-by-vacuity on
+    * corpora with no exact-gap pair.)
     */
   val qSessionWindow: Q = Q.sql(
     "q_events_session_window",
@@ -281,13 +288,14 @@ object EventsQ {
       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, ts_sec,
+      |  SELECT user_id, event_id, ts_sec,
       |    CASE WHEN lag(ts_sec) OVER w IS NULL
-      |      OR ts_sec - lag(ts_sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+      |      OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC)),
       |sessions AS (
       |  SELECT user_id, ts_sec,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec ASC
+      |    SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec ASC, event_id ASC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flagged)
       |SELECT user_id, MIN(ts_sec) AS session_start_sec,
@@ -447,10 +455,15 @@ object EventsQ {
       sum(dec(col("value")) * dec(col("value"))).cast(DoubleType).as("ss"),
       count(lit(1)).cast(DoubleType).as("n"))
 
-  /** z of `value` against the (s, ss, n) stats columns. */
+  /** z of `value` against the (s, ss, n) stats columns. try_divide:
+    * a zero-variance type (e.g. a singleton group) has sd = 0 — z is
+    * undefined → NULL, and the |z| filter drops it. DuckDB's `/`
+    * returns NULL on a zero divisor, so the oracle needs no guard;
+    * Spark's ANSI `/` would abort the job instead.
+    */
   def zScore: Column =
-    (col("value") - col("s") / col("n")) /
-      sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n"))
+    try_divide(col("value") - col("s") / col("n"),
+      sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")))
 
   /** Per-type z-score outlier detection — the monitoring query an event
     * pipeline runs to flag anomalous values (|z| > 3 against the
@@ -470,8 +483,8 @@ object EventsQ {
     "q_events_anomaly",
     """WITH st AS (
       |  SELECT event_type,
-      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
-      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss,
+      |    CAST(SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2)) * TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS ss,
       |    CAST(COUNT(*) AS DOUBLE) AS n
       |  FROM events GROUP BY event_type)
       |SELECT e.event_id, e.event_type, e.value,
@@ -503,6 +516,18 @@ object EventsQ {
     */
   private def finiteValue: Column =
     !isnan(col("value")) && abs(col("value")) < lit(Double.PositiveInfinity)
+
+  /** Domain guard for the FIXED-width bucketers (floor(value/10) —
+    * histogram, k-anonymity, l-diversity): finite AND |value| ≤ 1e15,
+    * so the integer bucket always fits int64 (a finite-but-huge value
+    * like 1e308 overflows the BIGINT bucket cast — DuckDB raises,
+    * Spark saturates — and a 10-unit bucket at that magnitude carries
+    * no information anyway). The excluded tail is part of the
+    * published semantics, not silent loss; oracle twin:
+    * `isfinite(value) AND abs(value) <= 1e15`.
+    */
+  private def bucketableValue: Column =
+    finiteValue && abs(col("value")) <= lit(1e15)
 
   /** UTC epoch day — tz-independent integer day bucket (session-tz
     * date functions would couple the result to cluster config).
@@ -680,7 +705,7 @@ object EventsQ {
     """WITH e AS (
       |  SELECT event_id, event_type,
       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
-      |    CAST(value AS DECIMAL(12,2)) AS v
+      |    TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2)) AS v
       |  FROM events)
       |SELECT event_id, event_type,
       |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
@@ -802,11 +827,11 @@ object EventsQ {
       |  CAST(floor(value / 10.0) AS BIGINT) AS bucket,
       |  COUNT(*) AS n
       |FROM events
-      |WHERE NOT isnan(value)
+      |WHERE isfinite(value) AND abs(value) <= 1e15
       |GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
-      |ORDER BY event_type ASC, bucket ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST, bucket ASC""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(bucketableValue)
       .groupBy(col("event_type"),
         floor(col("value") / 10.0).cast(LongType).as("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -833,15 +858,15 @@ object EventsQ {
       |    CAST(floor(value / 10) AS BIGINT) AS bucket,
       |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
       |    user_id
-      |  FROM events WHERE NOT isnan(value)),
+      |  FROM events WHERE isfinite(value) AND abs(value) <= 1e15),
       |k AS (
       |  SELECT event_type, bucket, day, COUNT(*) AS n_users
       |  FROM cells GROUP BY event_type, bucket, day)
       |SELECT event_type, bucket, day, CAST(n_users AS BIGINT) AS n_users
       |FROM k WHERE n_users < 5
-      |ORDER BY event_type ASC, bucket ASC, day ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST, bucket ASC, day ASC""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(bucketableValue)
       .select(col("event_type"),
         floor(col("value") / 10).cast(LongType).as("bucket"),
         epochDay(col("ts")).as("day"), col("user_id"))
@@ -885,14 +910,14 @@ object EventsQ {
       |  CAST(sx AS BIGINT) AS span_us,
       |  CAST(sx AS DOUBLE) / n_gaps AS mean_gap_us,
       |  CASE WHEN sx > 0
-      |    THEN CAST(CAST(n_gaps AS HUGEINT) * sxx
-      |               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
-      |           / CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |    THEN CAST(CAST(CAST(n_gaps AS HUGEINT) * sxx
+      |               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS DOUBLE)
+      |           / CAST(CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS DOUBLE)
       |  END AS cv2,
       |  (sx > 0 AND n_gaps >= 5
-      |   AND CAST(CAST(n_gaps AS HUGEINT) * sxx
-      |             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
-      |         / CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+      |   AND CAST(CAST(CAST(n_gaps AS HUGEINT) * sxx
+      |             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS DOUBLE)
+      |         / CAST(CAST(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS DOUBLE)
       |       < 0.05) AS is_bot
       |FROM a
       |ORDER BY user_id ASC""".stripMargin) { (s, d) =>
@@ -1194,7 +1219,7 @@ object EventsQ {
       |    CAST(floor(value / 10) AS BIGINT) AS bucket,
       |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
       |    user_id, event_type
-      |  FROM events WHERE NOT isnan(value)),
+      |  FROM events WHERE isfinite(value) AND abs(value) <= 1e15),
       |cells AS (
       |  SELECT bucket, day,
       |    COUNT(DISTINCT user_id) AS n_users,
@@ -1205,7 +1230,7 @@ object EventsQ {
       |FROM cells WHERE n_users >= 5 AND l_div < 3
       |ORDER BY bucket ASC, day ASC""".stripMargin) { (s, d) =>
     Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(bucketableValue)
       .select(floor(col("value") / 10).cast(LongType).as("bucket"),
         epochDay(col("ts")).as("day"), col("user_id"), col("event_type"))
       .distinct()
@@ -1295,11 +1320,11 @@ object EventsQ {
       |  SELECT user_id,
       |    CAST(floor(floor(epoch(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) AS day,
       |    value
-      |  FROM events WHERE NOT isnan(value)),
+      |  FROM events WHERE isfinite(value)),
       |mx AS (SELECT MAX(day) AS maxday FROM e),
       |u AS (
       |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
-      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      |    CAST(SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS monetary
       |  FROM e GROUP BY user_id)
       |SELECT user_id, mx.maxday - last_day AS recency_days, frequency, monetary,
       |  CASE WHEN mx.maxday - last_day < 7 THEN 'active'
@@ -1311,7 +1336,7 @@ object EventsQ {
       |FROM u CROSS JOIN mx
       |ORDER BY user_id ASC""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
-      .filter(!isnan(col("value")))
+      .filter(finiteValue)
       .select(col("user_id"), epochDay(col("ts")).as("day"), col("value"))
     val maxDay = e.agg(max("day")).head().getLong(0)
     e.groupBy("user_id")
@@ -1370,7 +1395,7 @@ object EventsQ {
       |    + MAX(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2 AS median,
       |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
       |FROM r GROUP BY event_type
-      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
       .filter(finiteValue)
       .select(col("event_type"), col("value"))
@@ -1380,7 +1405,11 @@ object EventsQ {
       .select(col("event_type"), col("mn"),
         greatest((col("mx") - col("mn")) / lit(8192.0),
           lit(java.lang.Double.MIN_NORMAL)).as("w")))
-    val eb = e.join(stats, "event_type")
+    // null-SAFE joins throughout: a NULL event_type is a real group
+    // (the oracle's GROUP BY keeps it) and a plain equi-join would
+    // silently drop its quantiles
+    val eb = e.join(stats.withColumnRenamed("event_type", "__t"),
+        col("event_type") <=> col("__t")).drop("__t")
       .select(col("event_type"), col("value"),
         floor((col("value") - col("mn")) / col("w")).cast(LongType).as("b"))
     // pass 1: bounded histogram (≤ ~8K buckets/type at any domain width)
@@ -1408,10 +1437,16 @@ object EventsQ {
     // bucket expression as pass 1 via the shared eb frame)
     val w = Window.partitionBy(col("event_type"), col("b"))
       .orderBy(col("value").asc)
+    val tb = targetDf.select(col("event_type").as("__t"), col("b").as("__b"))
+      .distinct()
+    val t2 = targetDf.select(col("event_type").as("__t"), col("b").as("__b"),
+      col("rn_in_b").as("__r"), col("k"), col("n"))
     val picked = eb
-      .join(targetDf.select("event_type", "b").distinct(), Seq("event_type", "b"))
+      .join(broadcast(tb), col("event_type") <=> col("__t") &&
+        col("b") === col("__b")).drop("__t", "__b")
       .withColumn("rn_in_b", row_number().over(w).cast(LongType))
-      .join(targetDf, Seq("event_type", "b", "rn_in_b"))
+      .join(broadcast(t2), col("event_type") <=> col("__t") &&
+        col("b") === col("__b") && col("rn_in_b") === col("__r"))
       .select(col("event_type"), col("k"), col("n"), col("value"))
     picked.groupBy("event_type")
       .agg(max("n").as("n"),
@@ -1848,9 +1883,9 @@ object EventsQ {
     "q_events_incremental_agg",
     """WITH m AS (
       |  SELECT event_type, COUNT(*) AS n_events,
-      |    SUM(CAST(value AS DECIMAL(12,2))) AS sv,
-      |    SUM(CAST(value AS DECIMAL(12,2))
-      |      * CAST(value AS DECIMAL(12,2))) AS svv,
+      |    SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS sv,
+      |    SUM(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))
+      |      * TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS svv,
       |    MIN(value) AS min_value, MAX(value) AS max_value
       |  FROM events WHERE isfinite(value) GROUP BY event_type)
       |SELECT event_type, n_events,
@@ -1860,7 +1895,7 @@ object EventsQ {
       |  CAST(svv AS DOUBLE) / n_events
       |    - (CAST(sv AS DOUBLE) / n_events)
       |      * (CAST(sv AS DOUBLE) / n_events) AS var_pop
-      |FROM m ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val cut = to_timestamp(lit("2024-01-16 00:00:00"))
     def partial(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("event_type").agg(
@@ -1922,7 +1957,7 @@ object EventsQ {
          |SELECT event_type, day, CAST(n AS BIGINT) AS n,
          |  CAST(ses_dec AS DOUBLE) AS ses
          |FROM smoothed WHERE rn >= 12
-         |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
+         |ORDER BY event_type ASC NULLS FIRST, day ASC""".stripMargin) { (s, d) =>
       val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       val ses = weights.zipWithIndex.map { case (wj, j) =>
@@ -1985,7 +2020,7 @@ object EventsQ {
       |    / CAST(o.m * o.sxx - o.sx * o.sx AS DOUBLE) AS ols_slope,
       |  t.theil_sen_slope
       |FROM ols o JOIN ts_med t ON o.event_type = t.event_type
-      |ORDER BY o.event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY o.event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val g = Tables.events(s, d)
       .groupBy(col("event_type"), epochDay(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -2051,7 +2086,7 @@ object EventsQ {
       |SELECT event_type, day AS cp_day, CAST(abs(c) AS BIGINT) AS cusum_abs,
       |  CAST(abs(c) AS DOUBLE) / m AS deviation_events
       |FROM ranked WHERE rn = 1
-      |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      |ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val grid = dailyGrid(s, d)
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val wAll = Window.partitionBy("event_type")
@@ -2129,7 +2164,7 @@ object EventsQ {
          |  CAST(bnum AS DOUBLE) / 16777216e0 AS trend,
          |  CAST(lnum + 7 * bnum AS DOUBLE) / 16777216e0 AS forecast_7d
          |FROM tapped WHERE rn >= 12
-         |ORDER BY event_type ASC, day ASC""".stripMargin) { (s, d) =>
+         |ORDER BY event_type ASC NULLS FIRST, day ASC""".stripMargin) { (s, d) =>
       val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       def num(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
@@ -2208,7 +2243,7 @@ object EventsQ {
          |       WHEN ses_sum < holt_sum THEN 'ses'
          |       ELSE 'tie' END AS better_model
          |FROM agg
-         |ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
       val grid = dailyGrid(s, d)
       val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       def byPos(ks: Seq[Long]) = ks.zipWithIndex.map { case (k, j) =>
@@ -2269,7 +2304,7 @@ object EventsQ {
       |  (CAST(d.sn AS DOUBLE) / d.n_days)
       |    / (CAST(t2.s AS DOUBLE) / t2.m) AS dow_index
       |FROM dw d JOIN tot t2 ON d.event_type = t2.event_type
-      |ORDER BY d.event_type ASC, d.dow ASC""".stripMargin) { (s, d) =>
+      |ORDER BY d.event_type ASC NULLS FIRST, d.dow ASC""".stripMargin) { (s, d) =>
     val grid = dailyGrid(s, d)
     val dw = grid
       .groupBy(col("event_type"), ((col("day") + 4) % 7).cast(IntegerType).as("dow"))
@@ -2322,7 +2357,7 @@ object EventsQ {
       |SELECT n2.event_type, CAST(n2.k AS INT) AS k,
       |  CAST(n2.nsum AS DOUBLE) / NULLIF(CAST(d2.dsum AS DOUBLE), 0) AS acf
       |FROM num n2 JOIN den d2 ON n2.event_type = d2.event_type
-      |ORDER BY n2.event_type ASC, k ASC""".stripMargin) { (s, d) =>
+      |ORDER BY n2.event_type ASC NULLS FIRST, k ASC""".stripMargin) { (s, d) =>
     val grid = dailyGrid(s, d)
     val st = grid.groupBy("event_type")
       .agg(count(lit(1)).as("m"), sum("n").as("sy"))
@@ -2383,7 +2418,7 @@ object EventsQ {
       |  FROM c)
       |SELECT event_type,
       |  CAST(n_users + bit_count(h60) - 30 AS BIGINT) AS noisy_users
-      |FROM h ORDER BY event_type ASC""".stripMargin) { (s, d) =>
+      |FROM h ORDER BY event_type ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val h60 = conv(substring(md5(
       concat(lit("dp-seed-r8:"), col("event_type")).cast(BinaryType)), 1, 15),
       16, 10).cast(LongType)

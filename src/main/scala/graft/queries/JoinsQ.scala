@@ -30,7 +30,7 @@ object JoinsQ {
       |r AS (
       |  SELECT user_id,
       |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
-      |    CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS last_purchase_value
+      |    CAST(MAX(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS last_purchase_value
       |  FROM events WHERE event_type = 'purchase'
       |  GROUP BY 1, 2)
       |SELECT l.event_id, l.user_id, l.ts_sec,

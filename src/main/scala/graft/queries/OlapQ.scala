@@ -241,7 +241,7 @@ object OlapQ {
       |SELECT d.priority, m.month, COALESCE(c.n_orders, 0) AS n_orders
       |FROM dims d CROSS JOIN months m
       |LEFT JOIN counts c ON c.priority = d.priority AND c.month = m.month
-      |ORDER BY d.priority ASC, m.month ASC""".stripMargin) { (s, d) =>
+      |ORDER BY d.priority ASC NULLS FIRST, m.month ASC""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d)
       .select(date_trunc("month", col("o_orderdate")).cast(DateType).as("month"),
         col("o_orderpriority").as("priority"))

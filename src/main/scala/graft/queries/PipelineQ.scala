@@ -241,7 +241,7 @@ object PipelineQ {
        |  CAST(COALESCE(dup.dup_docs, 0) AS DOUBLE) / t.n_docs AS dup_frac,
        |  CAST(COALESCE(dup.max_cluster, 0) AS BIGINT) AS max_cluster
        |FROM tot t LEFT JOIN dup USING (source)
-       |ORDER BY t.source ASC""".stripMargin) { (s, d) =>
+       |ORDER BY t.source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val comp = dupComponents(s, d)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("n"))
@@ -456,7 +456,7 @@ object PipelineQ {
     "q_doc_shard_pack",
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens
        |  FROM documents)
        |SELECT doc_id, n_tokens,
        |  CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
@@ -492,7 +492,7 @@ object PipelineQ {
     "q_doc_seq_spans",
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |p AS (
        |  SELECT doc_id, n_tokens,
@@ -542,7 +542,7 @@ object PipelineQ {
   val qChunk: Q = Q.sql(
     "q_doc_chunk",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |t2 AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) >= 1),
        |t3 AS (SELECT *, CASE WHEN n <= $chunkLen THEN 1
@@ -644,7 +644,7 @@ object PipelineQ {
        |  FROM documents)
        |SELECT lang, CAST(rk AS INT) AS rk, doc_id
        |FROM ranked WHERE rk <= $samplePerGroupK
-       |ORDER BY lang ASC, rk ASC""".stripMargin) { (s, d) =>
+       |ORDER BY lang ASC NULLS FIRST, rk ASC""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("lang")
       .orderBy(docHash.asc, col("doc_id").asc)
     Tables.documents(s, d)
@@ -709,14 +709,14 @@ object PipelineQ {
   def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(
       regexp_replace(nfcNormalize(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-      "\\s+", " "))
+      "[ \\x09-\\x0d]+", " "))
 
   val qNormalize: Q = Q.sql(
     "q_doc_normalize",
     """SELECT doc_id,
       |  trim(regexp_replace(
       |    regexp_replace(nfc_normalize(text), '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-      |    '\s+', ' ', 'g')) AS norm_text
+      |    '[ \x09-\x0d]+', ' ', 'g')) AS norm_text
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
@@ -738,7 +738,7 @@ object PipelineQ {
   val qRepetition: Q = Q.sql(
     "q_doc_repetition",
     """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS tok
       |  FROM documents),
       |base AS (
       |  SELECT doc_id, len(tok) AS n_tokens, len(list_distinct(tok)) AS n_distinct, tok
@@ -806,7 +806,7 @@ object PipelineQ {
     "q_doc_truncate_pack",
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n
        |  FROM documents),
        |pieces AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS piece_idx,
@@ -878,7 +878,7 @@ object PipelineQ {
   val qDupSpans: Q = Q.sql(
     "q_doc_dup_spans",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |spans AS (
        |  SELECT doc_id,
@@ -941,7 +941,7 @@ object PipelineQ {
   val qDespan: Q = Q.sql(
     "q_doc_despan",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |toks AS (
        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
@@ -1032,7 +1032,7 @@ object PipelineQ {
   val qDecontamSpans: Q = Q.sql(
     "q_doc_decontam_spans",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |toks AS (
        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
@@ -1114,7 +1114,7 @@ object PipelineQ {
   val qParagraphDedup: Q = Q.sql(
     "q_doc_paragraph_dedup",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |toks AS (
        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tok[u.i] AS token
@@ -1151,7 +1151,10 @@ object PipelineQ {
     */
   def paragraphDedup(docs: DataFrame): DataFrame = {
     val tok = tokens(col("text"))
-    val nb = ceil(size(tok).cast(DoubleType) / paraK).cast(IntegerType)
+    // null text tokenizes to null → 0 blocks (the oracle's unnest over a
+    // NULL range emits no rows, so its per-doc counts coalesce to 0)
+    val nb = coalesce(
+      ceil(size(tok).cast(DoubleType) / paraK).cast(IntegerType), lit(0))
     val blockArr = when(size(tok) === 0, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(0), nb - 1),
         i => concat_ws(" ", slice(tok, i * paraK + lit(1), lit(paraK)))))
@@ -1194,7 +1197,7 @@ object PipelineQ {
   val qContamination: Q = Q.sql(
     "q_doc_contamination",
     """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS tok
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -1237,7 +1240,7 @@ object PipelineQ {
   val qSplitLeakage: Q = Q.sql(
     "q_split_leakage",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -1302,14 +1305,14 @@ object PipelineQ {
     "q_doc_redact",
     """SELECT doc_id,
       |  regexp_replace(
-      |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+      |    regexp_replace(text, 'https?://[^ \x09-\x0d]+', '<URL>', 'g'),
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS red_text
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
         regexp_replace(
-          regexp_replace(col("text"), "https?://[^\\s]+", "<URL>"),
+          regexp_replace(col("text"), "https?://[^ \\x09-\\x0d]+", "<URL>"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>").as("red_text"))
       .orderBy(col("doc_id").asc)
   }
@@ -1393,7 +1396,7 @@ object PipelineQ {
       |    // COUNT(*) AS pii_permille
       |FROM per_doc
       |GROUP BY source
-      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+      |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("source"),
         size(regexp_extract_all(col("text"), lit("https?://[^ \\x09-\\x0d]+"), lit(0)))
@@ -1443,8 +1446,8 @@ object PipelineQ {
       |SELECT l.doc_id,
       |  CAST(len(l.ln) AS BIGINT) AS n_lines,
       |  CAST(COALESCE(len(k.ks), 0) AS BIGINT) AS n_kept,
-      |  array_to_string(
-      |    list_transform(COALESCE(k.ks, []), i -> l.ln[i]), chr(10))
+      |  COALESCE(array_to_string(
+      |    list_transform(COALESCE(k.ks, []), i -> l.ln[i]), chr(10)), '')
       |    AS clean_text
       |FROM l LEFT JOIN kept k USING (doc_id)
       |ORDER BY l.doc_id ASC""".stripMargin) { (s, d) =>
@@ -1498,7 +1501,7 @@ object PipelineQ {
        |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
        |scored AS (
        |  SELECT c.cluster_id, c.doc_id,
-       |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS BIGINT) AS n_tokens
+       |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens
        |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
        |ranked AS (
        |  SELECT cluster_id, doc_id, n_tokens,
@@ -1551,7 +1554,7 @@ object PipelineQ {
   val qContaminationBloom: Q = Q.sql(
     "q_doc_contamination_bloom",
     """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS tok
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -1592,7 +1595,7 @@ object PipelineQ {
   val qTfidfTopTerms: Q = Q.sql(
     "q_doc_tfidf_topterms",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1663,7 +1666,7 @@ object PipelineQ {
       .select(col("doc_id"), col("norm_text"),
         size(tokens(col("norm_text"))).cast(LongType).as("n_tokens"),
         (length(col("norm_text")) -
-          length(regexp_replace(col("norm_text"), "[^\\w\\s]", "")))
+          length(regexp_replace(col("norm_text"), "[^\\w \\x09-\\x0d]", "")))
           .cast(LongType).as("n_punct"),
         length(col("norm_text")).cast(LongType).as("n_chars"))
     val kept = scored.filter(col("n_tokens") >= curateMinTokens &&
@@ -1706,12 +1709,12 @@ object PipelineQ {
        |  SELECT doc_id,
        |    trim(regexp_replace(
        |      regexp_replace(nfc_normalize(text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-       |      '\\s+', ' ', 'g')) AS norm_text
+       |      '[ \\x09-\\x0d]+', ' ', 'g')) AS norm_text
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, norm_text,
-       |    CAST(len(regexp_split_to_array(lower(norm_text), '\\s+')) AS BIGINT) AS n_tokens,
-       |    CAST(length(norm_text) - length(regexp_replace(norm_text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(regexp_split_to_array(lower(norm_text), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens,
+       |    CAST(length(norm_text) - length(regexp_replace(norm_text, '[^\\w \\x09-\\x0d]', '', 'g')) AS BIGINT) AS n_punct,
        |    CAST(length(norm_text) AS BIGINT) AS n_chars
        |  FROM norm WHERE length(norm_text) > 0),
        |kept AS (
@@ -1722,7 +1725,7 @@ object PipelineQ {
        |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
        |  FROM kept GROUP BY md5(norm_text)),
        |t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |sh AS (
        |  SELECT doc_id,
@@ -1828,7 +1831,7 @@ object PipelineQ {
       |tot AS (
       |  SELECT CAST(SUM(n) AS DOUBLE) AS nd,
       |    list_reduce(
-      |      list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY source ASC)),
+      |      list_prepend(0.0, list(sqrt(CAST(n AS DOUBLE)) ORDER BY source ASC NULLS FIRST)),
       |      (x, y) -> x + y) AS ssum
       |  FROM stats),
       |rates AS (
@@ -1844,7 +1847,10 @@ object PipelineQ {
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      // matches the oracle's pinned `ORDER BY source ASC NULLS FIRST`
+      // fold order (a bare sortBy would NPE on a null source group)
+      .sortBy(_._1)(Q.nullsFirstString)
     val nd = stats.map(_._2).sum.toDouble
     var ssum = 0.0 // fold in source order, 0-initialized — mirrors the oracle's pinned list fold
     stats.foreach { case (_, n) => ssum += math.sqrt(n.toDouble) }
@@ -1953,8 +1959,9 @@ object PipelineQ {
     "q_doc_unimax_mix",
     """WITH RECURSIVE stats AS (
       |  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS mass,
-      |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(n_chars) AS DOUBLE) ASC, lang ASC) AS rn
-      |  FROM documents GROUP BY lang),
+      |    ROW_NUMBER() OVER (ORDER BY CAST(SUM(n_chars) AS DOUBLE) ASC, lang ASC NULLS FIRST) AS rn
+      |  FROM documents GROUP BY lang
+      |  HAVING SUM(n_chars) IS NOT NULL),
       |meta AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS nl, SUM(mass) * 0.5 AS budget
       |  FROM stats),
@@ -1980,9 +1987,17 @@ object PipelineQ {
       |FROM counted WHERE n_copies > 0
       |ORDER BY doc_id ASC, copy ASC""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // a lang whose docs carry no countable chars (all-null n_chars)
+    // has no mass to allocate — excluded on both sides (its docs also
+    // drop out of the rate join; a null lang never equi-joins anyway)
     val stats = docs.groupBy("lang").agg(sum("n_chars").as("m"))
+      .filter(col("m").isNotNull)
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
-      .sortBy { case (lang, mass) => (mass, lang) }
+      // mass asc, lang asc — tiebreak pinned NULLS FIRST to match the
+      // oracle's `ORDER BY mass ASC, lang ASC NULLS FIRST` rank (a bare
+      // sortBy would NPE on a null lang group)
+      .sortBy { case (lang, mass) => (mass, lang) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Q.nullsFirstString))
     val nl = stats.length
     val budget = stats.map(_._2).sum * 0.5
     var remaining = budget
@@ -2191,8 +2206,8 @@ object PipelineQ {
     "q_doc_token_budget_select",
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+'),
        |      w -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], w))) AS BIGINT) AS n_stop
        |  FROM documents WHERE length(text) > 0),
        |s AS (
@@ -2276,8 +2291,8 @@ object PipelineQ {
        |  WHERE c.doc_id <> rp.rep),
        |q AS (
        |  SELECT doc_id, source,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+'),
        |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS n_stop
        |  FROM documents),
        |agg AS (
@@ -2298,7 +2313,7 @@ object PipelineQ {
        |  CASE WHEN dropped_tokens > 0
        |    THEN CAST(dropped_stop AS DOUBLE) / dropped_tokens END AS dropped_stop_ratio
        |FROM agg
-       |ORDER BY source ASC""".stripMargin) { (s, d) =>
+       |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val comp = dupComponents(s, d)
     val reps = comp.groupBy("cluster_id").agg(min("doc_id").as("rep"))
     val dropped = comp.join(reps, "cluster_id")
@@ -2349,7 +2364,7 @@ object PipelineQ {
   val qStitchPairs: Q = Q.sql(
     "q_doc_stitch_pairs",
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tk
        |  FROM documents),
        |ends AS (
        |  SELECT doc_id,

@@ -44,4 +44,16 @@ object Q {
   def rowsOnly(name: String, doc: String = "")(
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None, doc)
+
+  /** NULLS-FIRST string ordering for DRIVER-side folds over collected
+    * group keys (mixture normalizers, rate-table builds). Matches the
+    * oracle side's pinned `ORDER BY key ASC NULLS FIRST` list folds —
+    * and, unlike `sortBy(_._1)`, does not NPE when a null group key
+    * exists (null source/lang documents).
+    */
+  val nullsFirstString: Ordering[String] = (a: String, b: String) =>
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else a.compareTo(b)
 }

@@ -98,8 +98,13 @@ object SimilarityQ {
     * quantization query (joins it distributively) and the quantized
     * ANN path (collects its 64 rows for a literal-array transform).
     */
+  /** Per-dim (min, max) over the all-finite vectors — the quantizer's
+    * index domain (one NaN/Inf component would poison the range and
+    * every code derived from it; [[IvfFunctions.finiteVec]] twin).
+    */
   private def dimStats(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    emb.filter(graft.functions.IvfFunctions.finiteVec(col("embedding")))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
 
   private def oracleCosine(a: String, b: String): String =
@@ -1101,7 +1106,8 @@ object SimilarityQ {
     """WITH e AS (
       |  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
       |    embedding[CAST(i AS INT)] AS x
-      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      |  WHERE len(list_filter(embedding, v -> NOT isfinite(v))) = 0),
       |st AS (
       |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim)
       |SELECT e.vec_id, e.dim,
@@ -1113,6 +1119,7 @@ object SimilarityQ {
       |FROM e JOIN st USING (dim)
       |ORDER BY vec_id ASC, dim ASC""".stripMargin) { (s, d) =>
     val exploded = Tables.embeddings(s, d)
+      .filter(graft.functions.IvfFunctions.finiteVec(col("embedding")))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
     exploded.join(broadcast(dimStats(Tables.embeddings(s, d))), "dim")
       .select(col("vec_id"), col("dim"),
@@ -1147,7 +1154,8 @@ object SimilarityQ {
     s"""WITH e AS (
        |  SELECT vec_id, CAST(i AS INT) AS dim1,
        |    embedding[CAST(i AS INT)] AS x
-       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+       |  WHERE len(list_filter(embedding, v -> NOT isfinite(v))) = 0),
        |st AS (
        |  SELECT dim1, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim1),
        |st2 AS (
@@ -1193,7 +1201,8 @@ object SimilarityQ {
       val code = floor(least(lit(255.0), (x - mn) * 255.0 / range))
       (mn + (code + 0.5) * range / 255.0).cast(FloatType)
     })
-    val corpus = emb.select(col("vec_id"), dequant.as("xhat"))
+    val corpus = emb.filter(graft.functions.IvfFunctions.finiteVec(col("embedding")))
+      .select(col("vec_id"), dequant.as("xhat"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("vec_id"))
@@ -1968,10 +1977,13 @@ object SimilarityQ {
     */
   val qClassSeparation: Q = Q.sql(
     "q_emb_class_separation",
-    """WITH e AS (
+    """WITH fe AS (
+      |  SELECT * FROM embeddings
+      |  WHERE len(list_filter(embedding, v -> NOT isfinite(v))) = 0),
+      |e AS (
       |  SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
       |    embedding[CAST(i AS INT)] AS x
-      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+      |  FROM fe CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
       |st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY dim),
       |codes AS (
       |  SELECT e.vec_id, e.label, e.dim,
@@ -1985,7 +1997,7 @@ object SimilarityQ {
       |  SELECT label, dim,
       |    (2 * SUM(code) + COUNT(*)) // (2 * COUNT(*)) AS crd
       |  FROM codes GROUP BY label, dim),
-      |sizes AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+      |sizes AS (SELECT label, COUNT(*) AS n FROM fe GROUP BY label),
       |intra AS (
       |  SELECT c.label, SUM((c.code - ct.crd) * (c.code - ct.crd)) AS d2
       |  FROM codes c JOIN cent ct ON c.label = ct.label AND c.dim = ct.dim
@@ -2007,7 +2019,11 @@ object SimilarityQ {
       |JOIN intra i ON s.label = i.label
       |JOIN nearest nr ON s.label = nr.label AND nr.rk = 1
       |ORDER BY s.label ASC""".stripMargin) { (s, d) =>
+    // class separation over the QUANTIZED (all-finite) corpus — the
+    // same index domain as q_emb_quantize (dimStats filters the same
+    // way; a NaN/Inf vector has no code and belongs to no class here)
     val emb = Tables.embeddings(s, d)
+      .filter(graft.functions.IvfFunctions.finiteVec(col("embedding")))
     val codes = emb
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))

@@ -61,8 +61,8 @@ object TextQ {
   val qTokenCount: Q = Q.sql(
     "q_doc_token_count",
     """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens
+      |  CAST(len(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w \x09-\x0d]')) AS INT) AS n_bpe_tokens
       |FROM documents
       |ORDER BY doc_id ASC""".stripMargin) { (s, d) =>
     Tables.documents(s, d).select(
@@ -83,9 +83,9 @@ object TextQ {
        |FROM (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars_calc,
-       |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
-       |    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[^\\w \\x09-\\x0d]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+'),
        |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT) AS n_stop
        |  FROM documents)
        |WHERE n_chars_calc > 0 AND n_tokens > 0
@@ -95,7 +95,7 @@ object TextQ {
       col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars_calc"),
       size(toks).cast(LongType).as("n_tokens"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w \\x09-\\x0d]", "")))
         .cast(LongType).as("n_punct"),
       size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType).as("n_stop"))
       .filter(col("n_chars_calc") > 0 && col("n_tokens") > 0)
@@ -130,7 +130,7 @@ object TextQ {
     */
   private val surprisalPerDocCte: String =
     """t AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS tok
       |  FROM documents),
       |v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
       |tot AS (SELECT SUM(c) AS tt FROM v),
@@ -231,13 +231,13 @@ object TextQ {
        |  FROM per_src CROSS JOIN corpus),
        |norm AS (
        |  SELECT list_reduce(
-       |    list_prepend(0.0, list(1.0 + $doremiEta * excess ORDER BY source ASC)),
+       |    list_prepend(0.0, list(1.0 + $doremiEta * excess ORDER BY source ASC NULLS FIRST)),
        |    (x, y) -> x + y) AS z
        |  FROM scored)
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, mean_bits,
        |  excess, (1.0 + $doremiEta * excess) / z AS weight
        |FROM scored CROSS JOIN norm
-       |ORDER BY source ASC""".stripMargin) { (s, d) =>
+       |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val eta = doremiEta.toDouble
     val perSrc = surprisalFrame(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
@@ -246,7 +246,7 @@ object TextQ {
         sum("sum_bits").as("sum_bits"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_._1)
+      .sortBy(_._1)(Q.nullsFirstString)
     val ct = perSrc.map(_._3).sum
     val cb = perSrc.map(_._4).sum
     val corpusMean = cb.toDouble / ct
@@ -284,13 +284,13 @@ object TextQ {
     "q_doc_ngram_diversity",
     """WITH t AS (
       |  SELECT d.source,
-      |    unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS tok
+      |    unnest(regexp_split_to_array(lower(trim(d.text)), '[ \x09-\x0d]+')) AS tok
       |  FROM documents d),
       |uni AS (
       |  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types
       |  FROM t GROUP BY source),
       |toks AS (
-      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS tk
       |  FROM documents),
       |tri AS (
       |  SELECT source,
@@ -308,7 +308,7 @@ object TextQ {
       |  CAST(s.n_tri_types AS BIGINT) AS n_tri_types,
       |  CAST(s.n_tri_types AS DOUBLE) / s.n_trigrams AS distinct_3
       |FROM uni u JOIN tstats s USING (source)
-      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+      |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     val uni = docs
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -390,7 +390,7 @@ object TextQ {
     */
   val candidatePairsSqlPrefix: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS t
        |  FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
@@ -628,7 +628,7 @@ object TextQ {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS t
        |  FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
@@ -773,7 +773,7 @@ object TextQ {
     "q_doc_langid",
     s"""WITH m(lang, marker) AS (VALUES $langMarkerValues),
        |tok AS (
-       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS tok
        |  FROM documents),
        |hits AS (
        |  SELECT t.doc_id, m.lang, COUNT(*) AS n
@@ -887,7 +887,7 @@ object TextQ {
   val qTokensExploded: Q = Q.sql(
     "q_doc_tokens_exploded",
     """WITH d AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS toks
       |  FROM documents WHERE doc_id < 50)
       |SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
       |FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
@@ -1047,7 +1047,7 @@ object TextQ {
        |  SELECT term, weight FROM read_parquet('$qualityModelAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
        |t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |cnt AS (
        |  SELECT doc_id, term, COUNT(*) AS c
@@ -1112,7 +1112,7 @@ object TextQ {
     "q_doc_length_buckets",
     """WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS BIGINT) AS n
       |  FROM documents),
       |b AS (
       |  SELECT doc_id, n, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket
@@ -1245,7 +1245,7 @@ object TextQ {
        |  SELECT bucket, lambda FROM read_parquet('$dsirAuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
        |t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |g AS (
        |  SELECT doc_id,
@@ -1441,7 +1441,7 @@ object TextQ {
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
        |v AS (SELECT list(term ORDER BY term) AS vl FROM aux WHERE kind = 'v'),
        |t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |m AS (
        |  SELECT doc_id,
@@ -1606,7 +1606,7 @@ object TextQ {
        |  SELECT term, idf FROM read_parquet('$bm25AuxDir/*/*.parquet')
        |  WHERE corpus_key = (SELECT SUM(n_chars) FROM documents)),
        |t AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
        |a AS (SELECT CAST(SUM(dl) AS BIGINT) AS s,
@@ -1915,7 +1915,7 @@ object TextQ {
   val qCmsTopGrams: Q = Q.sql(
     "q_doc_cms_topgrams",
     s"""WITH t AS (
-       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS tok
+       |  SELECT regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok
        |  FROM documents),
        |occ AS (
        |  SELECT tok[u.i] || ' ' || tok[u.i+1] AS gram
@@ -1980,7 +1980,7 @@ object TextQ {
     "q_doc_gopher_rules",
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS tok,
+       |    regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tok,
        |    string_split(text, chr(10)) AS ln
        |  FROM documents),
        |m AS (
@@ -2237,7 +2237,7 @@ object TextQ {
        |    ON a.band = b.band AND a.bh = b.bh
        |   AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
        |toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS t
        |  FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2313,7 +2313,7 @@ object TextQ {
     "q_doc_vocab_coverage",
     """WITH c AS (
       |  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS t
       |        FROM documents WHERE length(trim(text)) > 0)
       |  GROUP BY t),
       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c),
@@ -2375,7 +2375,7 @@ object TextQ {
   val qSourceOverlap: Q = Q.sql(
     "q_doc_source_overlap",
     """WITH toks AS (
-      |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  SELECT source, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS tk
       |  FROM documents),
       |g AS (
       |  SELECT source,
@@ -2446,7 +2446,7 @@ object TextQ {
     "q_doc_source_kl",
     """WITH t AS (
       |  SELECT source,
-      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |    unnest(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS tok
       |  FROM documents),
       |sc AS (SELECT source, tok, COUNT(*) AS cs FROM t GROUP BY source, tok),
       |st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM sc GROUP BY source),
@@ -2465,7 +2465,7 @@ object TextQ {
       |  CAST(x.se AS DOUBLE) / st.ns AS kl_bits
       |FROM (SELECT source, SUM(term) AS se FROM terms GROUP BY source) x
       |JOIN st USING (source)
-      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+      |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val sc = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
@@ -2505,9 +2505,9 @@ object TextQ {
     "q_doc_quality_calibrate",
     s"""WITH q AS (
        |  SELECT doc_id, source,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+'),
        |      t -> list_contains([${stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
-       |      / len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS score
+       |      / len(regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+')) AS score
        |  FROM documents WHERE length(trim(text)) > 0),
        |r AS (
        |  SELECT doc_id, source, score,
@@ -2676,7 +2676,7 @@ object TextQ {
   val qNoveltyCurve: Q = Q.sql(
     "q_doc_novelty_curve",
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+') AS t
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2727,13 +2727,13 @@ object TextQ {
       |  CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
       |  CAST(len(list_filter(regexp_split_to_array(text, '\n'),
       |    l -> regexp_matches(trim(l), '[.!?"]$')
-      |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |         AND len(regexp_split_to_array(trim(l), '[ \x09-\x0d]+')) >= 3
       |         AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept,
       |  contains(lower(text), 'lorem ipsum') AS has_lorem,
       |  contains(text, '{') AS has_brace,
       |  (len(list_filter(regexp_split_to_array(text, '\n'),
       |    l -> regexp_matches(trim(l), '[.!?"]$')
-      |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+      |         AND len(regexp_split_to_array(trim(l), '[ \x09-\x0d]+')) >= 3
       |         AND NOT contains(lower(l), 'javascript'))) >= 3
       |   AND NOT contains(lower(text), 'lorem ipsum')
       |   AND NOT contains(text, '{')) AS keep
@@ -2742,7 +2742,7 @@ object TextQ {
     val lines = split(col("text"), "\n")
     val keptLine = (l: org.apache.spark.sql.Column) =>
       trim(l).rlike("[.!?\"]$") &&
-        size(split(trim(l), "\\s+")) >= 3 &&
+        size(split(trim(l), "[ \\x09-\\x0d]+")) >= 3 &&
         !lower(l).contains("javascript")
     val nKept = size(filter(lines, keptLine)).cast(LongType)
     Tables.documents(s, d).select(
@@ -2776,7 +2776,7 @@ object TextQ {
     """WITH c AS (
       |  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM (SELECT source,
-      |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |          unnest(regexp_split_to_array(lower(trim(text)), '[ \x09-\x0d]+')) AS t
       |        FROM documents WHERE length(trim(text)) > 0)
       |  GROUP BY source, t),
       |p AS (
@@ -2795,7 +2795,7 @@ object TextQ {
       |           / CAST(np * sxx - sx * sx AS DOUBLE)
       |  END AS zipf_slope
       |FROM a
-      |ORDER BY source ASC""".stripMargin) { (s, d) =>
+      |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     val c = Tables.documents(s, d)
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"), explode(tokens(col("text"))).as("term"))

@@ -67,6 +67,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // label the SharedFrames epoch: memo builds triggered from here
+      // are attributed to `name` in the artifact's frame_builds map,
+      // and LRU eviction will never drop a frame this query touches
+      graft.queries.SharedFrames.setContext(name)
       // oracle-aux prepare (trained model / signature-table publish)
       // runs UNTIMED: the bench measures the query, not the replay
       // plumbing. Memoized per (session, aux dir, corpus), so shared
@@ -126,6 +130,7 @@ object Bench {
     // queries whose ADJUDICATED time still trips the gate are reported
     // as regressions; both numbers land in the artifact.
     val adjudicated = flagged.map { name =>
+      graft.queries.SharedFrames.setContext(name)
       val fn = SparkEntry.queries(name)
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -160,8 +165,16 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // memo-build ledger: which query paid each shared frame's build and
+    // what it cost — the sf-sweep exponent table subtracts these
+    // mechanically (family build costs land on whichever member runs
+    // first at each SF) instead of via hand-written adjudication notes
+    val frameJson = graft.queries.SharedFrames.buildLog(spark)
+      .map { case (k, sec, q, b) =>
+        jstr(k) + s""":{"sec":$sec,"query":${jstr(q)},"bytes":$b}"""
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errJson,"regressions":$regJson,"adjudicated":$adjJson,"sf":"$sfDir"$subsetJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errJson,"regressions":$regJson,"adjudicated":$adjJson,"frame_builds":$frameJson,"sf":"$sfDir"$subsetJson}"""
     // stdout can get clipped by log interleaving (BENCH_r02 lost its
     // tail); the file is the durable artifact. Subset runs default to a
     // separate file so a focused investigation can never clobber the

@@ -508,11 +508,8 @@ object EventsQ {
     * engine/oracle divergence on top of a one-bucket accuracy
     * collapse. Spark equivalent of DuckDB's `isfinite(value)` (Spark
     * NaN ordering sorts NaN above +inf, but the explicit isnan keeps
-    * the intent readable). The FIXED-width bucketers
-    * (floor(value/10) — histogram, k-anonymity, l-diversity) keep the
-    * NaN-only filter under a finite-values data contract: an infinity
-    * there poisons only its own row, and the testdata value domain is
-    * finite by construction (TESTDATA.md).
+    * the intent readable). The FIXED-width bucketers use the stricter
+    * [[bucketableValue]] below.
     */
   private def finiteValue: Column =
     !isnan(col("value")) && abs(col("value")) < lit(Double.PositiveInfinity)
@@ -1773,7 +1770,17 @@ object EventsQ {
        |LIMIT 100""".stripMargin) { (s, d) =>
     // checkpointed spans table: the min/max probe, two bucket-count
     // collects, and the final plan all read the materialized spans
-    val spans = sessionSpans(s, d)
+    intervalOverlapFromSpans(sessionSpans(s, d))
+  }
+
+  /** The whole overlap-ranking tail over ANY (user_id, session_id,
+    * start_sec, end_sec) span table — factored out of
+    * [[qIntervalOverlap]] so the streaming path (spans emitted
+    * incrementally by StreamingEvents.sessionize, ranked by this same
+    * delta sweep — the round-10 streaming twin) provably runs the
+    * identical algebra as the batch query (StreamingSweepSpec).
+    */
+  private[graft] def intervalOverlapFromSpans(spans: DataFrame): DataFrame = {
     val mm = spans.agg(min("start_sec"), max("end_sec")).head()
     val (lo, hi) =
       if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))

@@ -373,4 +373,100 @@ object StreamingEvents {
         expr("(unix_micros(c_ts) - unix_micros(v_ts)) div 1000000")
           .cast("long").as("lag_sec"))
   }
+
+  /** One MAU/DAU delta row from the stickiness state algebra:
+    * `mau_net` is a ±1 adjustment to the 28-day-active running sum at
+    * `day`; `dau_net` is +1 when a (user, day) pair is first seen.
+    */
+  final case class StickDelta(day: Long, mau_net: Long, dau_net: Long)
+
+  /** Per-user stickiness state: the OPEN activity span (in the batch
+    * op's sense — day-gaps ≤ windowDays−1 merge) plus the recent
+    * distinct days already emitted as DAU.
+    */
+  final case class StickState(spanStart: Long, spanMax: Long,
+                              seenDays: Seq[Long])
+
+  /** Streaming twin of q_events_stickiness's span-merge + delta sweep
+    * (the round-10 follow-up to the round-9 batch rewrite): the batch
+    * op merges each user's active days into spans [s, max+w−1] and
+    * sweeps ±1 deltas at span edges; here the SAME delta algebra runs
+    * incrementally — each arriving day emits only the adjustments that
+    * reconcile the previously-emitted deltas with the user's new span
+    * shape, so summing ALL emitted deltas at any point equals the
+    * batch sweep over the events seen so far:
+    *
+    *   - open span:      +1 @ d,        −1 @ d+w
+    *   - extend forward:  +1 @ oldMax+w (cancels the old close),
+    *                      −1 @ newMax+w
+    *   - extend backward: +1 @ d, −1 @ oldStart (moves the open)
+    *   - gap > w−1:       a fresh span (the old close stands; spans
+    *                      are half-open so an exactly-adjacent span
+    *                      never double-counts)
+    *
+    * Deltas are additive, so corrections are just MORE rows — the
+    * operator runs in Append mode with no retractions. Per-user state
+    * is O(w): the open span bounds plus the trailing distinct-day set
+    * (trimmed to 2w days) used for DAU first-seen dedup.
+    *
+    * CONTRACT (same bounded-disorder class as sessionize's watermark):
+    * a user's days may arrive in any order within 2w−2 days of the
+    * open span; a straggler older than that opens a standalone span,
+    * which is exact unless the user ALSO had separate activity inside
+    * that straggler's window — the out-of-contract case a production
+    * deploy bounds with a watermark. Within one micro-batch, rows are
+    * sorted before folding, so batch-delivered history is always exact
+    * (StreamingSweepSpec proves batch parity and split-batch parity).
+    */
+  def stickinessDeltaStream(events: Dataset[Ev],
+                            windowDays: Long = 28): Dataset[StickDelta] = {
+    import events.sparkSession.implicits._
+    val w = windowDays
+
+    def flush(user: Long, rows: Iterator[Ev],
+              state: GroupState[StickState]): Iterator[StickDelta] = {
+      val days = rows.map(e => math.floorDiv(e.ts_sec, 86400L))
+        .toIndexedSeq.distinct.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[StickDelta]
+      var st = state.getOption
+      days.foreach { d =>
+        val seen = st.exists(_.seenDays.contains(d))
+        if (!seen) {
+          out += StickDelta(d, 0L, 1L) // DAU first-seen
+          st match {
+            case None =>
+              out += StickDelta(d, 1L, 0L)
+              out += StickDelta(d + w, -1L, 0L)
+              st = Some(StickState(d, d, Seq(d)))
+            case Some(s0) =>
+              var s2 = s0
+              if (d > s0.spanMax && d <= s0.spanMax + (w - 1)) {
+                out += StickDelta(s0.spanMax + w, 1L, 0L)
+                out += StickDelta(d + w, -1L, 0L)
+                s2 = s0.copy(spanMax = d)
+              } else if (d > s0.spanMax + (w - 1)) {
+                out += StickDelta(d, 1L, 0L)
+                out += StickDelta(d + w, -1L, 0L)
+                s2 = StickState(d, d, s0.seenDays)
+              } else if (d < s0.spanStart && d >= s0.spanStart - (w - 1)) {
+                out += StickDelta(d, 1L, 0L)
+                out += StickDelta(s0.spanStart, -1L, 0L)
+                s2 = s0.copy(spanStart = d)
+              } else if (d < s0.spanStart - (w - 1)) {
+                out += StickDelta(d, 1L, 0L)
+                out += StickDelta(d + w, -1L, 0L)
+              } // else: mid-span repeat day — DAU only
+              st = Some(s2.copy(
+                seenDays = (s2.seenDays :+ d).filter(_ >= s2.spanMax - 2 * w)))
+          }
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(flush)
+  }
 }

@@ -16,6 +16,9 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
+        // epoch + attribution for the SharedFrames LRU: eviction at a
+        // large SF can never drop a frame this query touches mid-dump
+        graft.queries.SharedFrames.setContext(name)
         // publish the query's oracle-replay artifact (trained model /
         // signature table) first — fns are pure reads and never write
         prepares.get(name).foreach(p => p(spark, sfDir))

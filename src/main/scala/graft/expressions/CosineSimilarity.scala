@@ -132,7 +132,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // every native expression, so extension-built sessions need no
     // imperative ensureRegistered calls
     Seq(CosineSimilarity.fn, LshBandKeys.fn, MinhashSig.fn, Simhash64.fn,
-      DeflateSize.fn, BpeTokenCount.fn, MortonInterleave.fn, HilbertIndex.fn)
+      DeflateSize.fn, BpeTokenCount.fn, MortonInterleave.fn, HilbertIndex.fn,
+      VecAllFinite.fn)
       .foreach(f => ext.injectFunction(f.injectable))
     ext.injectOptimizerRule(_ => CollapseIdempotentUdfs)
     // whole-operator tier: the bounded-heap top-k-per-group physical

@@ -15,6 +15,7 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     graft.expressions.CosineSimilarity.ensureRegistered(spark)
+    graft.expressions.VecAllFinite.ensureRegistered(spark)
     // native expression, not the UDF: bit-identical output, no
     // boxing/codegen break on the SQL surface either
     graft.expressions.MinhashSig.ensureRegistered(spark)

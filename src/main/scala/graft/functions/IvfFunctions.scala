@@ -90,7 +90,7 @@ object IvfFunctions {
     * and the oracle replays whatever assignment the engine publishes.
     */
   def finiteVec(c: Column): Column =
-    forall(c, x => !isnan(x) && abs(x) <= lit(Float.MaxValue))
+    call_function("vec_all_finite", c)
 
   /** Small-k trainer: Spark ML KMeans (k-means|| init, seeded). */
   def trainCentroidsML(emb: DataFrame, embeddingCol: String, k: Int,

@@ -709,7 +709,7 @@ object PipelineQ {
   def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(
       regexp_replace(nfcNormalize(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
-      "[ \\x09-\\x0d]+", " "))
+      "\\s+", " "))
 
   val qNormalize: Q = Q.sql(
     "q_doc_normalize",
@@ -1312,7 +1312,7 @@ object PipelineQ {
     Tables.documents(s, d)
       .select(col("doc_id"),
         regexp_replace(
-          regexp_replace(col("text"), "https?://[^ \\x09-\\x0d]+", "<URL>"),
+          regexp_replace(col("text"), "https?://[^\\s]+", "<URL>"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>").as("red_text"))
       .orderBy(col("doc_id").asc)
   }
@@ -1399,7 +1399,7 @@ object PipelineQ {
       |ORDER BY source ASC NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
       .select(col("source"),
-        size(regexp_extract_all(col("text"), lit("https?://[^ \\x09-\\x0d]+"), lit(0)))
+        size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
           .cast(LongType).as("n_url"),
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
@@ -1666,7 +1666,7 @@ object PipelineQ {
       .select(col("doc_id"), col("norm_text"),
         size(tokens(col("norm_text"))).cast(LongType).as("n_tokens"),
         (length(col("norm_text")) -
-          length(regexp_replace(col("norm_text"), "[^\\w \\x09-\\x0d]", "")))
+          length(regexp_replace(col("norm_text"), "[^\\w\\s]", "")))
           .cast(LongType).as("n_punct"),
         length(col("norm_text")).cast(LongType).as("n_chars"))
     val kept = scored.filter(col("n_tokens") >= curateMinTokens &&

@@ -95,7 +95,7 @@ object TextQ {
       col("doc_id"),
       length(col("text")).cast(LongType).as("n_chars_calc"),
       size(toks).cast(LongType).as("n_tokens"),
-      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w \\x09-\\x0d]", "")))
+      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
         .cast(LongType).as("n_punct"),
       size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType).as("n_stop"))
       .filter(col("n_chars_calc") > 0 && col("n_tokens") > 0)
@@ -2742,7 +2742,7 @@ object TextQ {
     val lines = split(col("text"), "\n")
     val keptLine = (l: org.apache.spark.sql.Column) =>
       trim(l).rlike("[.!?\"]$") &&
-        size(split(trim(l), "[ \\x09-\\x0d]+")) >= 3 &&
+        size(split(trim(l), "\\s+")) >= 3 &&
         !lower(l).contains("javascript")
     val nKept = size(filter(lines, keptLine)).cast(LongType)
     Tables.documents(s, d).select(

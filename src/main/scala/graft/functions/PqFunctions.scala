@@ -4,6 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for
   * Nearest Neighbor Search") — the memory lever that makes a
@@ -46,7 +47,7 @@ object PqFunctions {
                      seed: Long = 42): Array[Array[Array[Double]]] = {
     val train = IvfFunctions.trainSample(emb, codesPerSubspace, seed)
       .select(col("vec_id"), col(embeddingCol))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     try Array.tabulate(numSubspaces) { j =>
       IvfFunctions.fitKmeans(
         train.select(slice(col(embeddingCol), j * subDim + 1, subDim).as("subvec")),

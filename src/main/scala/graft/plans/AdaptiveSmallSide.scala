@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Mechanized broadcast↔partitioned switchover for joins whose small
   * side is DERIVED data Catalyst cannot size (a distinct-gram set, an
@@ -49,7 +50,7 @@ object AdaptiveSmallSide {
   def join(big: DataFrame, small: DataFrame, keys: Seq[String],
            joinType: String = "inner",
            maxRows: Long = maxBroadcastRows): DataFrame = {
-    val s = small.localCheckpoint(true)
+    val s = small.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     if (s.count() <= maxRows) big.join(broadcast(s), keys, joinType)
     else big.join(s, keys, joinType)
   }
@@ -80,7 +81,7 @@ object AdaptiveSmallSide {
     require(probe.schema(key).dataType == kt,
       s"decontamSemi key '$key' type mismatch: corpus $kt vs " +
         s"probe ${probe.schema(key).dataType}")
-    val bench = probe.localCheckpoint(true)
+    val bench = probe.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val n = bench.count()
     val fitsBroadcast = n <= maxRows
     if (fitsBroadcast && !forceBloom)

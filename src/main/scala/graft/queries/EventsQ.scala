@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import Num._
@@ -573,7 +574,7 @@ object EventsQ {
           Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("cn"), lit(0L)).as("n"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Exact daily active users — the per-day distinct that feeds every
@@ -1027,7 +1028,7 @@ object EventsQ {
     val w2 = Window.partitionBy("event_type").orderBy(col("h").asc)
     val sk = cand.withColumn("rn", row_number().over(w2))
       .filter(col("rn") <= k).drop("rn")
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val types = sk.select(col("event_type")).distinct()
     val pairs = types.as("x")
       .join(types.as("y"), col("x.event_type") < col("y.event_type"))
@@ -1651,7 +1652,7 @@ object EventsQ {
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_sec")).as("start_sec"), max(col("ts_sec")).as("end_sec"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** PEAK CONCURRENCY — the capacity-planning sweep-line: per UTC day,
@@ -2031,7 +2032,7 @@ object EventsQ {
     val g = Tables.events(s, d)
       .groupBy(col("event_type"), epochDay(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val slopes = g.select(col("event_type"), col("day").as("da"), col("n").as("na"))
       .join(g.select(col("event_type"), col("day").as("db"), col("n").as("nb")),
         Seq("event_type"))
@@ -2373,7 +2374,7 @@ object EventsQ {
         (col("m").cast(DecimalType(18, 0)) * col("n").cast(DecimalType(18, 0))
           - col("sy").cast(DecimalType(18, 0))).cast(DecimalType(18, 0))
           .as("dv"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     import s.implicits._
     val lags = Seq(1, 7).toDF("k")
     val num = dev.as("a")

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{MediaContainers, MultimodalFunctions}
 import graft.sources.Tables
@@ -191,7 +192,7 @@ object MultimodalQ {
       }
       Tables.documents(s, d)
         .select(col("doc_id"), dec(enc(col("doc_id"))).as("dh"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** PERCEPTUAL IMAGE NEAR-DUP — dHash + 4×16-bit band LSH + exact

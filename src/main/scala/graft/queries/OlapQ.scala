@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import Num._
@@ -411,7 +412,7 @@ object OlapQ {
           min("day").as("day_min"), max("day").as("day_max"))
         .withColumn("part_span", col("part_max") - col("part_min"))
         .withColumn("day_span", col("day_max") - col("day_min"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   private def zorderFileStats(s: org.apache.spark.sql.SparkSession,
@@ -429,7 +430,7 @@ object OlapQ {
                          hilbert: Boolean): org.apache.spark.sql.DataFrame =
     SharedFrames.frame(s,
       s"layout_rows:${if (hilbert) "hilbert" else "morton"}:$d") {
-      layoutRowsBuild(s, d, hilbert).localCheckpoint(true)
+      layoutRowsBuild(s, d, hilbert).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   private[graft] def layoutRowsBuild(s: org.apache.spark.sql.SparkSession,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import graft.functions.TextFunctions.{stopwords, tokens}
@@ -111,7 +112,7 @@ object PipelineQ {
                           localThreshold: Long = 1L << 18): DataFrame = {
     // materialize the (possibly expensive) edge-producing pipeline ONCE;
     // nodes and the working edge set both derive from the checkpoint
-    val in = edges.toDF("src", "dst").localCheckpoint(true)
+    val in = edges.toDF("src", "dst").localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val spark = in.sparkSession
     import spark.implicits._
     val nodes = in
@@ -121,7 +122,7 @@ object PipelineQ {
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var sig = signature(e)
     val labeled: DataFrame =
       if (sig._1 <= localThreshold) {
@@ -132,7 +133,7 @@ object PipelineQ {
         var converged = false
         var rounds = 0
         while (!converged && rounds < maxRounds) {
-          val next = smallStar(largeStar(e)).localCheckpoint(true)
+          val next = smallStar(largeStar(e)).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
           val nextSig = signature(next)
           converged = nextSig == sig
           e.unpersist() // superseded round frame — free its blocks now,
@@ -155,7 +156,7 @@ object PipelineQ {
     val result = nodes.join(labeled, Seq("id"), "left")
       .groupBy("id").agg(min(col("comp")).as("mn"))
       .select(col("id"), coalesce(col("mn"), col("id")).as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     e.unpersist()
     in.unpersist()
     result
@@ -432,7 +433,7 @@ object PipelineQ {
     val keyed = docs.select(col("doc_id"),
       md5(concat(col("doc_id").cast(StringType), lit(s":$shuffleSeed")))
         .as("sort_key"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val bucketed = keyed.withColumn("__bucket", substring(col("sort_key"), 1, 2))
     val counts = bucketed.groupBy("__bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
@@ -917,7 +918,7 @@ object PipelineQ {
         .filter(size(col("tok")) >= dupSpanN)
         .select(col("doc_id"),
           posexplode(shingles(col("tok"), dupSpanN)).as(Seq("pos", "span")))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -2478,7 +2479,7 @@ object PipelineQ {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.toDF("doc_a", "doc_b")
         .select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var rank = deg.select(col("src").as("doc_id"),
       lit(1000000000L).as("rank"))

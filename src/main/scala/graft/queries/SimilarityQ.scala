@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import graft.functions.VectorFunctions._
@@ -240,7 +241,7 @@ object SimilarityQ {
     SharedFrames.frame(s, s"ann_lsh_keys:$d") {
       Tables.embeddings(s, d)
         .withColumn("bk", explode(fastLshBandKeys(col("embedding"))))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -404,7 +405,7 @@ object SimilarityQ {
         .select(col("vec_id"), col("bk"), col("label"), col("embedding"))
       logBucketCapLoss(keyed.select(col("vec_id"), col("bk")), Seq("bk"),
         s"knn ranked pairs:$d")
-      buildRankedPairs(keyed).localCheckpoint(true)
+      buildRankedPairs(keyed).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** The ranked-pairs derivation over a (vec_id, bk, label, embedding)
@@ -463,7 +464,7 @@ object SimilarityQ {
       rankedPairsFrame(s, d)
         .filter(col("rank") <= knnK)
         .select(col("vec_id"), col("neighbor_id"), col("rank"), col("score"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Approximate kNN GRAPH — every corpus vector's top-5 neighbors
@@ -588,7 +589,7 @@ object SimilarityQ {
         .unionByName(knn
           .select(col("neighbor_id").as("src"), col("vec_id").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
     var reached = edges.filter(col("src") < 5)
       .select(col("src").as("v")).distinct()
@@ -599,8 +600,8 @@ object SimilarityQ {
         .select(col("dst").as("v")).distinct()
         .join(reached, Seq("v"), "left_anti")
         .withColumn("hops", lit(h))
-        .localCheckpoint(true)
-      reached = reached.unionByName(frontier).localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+      reached = reached.unionByName(frontier).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
     reached
       .select(col("v").as("vec_id"), col("hops").cast(IntegerType).as("hops"))
@@ -830,7 +831,7 @@ object SimilarityQ {
       val bc = IvfFunctions.broadcastCentroids(emb, centroids)
       emb.withColumn("__a", IvfFunctions.assignWithDistUdf(bc)(col("embedding")))
         .select(col("vec_id"), col("__a._1").as("cid"), col("__a._2").as("cdist"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** PROTOTYPICALITY pruning (Sorscher et al., NeurIPS 2022 "Beyond
@@ -916,7 +917,7 @@ object SimilarityQ {
     SharedFrames.frame(s, s"neardup_lsh_keys:$d") {
       Tables.embeddings(s, d).select(col("vec_id"),
         explode(fastLshBandKeys(col("embedding"), bands = 8, rowsPerBand = 8)).as("bk"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -1260,7 +1261,7 @@ object SimilarityQ {
       // the ContextCleaner frees the blocks once the caller drops the
       // result (the old .cache() was never unpersisted — round-4 watch
       // item)
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val dropped = ranked.as("a")
       .join(ranked.as("b"),
         col("a.cid") === col("b.cid") && col("a.rk") < col("b.rk"))
@@ -1335,7 +1336,7 @@ object SimilarityQ {
         Window.partitionBy(col("cid"))
           .orderBy(col("cdist").desc, col("vec_id").asc)))
       .select(col("vec_id"), col("cid"), col("rk"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // keys-only candidate join on (cid, band key); embeddings re-join
     // once per deduped pair for the exact rerank
     val rkeys = ranked.join(keyed, "vec_id")
@@ -1510,7 +1511,7 @@ object SimilarityQ {
       val bcCb = PqFunctions.broadcastCodebooks(emb, cb)
       emb.select(col("vec_id"),
         PqFunctions.encodeUdf(bcCb)(col("embedding")).as("cs"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
     val qs = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
@@ -1564,7 +1565,7 @@ object SimilarityQ {
       emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
         .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
         .select(col("vec_id"), col("cid"), col("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -1691,7 +1692,7 @@ object SimilarityQ {
     val lists = SharedFrames.frame(s, s"ivfpq_codes:$d") {
       resid.select(col("vec_id"), col("cid"),
         PqFunctions.encodeUdf(bcCb)(col("r")).as("cs"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
     val queries = emb.filter(col("vec_id") < nQueries)
     // probed (query, list) pairs via the SAME probe kernel as q_ann_ivf,
@@ -1932,7 +1933,7 @@ object SimilarityQ {
        |ORDER BY n.vec_id ASC""".stripMargin) { (s, d) =>
     val edges = knnGraphFrame(s, d)
       .select(col("vec_id"), col("neighbor_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         when(col("vec_id") % 5 =!= 0, col("label")).as("seed"))
@@ -2037,7 +2038,7 @@ object SimilarityQ {
           .as("code"))
     val cent = codes.groupBy("label", "dim")
       .agg(expr("(2 * sum(code) + count(*)) div (2 * count(*))").as("crd"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = emb.groupBy("label").agg(count(lit(1)).as("n"))
     val intra = codes.join(broadcast(cent), Seq("label", "dim"))
       .select(col("label"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 import graft.functions.TextFunctions._
@@ -167,7 +168,7 @@ object TextQ {
   private def surprisalFrame(s: org.apache.spark.sql.SparkSession,
                              d: String): DataFrame =
     SharedFrames.frame(s, s"doc_surprisal:$d") {
-      surprisalBuild(s, d).localCheckpoint(true)
+      surprisalBuild(s, d).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   val qUnigramSurprisal: Q = Q.sql(
@@ -379,7 +380,7 @@ object TextQ {
         .select(col("doc_id"),
           octet_length(col("text")).cast(LongType).as("byte_len"),
           call_function("deflate_size", col("text")).cast(LongType).as("deflate_len"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Candidate-pair CTE prefix (toks → sh → sizes → rare → prepairs):
@@ -444,7 +445,7 @@ object TextQ {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("shingle")
@@ -492,7 +493,7 @@ object TextQ {
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(shingles(col("t"), 3)).as("shingle"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf).select("shingle")
@@ -503,7 +504,7 @@ object TextQ {
         .agg(count(lit(1)).as("shared"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   def jaccardPairsShared(s: org.apache.spark.sql.SparkSession,
@@ -514,7 +515,7 @@ object TextQ {
       candidatePairStats(s, d)
         .filter(jac >= 0.5)
         .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   val qNgramJaccard: Q = Q.sql(
@@ -594,7 +595,7 @@ object TextQ {
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), shingles(col("t"), 3).as("sh"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Memoized (doc_id, band, bh) MinHash band table — one signature
@@ -613,7 +614,7 @@ object TextQ {
             bb => struct(bb.as("band"),
               bandHash(col("sig"), bb, lit(rowsPerBand)).as("bh")))).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -690,7 +691,7 @@ object TextQ {
     SharedFrames.frame(s, s"simhash_sig:$d") {
       Tables.documents(s, d)
         .select(col("doc_id"), fastSimhash64(tokens(col("text"))).as("sim"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 
@@ -962,7 +963,7 @@ object TextQ {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(fingerprints(col("text"))).as("fp"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** The fingerprint-overlap pipeline over any (doc_id, text) frame —
@@ -976,7 +977,7 @@ object TextQ {
         // checkpoint, not cache: lineage-free single evaluation with no
         // CacheManager entry to leak (ContextCleaner reclaims blocks
         // when the caller drops the result)
-        .localCheckpoint(true),
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER),
       minShared)
 
   /** The DF-cap + self-join stage over a precomputed distinct
@@ -1376,7 +1377,7 @@ object TextQ {
           .select(col("term"), lit(null).cast(DecimalType(18, 6)).as("lp"),
             lit("v").as("kind"))
       }
-      lp.unionByName(vdf).localCheckpoint(true)
+      lp.unionByName(vdf).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Prepare hook: publish the quantized LM table for the DuckDB
@@ -1648,7 +1649,7 @@ object TextQ {
   private def bm25Ranked(s: org.apache.spark.sql.SparkSession,
                          d: String): DataFrame =
     SharedFrames.frame(s, s"bm25_ranked:$d") {
-      bm25RankedRaw(s, d).localCheckpoint(true)
+      bm25RankedRaw(s, d).localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** The un-checkpointed ranked pipeline — split out so PlanAuditSpec
@@ -2594,7 +2595,7 @@ object TextQ {
       minhashShingles(s, d)
         .select(col("doc_id"),
           posexplode(fastMinhashSig(col("sh"))).as(Seq("i", "mh")))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
   }
 

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.queries.{PipelineQ, TextQ}
 import graft.functions.TextFunctions
@@ -262,7 +263,7 @@ object StreamingDocs {
       .select(col("doc_id"), col("n_tokens"), PipelineQ.splitCol.as("split"))
     val priorStats =
       try Some(s.read.parquet(statsDir).filter(col("epoch") < epochId)
-        .localCheckpoint(true))
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
       catch {
         // first epoch: no stats yet (works on any filesystem, unlike a
         // driver-side path probe)

@@ -58,6 +58,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
     val spark = Sessions.local()
+    // ERROR-level logging for the whole run: async unpersist of
+    // localCheckpoint blocks (LRU eviction, end-of-run clear) emits a
+    // "was locally checkpointed ... cannot be recomputed" WARN per RDD,
+    // and at sf0.1 dozens of them flooded the driver's 2000-char stdout
+    // tail AFTER the metric line printed (BENCH_r10 "parsed": null).
+    // The durable file artifact keeps the full record either way.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: JVM + parquet footer reads out of the timed path (best
     // effort — subset runs may point at a dir without every table)
     try SparkEntry.queries.get("q1_pricing_summary")
@@ -168,11 +175,16 @@ object Bench {
     // memo-build ledger: which query paid each shared frame's build and
     // what it cost — the sf-sweep exponent table subtracts these
     // mechanically (family build costs land on whichever member runs
-    // first at each SF) instead of via hand-written adjudication notes
+    // first at each SF) instead of via hand-written adjudication notes.
+    // Emitted as an ARRAY of records, not an object keyed by frame key:
+    // an LRU-evicted frame rebuilt later (the normal sf10 case) logs
+    // TWO builds with the same key, and JSON-object last-wins parsing
+    // silently dropped the earlier ones (r10: 67 builds, 56 unique keys
+    // — 11 builds vanished from the ledger the accounting depends on).
     val frameJson = graft.queries.SharedFrames.buildLog(spark)
       .map { case (k, sec, q, b) =>
-        jstr(k) + s""":{"sec":$sec,"query":${jstr(q)},"bytes":$b}"""
-      }.mkString("{", ",", "}")
+        s"""{"key":${jstr(k)},"sec":$sec,"query":${jstr(q)},"bytes":$b}"""
+      }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errJson,"regressions":$regJson,"adjudicated":$adjJson,"frame_builds":$frameJson,"sf":"$sfDir"$subsetJson}"""
     // stdout can get clipped by log interleaving (BENCH_r02 lost its
@@ -183,6 +195,13 @@ object Bench {
       if (only.isDefined) "bench_out_subset.json" else "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Teardown BEFORE the metric line prints: memo clear + session stop
+    // are exactly the steps whose async block-release logging displaced
+    // the JSON line out of the driver's tail window in r10. With the
+    // session fully stopped, the metric line is the process's final
+    // stdout (modulo sbt's own "[success]" trailer, budgeted below).
+    graft.queries.SharedFrames.clear(spark)
+    spark.stop()
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the JSON line it finds there; with a 130+-query map the full line
     // is ~5 KB, arrives truncated at the front, and fails to parse
@@ -204,10 +223,5 @@ object Bench {
       }
       println(prefix + kept.result() + "}}")
     }
-    // release the session-scoped shared checkpoints (the memo holds
-    // corpus-scale blocks by design during the run; nothing should
-    // outlive it)
-    graft.queries.SharedFrames.clear(spark)
-    spark.stop()
   }
 }

@@ -103,15 +103,33 @@ object SharedFrames {
 
   /** Memoized materialized frame (caller's block must return an eagerly
     * materialized frame — `localCheckpoint(true)` or equivalent).
+    *
+    * The build itself runs OUTSIDE the global lock: `f` is an eager
+    * localCheckpoint — a full Spark job lasting seconds to minutes at
+    * sf10 — and holding `this` for its duration would serialize every
+    * concurrent frame/value/setContext/buildLog caller (parallel test
+    * suites, a second session) behind one build. On a lost insert race
+    * the duplicate's blocks are unpersisted and the winner returned, so
+    * at worst a rare concurrent miss pays one redundant build — the
+    * same cost as an LRU-evicted rebuild, and correctness never
+    * depended on residency anyway.
     */
-  def frame(s: SparkSession, key: String)(f: => DataFrame): DataFrame = synchronized {
+  def frame(s: SparkSession, key: String)(f: => DataFrame): DataFrame = {
     val k = (s, key)
-    memo.get(k) match {
-      case Some(e) => e.lastEpoch = epoch; e.value.asInstanceOf[DataFrame]
+    val hit = synchronized {
+      val h = memo.get(k)
+      h match {
+        case Some(e) => e.lastEpoch = epoch
+        case None =>
+          // make room FIRST: the miss's build is the heap-hungry
+          // moment, and stale families' blocks must not sit under it
+          evict(s)
+      }
+      h
+    }
+    hit match {
+      case Some(e) => e.value.asInstanceOf[DataFrame]
       case None =>
-        // make room FIRST: the miss's build is the heap-hungry moment,
-        // and stale families' blocks must not sit under it
-        evict(s)
         val t0 = System.nanoTime()
         val df = f
         val sec = (System.nanoTime() - t0) / 1e9
@@ -121,33 +139,70 @@ object SharedFrames {
         val bytes = rdd.flatMap(r =>
           s.sparkContext.getRDDStorageInfo.find(_.id == r.id))
           .map(i => i.memSize + i.diskSize).getOrElse(0L)
-        memo.put(k, Entry(df, rdd, bytes, epoch))
-        builds += ((s, key, sec, context, bytes))
-        evict(s)
-        df
+        synchronized {
+          memo.get(k) match {
+            case Some(e) =>
+              // lost the race: release this build's blocks, keep the winner
+              rdd.foreach(_.unpersist(blocking = false))
+              e.lastEpoch = epoch
+              e.value.asInstanceOf[DataFrame]
+            case None =>
+              memo.put(k, Entry(df, rdd, bytes, epoch))
+              builds += ((s, key, sec, context, bytes))
+              evict(s)
+              df
+          }
+        }
     }
   }
 
   /** Memoized driver-side artifact (centroid table, merge list) —
-    * byte-negligible, never evicted.
+    * byte-negligible, never evicted. Same build-outside-the-lock shape
+    * as [[frame]]: training centroids or a BPE merge table runs Spark
+    * jobs for seconds, and must not serialize the whole process.
     */
-  def value[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = synchronized {
-    memo.get((s, key)) match {
-      case Some(e) => e.lastEpoch = epoch; e.value.asInstanceOf[T]
+  def value[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
+    val k = (s, key)
+    val hit = synchronized {
+      val h = memo.get(k)
+      h.foreach(_.lastEpoch = epoch)
+      h
+    }
+    hit match {
+      case Some(e) => e.value.asInstanceOf[T]
       case None =>
         val t0 = System.nanoTime()
         val v = f
-        builds += ((s, key, (System.nanoTime() - t0) / 1e9, context, 0L))
-        memo.put((s, key), Entry(v, None, 0L, epoch))
-        v
+        val sec = (System.nanoTime() - t0) / 1e9
+        synchronized {
+          memo.get(k) match {
+            case Some(e) => e.lastEpoch = epoch; e.value.asInstanceOf[T]
+            case None =>
+              builds += ((s, key, sec, context, 0L))
+              memo.put(k, Entry(v, None, 0L, epoch))
+              v
+          }
+        }
     }
   }
 
   /** LRU eviction to the byte budget: drop (and unpersist NOW) frames
     * not touched in the current epoch, least-recent first.
+    *
+    * The budget is accounted PER SESSION, matching the candidate
+    * filter: summing JVM-wide while evicting only session-local frames
+    * meant another session's resident blocks (a test harness's
+    * `newSession()`, a future concurrent server) could pin the total
+    * above budget forever, churning this session's frames through
+    * needless evict/rebuild cycles — or, symmetrically, leave the JVM
+    * over budget with nothing this call was allowed to drop. Each
+    * session owning budgetBytes is the correct local-mode contract:
+    * Bench/Verify run one session, and the multi-session case (specs)
+    * is bounded by #sessions × budget, each independently reclaimable.
     */
   private def evict(s: SparkSession): Unit = {
-    var total = memo.valuesIterator.map(_.bytes).sum
+    var total = memo.iterator
+      .collect { case (k, e) if k._1 eq s => e.bytes }.sum
     if (total <= effectiveBudget) return
     val candidates = memo.toSeq
       .filter { case (k, e) => (k._1 eq s) && e.rdd.isDefined &&

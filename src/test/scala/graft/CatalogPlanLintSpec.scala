@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec, LocalTableScanExec, ProjectExec, RangeExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec, LocalTableScanExec, ProjectExec, RangeExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -104,6 +104,14 @@ class CatalogPlanLintSpec extends SparkSpecBase {
     case l: CollectLimitExec => Some(l.limit.toLong)
     case l: LocalLimitExec => Some(l.limit.toLong)
     case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+    case u: UnionExec =>
+      // union CONCATENATES: the bound is the sum of child bounds — the
+      // generic product case below under-counts it (k one-row sides:
+      // product = 1, actual = k), and a lint whose bound can
+      // under-count will someday pass a plan it should flag (r10
+      // verdict #3a)
+      val bs = u.children.map(tinyBound)
+      if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
     case other if other.children.nonEmpty =>
       // pass-through/unary wrappers preserve or shrink a bound; a join
       // of two tiny sides is at most the product
@@ -189,5 +197,26 @@ class CatalogPlanLintSpec extends SparkSpecBase {
     info(s"${SparkEntry.catalog.size} plans linted; " +
       s"${found.size} allow-listed occurrences: " +
       found.map { case (n, c, _) => s"$n[$c]" }.distinct.mkString(", "))
+  }
+
+  test("tinyBound SUMS union children: a union-build BNLJ past the cap is flagged") {
+    // regression for the r10 under-count: the generic multi-child case
+    // bounded a subtree by the PRODUCT of child bounds — correct for
+    // joins, wrong for Union (1024-row side × 1-row side: product
+    // 1024 ≤ cap, actual 1025 > cap). A lint whose bound can
+    // under-count will someday pass a plan it should flag.
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    def bnlj(aLimit: Int, bLimit: Int) = {
+      val build = lint.range(5000).limit(aLimit)
+        .union(lint.range(5000).limit(bLimit))
+        .withColumnRenamed("id", "bid")
+      lint.range(10).join(broadcast(build), expr("id >= bid"))
+    }
+    val over = violations(bnlj(1024, 1).queryExecution.executedPlan)
+    assert(over.exists(_._1 == "bnlj-unbounded"),
+      s"union build of 1024+1 rows exceeds maxTinyRows=$maxTinyRows and must flag; got $over")
+    val under = violations(bnlj(512, 1).queryExecution.executedPlan)
+    assert(!under.exists(_._1 == "bnlj-unbounded"),
+      s"union build of 512+1 rows is within the cap and must pass; got $under")
   }
 }

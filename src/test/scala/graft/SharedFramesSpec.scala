@@ -12,9 +12,11 @@ import graft.queries.SharedFrames
   */
 class SharedFramesSpec extends SparkSpecBase {
 
-  private def mkFrame(tag: String) = {
+  private def mkFrame(tag: String) = mkFrameIn(spark, tag)
+
+  private def mkFrameIn(s: org.apache.spark.sql.SparkSession, tag: String) = {
     // distinct per tag so memo keys don't collide across tests
-    spark.range(1000).select(col("id"), lit(tag).as("t"))
+    s.range(1000).select(col("id"), lit(tag).as("t"))
       .localCheckpoint(true)
   }
 
@@ -67,6 +69,50 @@ class SharedFramesSpec extends SparkSpecBase {
     } finally {
       SharedFrames.budgetOverride = None
       SharedFrames.clear(s)
+    }
+  }
+
+  test("eviction budget is accounted per session, not JVM-wide") {
+    // round-10 verdict #3b / r10 ADVICE: evict() used to compare the
+    // JVM-WIDE byte total against the budget while only the calling
+    // session's frames were evictable — another session's resident
+    // blocks (a spec harness's newSession(), a concurrent server)
+    // pinned the total above budget and churned this session's frames
+    // through needless evict/rebuild cycles even when it was under
+    // budget on its own.
+    val a = spark
+    val b = spark.newSession()
+    SharedFrames.clear(a); SharedFrames.clear(b)
+    try {
+      // measure one real frame's footprint under an effectively
+      // unlimited budget, then size the budget to fit ~2.5 of them
+      SharedFrames.budgetOverride = None
+      SharedFrames.setContext("q_xa1")
+      SharedFrames.frame(a, "sfspec:xa1") { mkFrameIn(a, "xa1") }
+      val aBytes = SharedFrames.buildLog(a)
+        .find(_._1 == "sfspec:xa1").map(_._4).getOrElse(0L)
+      assert(aBytes > 0, "frame footprint not captured")
+      SharedFrames.budgetOverride = Some(aBytes * 5 / 2)
+      SharedFrames.setContext("q_xa2")
+      SharedFrames.frame(a, "sfspec:xa2") { mkFrameIn(a, "xa2") }
+      // session b holds 2 frames (≤ budget on its own); the JVM-wide
+      // sum across both sessions is ~4 frames (> budget)
+      SharedFrames.setContext("q_xb1")
+      SharedFrames.frame(b, "sfspec:xb1") { mkFrameIn(b, "xb1") }
+      SharedFrames.setContext("q_xb2")
+      SharedFrames.frame(b, "sfspec:xb2") { mkFrameIn(b, "xb2") }
+      // per-session accounting: neither session is over ITS budget, so
+      // nothing may have been evicted — every re-request must hit
+      var rebuilds = 0
+      SharedFrames.setContext("q_xb3")
+      SharedFrames.frame(b, "sfspec:xb1") { rebuilds += 1; mkFrameIn(b, "xb1") }
+      SharedFrames.setContext("q_xa3")
+      SharedFrames.frame(a, "sfspec:xa1") { rebuilds += 1; mkFrameIn(a, "xa1") }
+      assert(rebuilds == 0,
+        s"cross-session bytes churned an under-budget session's frames ($rebuilds rebuilds)")
+    } finally {
+      SharedFrames.budgetOverride = None
+      SharedFrames.clear(a); SharedFrames.clear(b)
     }
   }
 

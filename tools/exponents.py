@@ -9,8 +9,11 @@ defaults to 1 — e.g. sf1 -> sf10).
 Memoized family build costs land on whichever family member runs first
 at each SF, producing phantom exponents (round-9: q_doc_cluster_rep
 read 1.38/decade while its family-true exponent was 0.58). The
-artifacts' "frame_builds" ledger (key -> {sec, query, bytes}) makes the
-adjudication mechanical:
+artifacts' "frame_builds" ledger (an array of {key, sec, query, bytes}
+records since r11 — an LRU-evicted frame rebuilt later logs two builds
+with the same key, which the old object-keyed form silently collapsed
+last-wins; legacy dict artifacts still parse) makes the adjudication
+mechanical:
 
   - adj time  = raw time minus the builds the query paid at that SF
     (clamped at a 1 ms floor);
@@ -32,14 +35,29 @@ lo = json.load(open(lo_path))
 hi = json.load(open(hi_path))
 
 qlo, qhi = lo["queries"], hi["queries"]
-blo = lo.get("frame_builds", {})
-bhi = hi.get("frame_builds", {})
+
+
+def records(raw):
+    """Normalize the ledger to a list of {key, sec, query, bytes}.
+
+    r11+ artifacts emit an array (duplicate keys preserved: a frame
+    evicted and rebuilt logs every build); pre-r11 artifacts emit an
+    object keyed by frame key (duplicates already lost — nothing to
+    recover, but the table still renders).
+    """
+    if isinstance(raw, list):
+        return raw
+    return [dict(v, key=k) for k, v in raw.items()]
+
+
+blo = records(lo.get("frame_builds", []))
+bhi = records(hi.get("frame_builds", []))
 
 
 def paid(builds):
     by_q = defaultdict(float)
-    for k, v in builds.items():
-        by_q[v["query"]] += v["sec"]
+    for r in builds:
+        by_q[r["query"]] += r["sec"]
     return by_q
 
 
@@ -64,9 +82,9 @@ for raw, adj, q, a, b in sorted(rows, key=lambda r: -(r[0] if r[0] == r[0] else 
     print(f"{q:40s} {a:8.2f} {b:8.2f} {raw:6.2f} {adj:6.2f}")
 
 fams = defaultdict(set)
-for k, v in list(blo.items()) + list(bhi.items()):
-    if v["query"]:
-        fams[k].add(v["query"])
+for r in blo + bhi:
+    if r["query"]:
+        fams[r["key"]].add(r["query"])
 print("\nfamily sums (per shared frame key — build attribution cancels):")
 for k in sorted(fams):
     qs = sorted(fams[k] | {q for q in fams[k]})

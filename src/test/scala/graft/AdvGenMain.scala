@@ -109,6 +109,15 @@ object AdvGenMain {
     val out = args.headOption.getOrElse("/tmp/graft_adv")
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, out)
+    spark.stop()
+  }
+
+  /** Corpus generation proper, callable from a spec against a shared
+    * session (AdvCoverageSpec regenerates into its own /tmp dir — it
+    * must not stop the suite-wide session the way [[main]] does).
+    */
+  def generate(spark: SparkSession, out: String): Unit = {
     import spark.implicits._
 
     def tbl(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
@@ -347,6 +356,114 @@ object AdvGenMain {
       require(a.schema == b.schema, s"$t: schema drifted:\n${a.schema}\n${b.schema}")
       println(s"check: $t rows=${b.count()} (src ${a.count()})")
     }
-    spark.stop()
+  }
+
+  /** Neutralized twin of an adversarial corpus (round-10 verdict #4 —
+    * the mutation test's control arm): SAME tables, SAME row counts,
+    * SAME planted keys, but every planted row's CONTENT swapped for
+    * bland, finite, distinct, non-null values — plain English text,
+    * well-formed vectors, 61-second event spacing with no ties and no
+    * session-gap boundaries, in-domain TPC-H numbers.
+    *
+    * Why content-swap rather than "benign = the driver corpus":
+    * appending ANY rows changes counts, so "adv differs from sf0.01"
+    * is vacuously true for every class. Holding keys/cardinality fixed
+    * and varying only the adversarial content isolates exactly the
+    * thing the gate exists to prove — that each planted data class
+    * still FIRES a branch that moves some query's output. A class
+    * whose guard goes dead (regex that no longer matches, a cap that
+    * no longer binds, a tie-break that no longer sees ties) makes the
+    * adversarial and neutral outputs IDENTICAL, and AdvCoverageSpec
+    * goes red instead of the gate passing green-by-vacuity.
+    *
+    * Structural plants (customer with no orders, order with no
+    * lineitems, nation/region with no members, the 1-event user) are
+    * key-relational, so a content swap PRESERVES them — those are
+    * asserted directly on the adversarial corpus by the spec instead.
+    */
+  def neutralize(spark: SparkSession, advDir: String, out: String): Unit = {
+    def tbl(t: String): DataFrame = spark.read.parquet(s"$advDir/$t.parquet")
+    def swap(t: String, planted: org.apache.spark.sql.Column,
+             repl: (String, org.apache.spark.sql.Column)*): Unit = {
+      val srcDf = tbl(t)
+      val byName = repl.toMap
+      val swapped = srcDf.select(srcDf.schema.fields.map { f =>
+        byName.get(f.name)
+          // cast the replacement to the field type BEFORE when(): the
+          // two branches must agree (string literal vs timestamp col)
+          .map(c => when(planted, c.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toIndexedSeq: _*)
+      writeOne(conform(swapped, srcDf.schema), out, t)
+    }
+
+    val neutralText = concat(
+      lit("plain neutral filler text about ordinary subjects number "),
+      col("doc_id").cast("string"),
+      lit(" with several additional ordinary everyday words appended for balance"))
+    swap("documents", col("doc_id") >= 1000000L,
+      "text" -> neutralText,
+      "lang" -> lit("en"),
+      "source" -> lit("adv0"),
+      "n_chars" -> length(neutralText).cast("long"))
+
+    swap("embeddings", col("vec_id") >= 1000000L,
+      // distinct, finite, zero-free, moderate-norm vectors: a pure
+      // function of vec_id so the twin stays byte-stable
+      "embedding" -> expr(
+        "transform(sequence(0, 63), i -> CAST((CAST(pmod(vec_id * 31 + i * 7, 97) AS INT) - 48) / 48.0 AS FLOAT))"),
+      "label" -> lit(7))
+
+    // 61-second spacing from a fixed base: strictly monotone in
+    // event_id, so no ties, no duplicate rows, no exact-gap sessions,
+    // no midnight edges, no 1 Hz cadence, no calendar outliers
+    val evSchema = tbl("events").schema
+    val neutralSec = lit(1709251200L) + (col("event_id") - 10000000L) * 61L
+    val neutralTs =
+      if (evSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        (neutralSec * 1000000000L).cast("long") // int64-nanos generation
+      else timestamp_seconds(neutralSec)
+    swap("events", col("event_id") >= 10000000L,
+      "ts" -> neutralTs,
+      "event_type" -> lit("click"),
+      "value" -> lit(1.0),
+      "props" -> lit("{}"))
+
+    swap("customer", col("c_custkey") >= 1000000L,
+      "c_name" -> concat(lit("Neutral Customer "), col("c_custkey").cast("string")),
+      "c_acctbal" -> lit(100.0),
+      "c_mktsegment" -> lit("BUILDING"))
+
+    swap("orders", col("o_orderkey") >= 10000000L,
+      "o_orderstatus" -> lit("O"),
+      "o_totalprice" -> (lit(50000.0) + pmod(col("o_orderkey"), lit(1000L))),
+      "o_orderdate" -> lit("2024-01-05 00:00:00"),
+      "o_orderpriority" -> lit("3-MEDIUM"))
+
+    swap("lineitem", col("l_orderkey") >= 10000000L,
+      "l_quantity" -> (lit(10.0) + col("l_linenumber")),
+      "l_extendedprice" -> (lit(1000.0) + col("l_linenumber") * 10.0),
+      "l_discount" -> lit(0.05),
+      "l_tax" -> lit(0.05),
+      "l_returnflag" -> lit("N"),
+      "l_linestatus" -> lit("O"),
+      "l_shipdate" -> expr(
+        "timestamp'2024-01-06 00:00:00' + make_interval(0, 0, 0, l_linenumber)"))
+
+    swap("part", col("p_partkey") >= 1000000L,
+      "p_name" -> lit("neutral brass part"),
+      "p_type" -> lit("STANDARD BRASS"),
+      "p_size" -> lit(10),
+      "p_retailprice" -> lit(100.0))
+
+    swap("supplier", col("s_suppkey") >= 1000000L,
+      "s_name" -> lit("Neutral Supplier"),
+      "s_acctbal" -> lit(100.0))
+
+    swap("nation", col("n_nationkey") === 99,
+      "n_name" -> lit("NEUTRALIA"))
+
+    swap("region", col("r_regionkey") === 9,
+      "r_name" -> lit("NEUTRALREG"))
   }
 }

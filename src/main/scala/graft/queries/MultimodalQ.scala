@@ -195,27 +195,51 @@ object MultimodalQ {
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 
-  /** PERCEPTUAL IMAGE NEAR-DUP — dHash + 4×16-bit band LSH + exact
-    * Hamming rerank, the image-side counterpart of MinHash text dedup:
-    * re-encoded/re-scraped copies of an image land within a few
+  /** PERCEPTUAL IMAGE NEAR-DUP — dHash + pigeonhole band-PAIR LSH +
+    * exact Hamming rerank, the image-side counterpart of MinHash text
+    * dedup: re-encoded/re-scraped copies of an image land within a few
     * gradient-sign bits of each other, band-bucketing finds them
-    * without an all-pairs scan, and the ≤ 3 threshold is EXACT by
-    * pigeonhole (3 flipped bits across 4 bands leave ≥ 1 band
-    * untouched — recall 1.0, no approximation caveat).
+    * without an all-pairs scan, and the ≤ 3 threshold is EXACT.
+    *
+    * EXACT-DEDUP-FIRST (round-11; the r10 sweep's 1.21/decade root
+    * cause, measured): the corpus's dHash values saturate hard —
+    * 500 k docs at sf10 carry only 11 280 DISTINCT hashes (the
+    * fixture's scene modulus plus the hash's own entropy ceiling), so
+    * identical-hash clusters average ~44 wide and the naive
+    * doc-level band join shuffled 165 M candidate rows (every
+    * intra-cluster pair × 4 bands) through a global dedup, for an
+    * output "only" 39.75 M pairs. Near-dup structure is a function of
+    * the HASH VALUE alone, so the pair search now runs on the
+    * distinct hashes (thousands, at any SF where the hash saturates):
+    *
+    *   1. distinct dh → 4×16-bit band self-join → Hamming rerank →
+    *      the tiny (h1, h2, hamming ≤ 3) hash-pair table;
+    *   2. intra-hash doc pairs from a dh-co-partitioned self-join
+    *      (hamming 0 by definition);
+    *   3. inter-hash doc pairs by broadcasting the hash-pair table
+    *      into the hash frame twice — expansion is OUTPUT-sized.
+    *
+    * No candidate row is ever materialized beyond the output itself,
+    * and the old 165 M-row dropDuplicates disappears (intra and inter
+    * sets are disjoint and internally unique by construction). The
+    * residual sf-sweep exponent is OUTPUT-bound: 465 k pairs at sf1 →
+    * 39.75 M at sf10 is 1.93/decade of result rows — a floor no
+    * candidate scheme can cross (BENCH_NOTES r11 pins the numbers).
     *
     * The Spark side round-trips REAL bytes (pngBytesGray → CRC-checked
     * decode → unfilter → dHash); the oracle replays the pixel/bit
     * arithmetic from doc_id — a hash match proves every pixel survived
     * the codec round trip, since one wrong pixel flips output bits.
+    * The oracle keeps the direct doc-level banding: both are recall-1.0
+    * candidate generators for the same ≤ 3 predicate (3 flipped bits
+    * across 4 bands leave ≥ 1 band untouched), so the FILTERED pair
+    * set is provably identical.
     *
-    * Scale shape: the band self-join carries (doc_id, dh, band, 16-bit
-    * value) — the full 64-bit hash rides along so the Hamming rerank
-    * evaluates inside the join stage and no pair-sized re-join against
-    * the hash table exists; cluster size is bounded by the
-    * fixture (4), so pairs grow linearly with the corpus. Real-world
-    * skew (one viral image × 10⁶ copies) is the same disclosed
-    * O(Σ bucket²) hazard as the text LSH family — dedup-before-graph
-    * pipeline ordering is the mitigation there too.
+    * Real-world skew (one viral image × 10⁶ identical copies) lands in
+    * step 2/3's expansion — output-sized, the irreducible cost of
+    * asking for all pairs; emitting (hash, member-list) clusters
+    * instead is the downstream-friendly contraction when N² output is
+    * unwanted, exactly as the text-dedup family does.
     */
   val qMediaDhashNearDup: Q = Q.sql(
     "q_media_dhash_neardup",
@@ -259,27 +283,42 @@ object MultimodalQ {
       "pixel replay on the oracle side — a hash match certifies the " +
       "PNG encode/decode/unfilter/dHash chain bit-for-bit.") { (s, d) =>
     val hashes = dhashFrame(s, d)
-    // the 64-bit hash rides the band rows (one extra Long per row), so
-    // Hamming evaluates INSIDE the band join and the pair table never
-    // re-joins the hash table — the same narrow-shuffle shape as the
-    // kNN rerank; cross-band duplicates dedup on the already-scored
-    // narrow rows (hamming is a pure function of the pair)
-    val banded = hashes.select(col("doc_id"), col("dh"),
+    // step 1: pair search on DISTINCT hashes only (see scaladoc) —
+    // thousands of rows, so the band join and rerank are trivial
+    val distinctH = hashes.select(col("dh")).distinct()
+    val banded = distinctH.select(col("dh"),
       explode(transform(sequence(lit(0), lit(3)), k =>
         struct(k.as("band"),
           call_function("shiftright", col("dh"), k * lit(16))
             .bitwiseAND(lit(65535L)).as("bv")))).as("bb"))
-      .select(col("doc_id"), col("dh"), col("bb.band"), col("bb.bv"))
-    banded.as("a")
+      .select(col("dh"), col("bb.band"), col("bb.bv"))
+    val hashPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        call_function("bit_count",
-          col("a.dh").bitwiseXOR(col("b.dh")))
+          col("a.dh") < col("b.dh"))
+      .select(col("a.dh").as("h1"), col("b.dh").as("h2"),
+        call_function("bit_count", col("a.dh").bitwiseXOR(col("b.dh")))
           .cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= 3)
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("h1", "h2")
+    // step 2: intra-hash pairs — dh-co-partitioned self-join, exactly
+    // the exact-dup clusters, hamming 0 by definition
+    val intra = hashes.as("x")
+      .join(hashes.as("y"),
+        col("x.dh") === col("y.dh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    // step 3: inter-hash pairs — the tiny hash-pair table broadcasts
+    // into the hash frame twice; every produced row IS an output row
+    val inter = broadcast(hashPairs)
+      .join(hashes.as("x"), col("x.dh") === col("h1"))
+      .join(hashes.as("y"), col("y.dh") === col("h2"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        col("hamming"))
+    // disjoint (same-hash vs different-hash) and internally unique —
+    // no global dedup needed
+    intra.unionByName(inter)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 

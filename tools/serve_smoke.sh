@@ -1,0 +1,54 @@
+#!/bin/bash
+# Serving-layer smoke (round-10 verdict #6) — part of the end-of-session
+# pin cycle, after the correctness gates.
+#
+# ApiServerSpec already drives gzip/CORS/parity over a real socket, but
+# only against an ApiServer constructed in-process. This script runs the
+# ACTUAL operator path: `Test/runMain graft.ServeSmokeGen` builds the
+# ingest-chain warehouse + ExportJob batch export, then the real
+# `graft.jobs.Main serve` CLI boots on an ephemeral port and every
+# endpoint body (identity AND gzip) is byte-compared to the batch files.
+# Catches CLI-wiring or body-memo drift the unit spec cannot.
+#
+# Expect: three "ok:" lines, exit 0.
+set -e
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/graft_serve_smoke}
+rm -rf "$OUT"; mkdir -p "$OUT"
+
+sbt -batch "Test/runMain graft.ServeSmokeGen $OUT" >"$OUT/gen.log" 2>&1 ||
+  { echo "ServeSmokeGen failed:"; tail -20 "$OUT/gen.log"; exit 1; }
+WH=$(cat "$OUT/warehouse_dir")
+
+sbt -batch "runMain graft.jobs.Main serve $WH 0" >"$OUT/serve.log" 2>&1 &
+SBT_PID=$!
+cleanup() {
+  kill "$SBT_PID" 2>/dev/null || true
+  pkill -f 'graft.jobs.Main serve' 2>/dev/null || true
+}
+trap cleanup EXIT
+
+PORT=
+for _ in $(seq 1 90); do
+  PORT=$(grep -oE 'listening on http://127\.0\.0\.1:[0-9]+' "$OUT/serve.log" \
+    | grep -oE '[0-9]+$' || true)
+  [ -n "$PORT" ] && break
+  sleep 2
+done
+[ -n "$PORT" ] || { echo "server never came up:"; tail -20 "$OUT/serve.log"; exit 1; }
+
+fail=0
+check() { # endpoint exportfile
+  ep=$1; f="$OUT/export/$2"
+  curl -sf "http://127.0.0.1:$PORT/api/$ep" -o "$OUT/$ep.plain"
+  curl -sf -H 'Accept-Encoding: gzip' "http://127.0.0.1:$PORT/api/$ep" \
+    | gunzip >"$OUT/$ep.gunzipped"
+  ok=1
+  cmp -s "$OUT/$ep.plain" "$f" || { echo "MISMATCH /api/$ep (identity) vs $2"; ok=0; }
+  cmp -s "$OUT/$ep.gunzipped" "$f" || { echo "MISMATCH /api/$ep (gzip) vs $2"; ok=0; }
+  [ $ok = 1 ] && echo "ok: /api/$ep == $2 ($(wc -c <"$f") bytes, identity+gzip)" || fail=1
+}
+check food-gaps food_gaps.json
+check poverty-by-zip poverty_by_zip.json
+check rent-by-zip rent_by_zip.json
+exit $fail

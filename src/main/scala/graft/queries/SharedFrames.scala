@@ -204,9 +204,15 @@ object SharedFrames {
     var total = memo.iterator
       .collect { case (k, e) if k._1 eq s => e.bytes }.sum
     if (total <= effectiveBudget) return
+    // eviction exists to reclaim BYTES: a frame whose footprint is a
+    // rounding error of the budget cannot meaningfully reduce `total`,
+    // but dropping it forfeits its build (the r11 sf10 sweep evicted a
+    // 1.7 MB pair table by LRU order and paid a 44.5 s rebuild). Such
+    // frames stay resident — bounded by #keys × negligible.
+    val minEvictBytes = effectiveBudget >> 8
     val candidates = memo.toSeq
       .filter { case (k, e) => (k._1 eq s) && e.rdd.isDefined &&
-        e.bytes > 0 && e.lastEpoch < epoch }
+        e.bytes >= math.max(1L, minEvictBytes) && e.lastEpoch < epoch }
       .sortBy(_._2.lastEpoch)
     val it = candidates.iterator
     while (total > effectiveBudget && it.hasNext) {

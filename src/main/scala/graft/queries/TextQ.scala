@@ -477,13 +477,25 @@ object TextQ {
     * table is near-dup-sized (tiny relative to the corpus), so the
     * checkpoint is cheap to hold.
     */
-  /** Memoized UNFILTERED candidate-pair stats (doc_a, doc_b, shared,
-    * n_a, n_b): every DF-capped shared-shingle candidate pair with its
-    * shared-rare-shingle count and both set sizes — the single
-    * candidate-join pass that the Jaccard AND containment reranks both
-    * derive from (one more metric costs a filter, not a second corpus
-    * join). Candidate-pair-sized (≥ 1 shared rare shingle), so the
-    * checkpoint stays near-dup-cheap.
+  /** Memoized candidate-pair stats (doc_a, doc_b, shared, n_a, n_b):
+    * DF-capped shared-shingle candidate pairs with their shared-rare-
+    * shingle count and both set sizes — the single candidate-join pass
+    * that the Jaccard AND containment reranks both derive from (one
+    * more metric costs a filter, not a second corpus join).
+    *
+    * MEMOIZED ROWS ARE THE CONSUMERS' PREDICATE UNION (round-11): the
+    * r10 shape checkpointed every pair with ≥ 1 shared rare shingle —
+    * "near-dup-cheap" rotted at scale into a 7.48 GB / ~150 M-row
+    * resident frame at sf10, and its 32 × 230 MB disk-block
+    * re-promotions under LRU pressure were exactly the full-sweep OOM
+    * (the candidate JOIN is cheap to stream; it was the
+    * materialization that hurt). Every consumer filters hard —
+    * Jaccard ≥ 0.5, containment ≥ 0.8 — so the memo keeps only rows
+    * passing EITHER predicate (consumers re-apply their exact filter;
+    * union-then-refilter is semantically identical), and the
+    * checkpoint is genuinely near-dup-sized. A NEW consumer with a
+    * weaker predicate must widen this union filter — that contract
+    * lives here, next to the filter.
     */
   private[graft] def candidatePairStats(s: org.apache.spark.sql.SparkSession,
                                         d: String): DataFrame =
@@ -504,6 +516,12 @@ object TextQ {
         .agg(count(lit(1)).as("shared"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        // consumers' predicate union — see scaladoc; widen when adding
+        // a consumer with a weaker threshold
+        .filter(
+          col("shared").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("shared")) >= 0.5 ||
+          col("shared").cast(DoubleType) / least(col("n_a"), col("n_b")) >= 0.8)
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     }
 

@@ -921,13 +921,25 @@ class PlanAuditSpec extends SparkSpecBase {
       s"only the day-grain sweep may single-partition:\n$p")
   }
 
-  test("dhash near-dup scores Hamming inside the band join — single join, no hash re-join") {
+  test("dhash near-dup is exact-dedup-first: distinct-hash pair search, output-sized expansion") {
     val p = plan("q_media_dhash_neardup")
-    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findAllIn(p).size == 1,
-      s"exactly the band self-join — the pair table must not re-join the hash table:\n$p")
-    val dedup = p.linesIterator.find(l =>
-      l.contains("HashAggregate") && l.contains("doc_a") && l.contains("doc_b"))
-    assert(dedup.isDefined && dedup.get.contains("hamming"),
-      s"dedup must run on already-scored narrow rows:\n${dedup.getOrElse(p)}")
+    // the r10 shape funneled every candidate row (165 M at sf10)
+    // through a global HashAggregate on (doc_a, doc_b); the r11 shape
+    // never materializes a candidate beyond the output, so a
+    // pair-level dedup must NOT reappear
+    assert(!p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("doc_a") && l.contains("doc_b")),
+      s"no pair-level dedup — intra/inter are disjoint and unique by construction:\n$p")
+    // the cross-band dedup still exists, but over HASH pairs (h1, h2)
+    // — a table bounded by distinct-hash count, not candidate count
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("h1") && l.contains("h2")),
+      s"hash-pair dedup on the distinct-hash table must remain:\n$p")
+    // inter-hash expansion builds on the tiny hash-pair table:
+    // broadcast joins, never a shuffled pair-sized side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"inter-hash expansion must broadcast the hash-pair table:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }

@@ -73,13 +73,25 @@ def exp(a, b):
 rows = []
 for q in sorted(set(qlo) & set(qhi)):
     raw = exp(qlo[q], qhi[q])
+    # when the build dominates either side's raw time, the subtraction
+    # leaves a near-zero base and the adjusted exponent is arithmetic
+    # noise (r10 caveat: dhash adj base ~0.04 s; r11 table rendered
+    # adj 3.79 / -1.87 rows) — mark those build-dominated instead of
+    # printing a number someone might read
+    bd = (paid_lo.get(q, 0.0) > 0.5 * qlo[q]) or \
+         (paid_hi.get(q, 0.0) > 0.5 * qhi[q])
     adj = exp(max(qlo[q] - paid_lo.get(q, 0.0), 1e-3),
               max(qhi[q] - paid_hi.get(q, 0.0), 1e-3))
-    rows.append((raw, adj, q, qlo[q], qhi[q]))
+    rows.append((raw, adj, bd, q, qlo[q], qhi[q]))
 
 print(f"{'query':40s} {'t_lo':>8s} {'t_hi':>8s} {'exp':>6s} {'adj':>6s}")
-for raw, adj, q, a, b in sorted(rows, key=lambda r: -(r[0] if r[0] == r[0] else -9)):
-    print(f"{q:40s} {a:8.2f} {b:8.2f} {raw:6.2f} {adj:6.2f}")
+for raw, adj, bd, q, a, b in sorted(rows, key=lambda r: -(r[0] if r[0] == r[0] else -9)):
+    adj_s = "  (bd)" if bd else f"{adj:6.2f}"
+    print(f"{q:40s} {a:8.2f} {b:8.2f} {raw:6.2f} {adj_s}")
+bd_qs = [q for _, _, bd, q, _, _ in rows if bd]
+if bd_qs:
+    print(f"\n(bd) = build-dominated at one SF; read the family sum below "
+          f"instead: {', '.join(bd_qs)}")
 
 fams = defaultdict(set)
 for r in blo + bhi:

@@ -241,9 +241,12 @@ object MultimodalQ {
     * instead is the downstream-friendly contraction when N² output is
     * unwanted, exactly as the text-dedup family does.
     */
-  val qMediaDhashNearDup: Q = Q.sql(
-    "q_media_dhash_neardup",
-    s"""WITH pm AS (
+  /** The dHash arithmetic-replay oracle CTE chain, pm → ham: shared by
+    * the pair query and the cluster contraction below (ham holds every
+    * banded candidate pair with its exact Hamming distance).
+    */
+  private val dhashPairCtes: String =
+    s"""pm AS (
        |  SELECT d.doc_id, r.r, c.c,
        |    ((d.doc_id // 4) % 100003) * 2654435761
        |      + (r.r * $dhW + c.c) * 40503 AS m
@@ -275,7 +278,36 @@ object MultimodalQ {
        |  FROM cand c
        |  JOIN bytes ba ON ba.doc_id = c.doc_a
        |  JOIN bytes bb ON bb.doc_id = c.doc_b AND bb.r = ba.r
-       |  GROUP BY c.doc_a, c.doc_b)
+       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
+  /** Engine-side distinct-hash pair table (h1, h2, hamming ≤ 3): band
+    * join + exact Hamming rerank over the distinct dHash values —
+    * thousands of rows at any SF where the hash saturates. Shared by
+    * the pair expansion and the cluster contraction.
+    */
+  private[graft] def dhashHashPairs(
+      hashes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val banded = hashes.select(col("dh")).distinct()
+      .select(col("dh"),
+        explode(transform(sequence(lit(0), lit(3)), k =>
+          struct(k.as("band"),
+            call_function("shiftright", col("dh"), k * lit(16))
+              .bitwiseAND(lit(65535L)).as("bv")))).as("bb"))
+      .select(col("dh"), col("bb.band"), col("bb.bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.dh") < col("b.dh"))
+      .select(col("a.dh").as("h1"), col("b.dh").as("h2"),
+        call_function("bit_count", col("a.dh").bitwiseXOR(col("b.dh")))
+          .cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("h1", "h2")
+  }
+
+  val qMediaDhashNearDup: Q = Q.sql(
+    "q_media_dhash_neardup",
+    s"""WITH $dhashPairCtes
        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
        |FROM ham WHERE hamming <= 3
        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
@@ -285,22 +317,7 @@ object MultimodalQ {
     val hashes = dhashFrame(s, d)
     // step 1: pair search on DISTINCT hashes only (see scaladoc) —
     // thousands of rows, so the band join and rerank are trivial
-    val distinctH = hashes.select(col("dh")).distinct()
-    val banded = distinctH.select(col("dh"),
-      explode(transform(sequence(lit(0), lit(3)), k =>
-        struct(k.as("band"),
-          call_function("shiftright", col("dh"), k * lit(16))
-            .bitwiseAND(lit(65535L)).as("bv")))).as("bb"))
-      .select(col("dh"), col("bb.band"), col("bb.bv"))
-    val hashPairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.dh") < col("b.dh"))
-      .select(col("a.dh").as("h1"), col("b.dh").as("h2"),
-        call_function("bit_count", col("a.dh").bitwiseXOR(col("b.dh")))
-          .cast(IntegerType).as("hamming"))
-      .filter(col("hamming") <= 3)
-      .dropDuplicates("h1", "h2")
+    val hashPairs = dhashHashPairs(hashes)
     // step 2: intra-hash pairs — dh-co-partitioned self-join, exactly
     // the exact-dup clusters, hamming 0 by definition
     val intra = hashes.as("x")
@@ -320,6 +337,65 @@ object MultimodalQ {
     // no global dedup needed
     intra.unionByName(inter)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** PERCEPTUAL NEAR-DUP CLUSTERS — the contraction the pair query's
+    * scaladoc promises: when the N² pair list is unwanted (a viral
+    * image × 10⁶ copies makes it quadratic), downstream dedup wants
+    * each doc's CLUSTER — connected components of the hamming ≤ 3
+    * graph — with a deterministic representative (min doc_id) and the
+    * cluster size, output linear in the corpus.
+    *
+    * Scale shape: the component computation runs ENTIRELY on the
+    * distinct-hash graph (nodes = distinct dHashes — thousands at any
+    * SF where the hash saturates; edges = the memoized-pair-search
+    * hash pairs), then docs label themselves with one broadcast join.
+    * Identical-hash docs share a node, so intra-hash connectivity is
+    * free; a hash outside every pair is its own component. No doc-pair
+    * edge is ever materialized. The oracle replays components over the
+    * DOC-pair graph with a recursive closure — provably the same
+    * partition, since doc pairs connect exactly docs whose hashes are
+    * equal or band-paired.
+    */
+  val qMediaDhashClusters: Q = Q.sql(
+    "q_media_dhash_clusters",
+    s"""WITH RECURSIVE $dhashPairCtes,
+       |prs AS (SELECT doc_a, doc_b FROM ham WHERE hamming <= 3),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+       |  UNION
+       |  SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       |comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(s.n AS BIGINT) AS cluster_size
+       |FROM comp c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |WHERE s.n >= 2
+       |ORDER BY doc_id ASC""".stripMargin,
+    doc = "Cluster contraction of the dhash near-dup graph: engine " +
+      "components run on the distinct-hash graph (thousands of " +
+      "nodes), oracle replays them over doc pairs — same partition " +
+      "by construction.") { (s, d) =>
+    val hashes = dhashFrame(s, d)
+    // components over the hash graph: h1/h2 are the only edges; a dh
+    // in no pair stays its own component via the coalesce below.
+    // comp labels are hash values (min of component) — they cannot
+    // collide with a pair-free hash's own dh, because every label IS
+    // some paired hash's value and dh values are distinct.
+    val comp = PipelineQ.connectedComponents(
+      dhashHashPairs(hashes).select(col("h1").as("src"), col("h2").as("dst")))
+      .toDF("dh", "comp")
+    val labeled = hashes.join(broadcast(comp), Seq("dh"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("dh")).as("comp"))
+    val clusters = labeled.groupBy("comp")
+      .agg(min("doc_id").as("cluster_id"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+    labeled.join(broadcast(clusters), Seq("comp"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id").asc)
   }
 
   /** Audio-feature window (samples per analysis frame). 256 keeps the
@@ -472,5 +548,5 @@ object MultimodalQ {
   }
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup,
-    qAudioFeatures, qPixelStats)
+    qMediaDhashClusters, qAudioFeatures, qPixelStats)
 }

@@ -959,8 +959,18 @@ object OlapQ {
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
     val parts = li.groupBy("pk").agg(count(lit(1)).as("n"))
-    pairs
+    // The top-25 order depends ONLY on the pair count, so the cut runs
+    // BEFORE the frequency joins: TakeOrderedAndProject on the pair
+    // table, then both part-frequency lookups join a broadcast 25-row
+    // side. The previous shape joined the full pair table (Σ basket²
+    // rows — ~9e7 at sf10) against the part table twice via sort-merge
+    // just to discard all but 25 rows at the end.
+    val top = pairs
+      .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
+      .limit(25)
+    val withA = broadcast(top)
       .join(parts.select(col("pk").as("part_a"), col("n").as("n_a")), Seq("part_a"))
+    broadcast(withA)
       .join(parts.select(col("pk").as("part_b"), col("n").as("n_b")), Seq("part_b"))
       .crossJoin(broadcast(t))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
@@ -968,7 +978,6 @@ object OlapQ {
         (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
           .as("confidence_a"))
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
-      .limit(25)
   }
 
   /** ORDER-FULFILLMENT LATENCY — the operations report joining the

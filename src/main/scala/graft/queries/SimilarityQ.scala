@@ -436,22 +436,34 @@ object SimilarityQ {
         .select(col("vec_id"), col("neighbor_id"), col("label"),
           col("n_label"),
           fastCosine(col("embedding"), col("n_emb")).as("score"))
-      // cross-band dedup on the narrow rows: score/labels are pure
-      // functions of the id pair, so first() over duplicates is exact
-      val deduped = scored
-        .groupBy(col("vec_id"), col("neighbor_id"))
-        .agg(first(col("label")).as("label"),
-          first(col("n_label")).as("n_label"),
-          first(col("score")).as("score"))
+      // Cross-band dedup FOLDED INTO the ranking window: every
+      // duplicate of a pair carries identical sort keys (cosine is a
+      // pure function of the two vectors, so same neighbor_id ⇒ same
+      // score), which makes duplicates ADJACENT under (score desc,
+      // neighbor_id asc) within an anchor's partition. A lag() marks
+      // the first occurrence and both ranks count firsts only — exact
+      // row_number-over-distinct-pairs semantics with ONE exchange
+      // (hash by vec_id) instead of two. The previous shape paid a
+      // full-width pair shuffle for a groupBy(vec_id, neighbor_id)
+      // dedup whose map-side combine never fired (a pair's duplicates
+      // come from different bands, hence different bucket partitions),
+      // then a second exchange for this window: at sf10 that was two
+      // ~1.5e8-row shuffles where one suffices.
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val xlabel = col("label") =!= col("n_label")
-      deduped
-        .withColumn("rank", row_number().over(w))
+      val isFirst = lag(col("neighbor_id"), 1).over(w).isNull ||
+        lag(col("neighbor_id"), 1).over(w) =!= col("neighbor_id")
+      scored
+        .withColumn("__first", isFirst)
+        .withColumn("rank",
+          sum(when(col("__first"), 1).otherwise(0)).over(running).cast(IntegerType))
         .withColumn("xrank",
-          sum(when(xlabel, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rank") <= knnK || (xlabel && col("xrank") <= hardNegK))
+          sum(when(col("__first") && xlabel, 1).otherwise(0)).over(running))
+        .filter(col("__first") &&
+          (col("rank") <= knnK || (xlabel && col("xrank") <= hardNegK)))
+        .drop("__first")
   }
 
   /** kNN-graph edge table (vec_id, neighbor_id, rank, score) over the

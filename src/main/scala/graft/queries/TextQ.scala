@@ -329,6 +329,108 @@ object TextQ {
       .orderBy(col("source").asc)
   }
 
+  /** Co-occurrence window for [[qPmiPairs]]: a token pairs with the
+    * next `pmiWindow - 1` raw positions (the classic ±4-word
+    * collocation window, directional form — each unordered pair is
+    * counted once per co-occurrence).
+    */
+  private val pmiWindow = 4
+
+  /** Minimum pair count for a collocation to be reported (noise floor —
+    * a pair seen < 5 times has no stable association estimate).
+    */
+  private val pmiMinCount = 5
+
+  /** PMI COLLOCATION PAIRS (Church & Hanks 1990) — the corpus-level
+    * word-association table: for every unordered token pair
+    * co-occurring within a [[pmiWindow]]-position window, the pair
+    * count, both unigram counts, and the association `lift`
+    *   (n_ab / P) / ((n_a / T) · (n_b / T))
+    * i.e. exp(PMI) — reported instead of the log because `lift` is a
+    * ratio of exactly-representable integers under a PINNED operand
+    * order (bit-identical IEEE ops in both engines), while libm `log`
+    * may differ in the last ulp between the JVM and DuckDB; log is
+    * monotonic, so the ranking is the PMI ranking. Top-50 by lift,
+    * pairs below [[pmiMinCount]] suppressed. This is the PPMI/GloVe
+    * co-occurrence statistic — the standard input to count-based
+    * embedding builds and phrase-mining (word2vec phrase joining).
+    *
+    * Empty tokens (the tokenizer keeps trailing empties) are excluded
+    * on BOTH sides, but window distance is measured on RAW positions,
+    * so an intervening empty token still consumes a slot — one
+    * contract, spelled identically in engine and oracle.
+    *
+    * Scale shape: pairs are generated INSIDE the scan per document
+    * (`transform` over the token array × a `slice` of the next W−1 —
+    * a bounded ×(W−1) row expansion, never a positional self-join),
+    * then one map-side-combined groupBy on the pair key; the unigram
+    * table (vocabulary-sized) joins broadcast; totals are broadcast
+    * 1-row aggregates; the final top-50 is TakeOrderedAndProject. At
+    * 100 TB the same plan holds — the pair aggregate is the shuffle
+    * (bounded by distinct-pair vocabulary, not corpus size, after
+    * map-side combine); a vocabulary past the broadcast budget demotes
+    * the unigram joins to shuffles with nothing else changing. The
+    * ORACLE replays the window as a positional self-join (fine at
+    * gate SF; the engine never does).
+    */
+  val qPmiPairs: Q = Q.sql(
+    "q_doc_pmi_pairs",
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \\x09-\\x0d]+') AS tk
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, u.i AS pos, tk[u.i] AS w
+       |  FROM d, unnest(range(1, len(tk) + 1)) AS u(i)
+       |  WHERE tk[u.i] <> ''),
+       |pr AS (
+       |  SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, COUNT(*) AS n_ab
+       |  FROM tok a JOIN tok b
+       |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + ${pmiWindow - 1}
+       |  WHERE a.w <> b.w
+       |  GROUP BY 1, 2),
+       |uni AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM uni),
+       |pt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS p FROM pr)
+       |SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+       |  CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+       |    / (CAST(p AS DOUBLE) * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS lift
+       |FROM pr
+       |JOIN uni ua ON pr.w1 = ua.w
+       |JOIN uni ub ON pr.w2 = ub.w
+       |CROSS JOIN tot CROSS JOIN pt
+       |WHERE n_ab >= $pmiMinCount
+       |ORDER BY lift DESC, w1 ASC, w2 ASC
+       |LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val pairGen = expr(
+      s"""flatten(transform(tk, (t, i) ->
+         |  transform(
+         |    filter(slice(tk, i + 2, ${pmiWindow - 1}),
+         |      u -> t <> '' AND u <> '' AND u <> t),
+         |    u -> named_struct('w1', least(t, u), 'w2', greatest(t, u)))))""".stripMargin)
+    val pc = docs.select(explode(pairGen).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val uni = docs.select(explode(col("tk")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum("n").cast(LongType).as("t"))
+    val pt = pc.agg(sum("n_ab").cast(LongType).as("p"))
+    pc.filter(col("n_ab") >= pmiMinCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pt))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast(DoubleType) * col("t").cast(DoubleType)
+          * col("t").cast(DoubleType)
+          / (col("p").cast(DoubleType) * col("n_a").cast(DoubleType)
+            * col("n_b").cast(DoubleType))).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
   private[graft] val deflateAuxDir = s"${OracleAux.root}/doc_deflate"
 
   /** Compression-ratio quality signal: DEFLATE size over byte length —
@@ -2843,7 +2945,7 @@ object TextQ {
     qNgramDiversity, qSoftDedup, qEditDistNearDup, qIncrementalNearDup,
     qVocabCoverage, qSourceOverlap, qSourceKl, qContainment,
     qRetrievalTriplets, qC4Rules, qZipfSlope, qQualityCalibrate,
-    qSimhashAccuracy, qMinhashAccuracy, qNoveltyCurve)
+    qSimhashAccuracy, qMinhashAccuracy, qNoveltyCurve, qPmiPairs)
 }
 
 /** Per-executor-thread MessageDigest for the CMS point-query UDF:

@@ -888,13 +888,18 @@ class PlanAuditSpec extends SparkSpecBase {
       .toDF("vec_id", "bk", "label", "embedding")
     val o = graft.queries.SimilarityQ.buildRankedPairs(keyed)
       .queryExecution.optimizedPlan.toString
-    val dedup = o.linesIterator.find(l =>
-      l.contains("Aggregate") && l.contains("vec_id") && l.contains("neighbor_id"))
-    assert(dedup.isDefined, o)
-    assert(dedup.get.contains("score"),
-      s"cosine must be scored BEFORE the cross-band dedup: ${dedup.get}")
-    assert(!dedup.get.contains("embedding") && !dedup.get.contains("n_emb"),
-      s"embedding arrays leaked into the pair-sized dedup: ${dedup.get}")
+    // r11: the cross-band pair dedup is FOLDED INTO the ranking window
+    // (duplicates of a pair share identical sort keys, so a lag() marks
+    // firsts) — the pair-sized groupBy exchange must NOT reappear
+    assert(!o.linesIterator.exists(l =>
+        l.contains("Aggregate") && l.contains("neighbor_id")),
+      s"pair-sized dedup aggregate returned (one-exchange window fold lost):\n$o")
+    val win = o.linesIterator.find(_.contains("Window"))
+    assert(win.isDefined, o)
+    assert(win.get.contains("vec_id") && win.get.contains("score"),
+      s"ranking window must partition by anchor and order by score: ${win.get}")
+    assert(!win.get.contains("embedding#") && !win.get.contains("n_emb"),
+      s"embedding arrays leaked past the band join into the window: ${win.get}")
     assert("Join Inner".r.findAllIn(o).size == 1,
       s"exactly the band self-join — no post-dedup embedding re-join:\n$o")
   }

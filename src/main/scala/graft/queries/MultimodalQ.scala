@@ -398,6 +398,139 @@ object MultimodalQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Frames per synthetic video for [[qSceneCuts]] (every 6th doc —
+    * the mp4 class of the decode fixture's format rotation — is a
+    * video).
+    */
+  private[graft] val sceneFrames = 6
+
+  /** (doc_id, frame) → 9×8 grayscale frame pixels with TEMPORAL
+    * structure: a deterministic cut predicate ((doc_id + 37·k) % 3 = 0
+    * at frame k ≥ 1) partitions the frame sequence into segments; all
+    * frames of a segment render the same scene (keyed by
+    * doc_id·7 + seg·13, same xor-fold mix as [[dhashFixturePixels]])
+    * with a one-pixel per-frame jitter (row = frame % 8, col 8 — one
+    * gradient bit, so intra-scene adjacent frames sit at Hamming ≤ 2),
+    * while consecutive segments render independent scenes
+    * (pseudo-random-far hashes). Exact positive-integer arithmetic
+    * throughout — the oracle replays it verbatim.
+    */
+  private[graft] def sceneCutPixels(docId: Long, f: Int): Array[Byte] = {
+    var seg = 0L
+    var k = 1
+    while (k <= f) {
+      if ((docId + 37L * k) % 3 == 0) seg += 1
+      k += 1
+    }
+    val scene = (docId * 7 + seg * 13) % 100003L
+    val pix = new Array[Byte](dhW * dhH)
+    var r = 0
+    while (r < dhH) {
+      var c = 0
+      while (c < dhW) {
+        val m = scene * 2654435761L + (r * dhW + c) * 40503L
+        val base = (m ^ (m / 65536)) % 251
+        val p = if (r == f % 8 && c == 8) (base + 97) % 251 else base
+        pix(r * dhW + c) = p.toByte
+        c += 1
+      }
+      r += 1
+    }
+    pix
+  }
+
+  /** VIDEO SCENE-CUT DETECTION — the temporal member of the perceptual
+    * family: per video, dHash every sampled frame and report a cut
+    * wherever the ADJACENT-frame Hamming distance exceeds the near-dup
+    * threshold (> 3 — the complement of the ≤ 3 "same image" contract
+    * the pair/cluster queries use). This is the standard
+    * shot-boundary primitive (frame-difference thresholding on a
+    * perceptual signature): dedup-by-scene, thumbnail selection, and
+    * per-shot sampling all start from this table.
+    *
+    * Scale shape: the frame expansion is a bounded ×[[sceneFrames]]
+    * explode fused in the scan; each frame pays one REAL
+    * PNG encode → CRC-checked decode → unfilter → dHash round trip
+    * (the same codec gate as the near-dup query); the only exchange
+    * is the per-video lag window (partition by doc_id — millions of
+    * independent small partitions), and the output is cut rows only.
+    * No joins, no candidate pairs — linear at any SF.
+    *
+    * ORACLE REPLAY: DuckDB recomputes the cut→segment prefix sum, the
+    * per-frame pixel/bit arithmetic (same xor-fold mix as
+    * [[dhashPairCtes]]), per-row gradient bytes, and the adjacent-frame
+    * byte-wise Hamming sum — a hash match certifies the whole temporal
+    * chain, since one wrong pixel in any frame flips some cut's
+    * distance.
+    */
+  val qSceneCuts: Q = Q.sql(
+    "q_media_scene_cuts",
+    s"""WITH vids AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 6 = 4),
+       |fl AS (
+       |  SELECT doc_id, f.f,
+       |    CASE WHEN f.f >= 1 AND (doc_id + 37 * f.f) % 3 = 0
+       |      THEN 1 ELSE 0 END AS cutf
+       |  FROM vids, range(0, $sceneFrames) f(f)),
+       |sg AS (
+       |  SELECT doc_id, f,
+       |    SUM(cutf) OVER (PARTITION BY doc_id ORDER BY f) AS seg
+       |  FROM fl),
+       |pm AS (
+       |  SELECT doc_id, f, r.r, c.c,
+       |    ((doc_id * 7 + seg * 13) % 100003) * 2654435761
+       |      + (r.r * $dhW + c.c) * 40503 AS m
+       |  FROM sg, range(0, $dhH) r(r), range(0, $dhW) c(c)),
+       |px AS (
+       |  SELECT doc_id, f, r, c,
+       |    CASE WHEN r = f % 8 AND c = 8
+       |      THEN (xor(m, m // 65536) % 251 + 97) % 251
+       |      ELSE xor(m, m // 65536) % 251
+       |    END AS p
+       |  FROM pm),
+       |bytes AS (
+       |  SELECT a.doc_id, a.f, a.r,
+       |    SUM(CASE WHEN b.p > a.p THEN (1 << a.c) ELSE 0 END) AS byte
+       |  FROM px a JOIN px b
+       |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+       |  WHERE a.c < 8
+       |  GROUP BY a.doc_id, a.f, a.r),
+       |ham AS (
+       |  SELECT a.doc_id, a.f AS frame_idx,
+       |    SUM(bit_count(xor(a.byte, b.byte))) AS hamming
+       |  FROM bytes a JOIN bytes b
+       |    ON a.doc_id = b.doc_id AND b.f = a.f - 1 AND a.r = b.r
+       |  GROUP BY a.doc_id, a.f)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(hamming AS INT) AS hamming
+       |FROM ham WHERE hamming > 3
+       |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin,
+    doc = "Temporal perceptual segmentation: real per-frame codec " +
+      "round trip on the engine side, pure-arithmetic replay of the " +
+      "segment/pixel/Hamming chain on the oracle side.") { (s, d) =>
+    val enc = udf((i: Long, f: Int) =>
+      MediaContainers.pngBytesGray(dhW, dhH, sceneCutPixels(i, f)))
+    val dec = udf { b: Array[Byte] =>
+      val (w, _, pix) = MediaContainers.pngGrayPixels(b)
+      dhash64(w, pix)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f").asc)
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 6 === 4)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(sceneFrames - 1))).as("f"))
+      .select(col("doc_id"), col("f"),
+        dec(enc(col("doc_id"), col("f"))).as("dh"))
+      .withColumn("prev", lag(col("dh"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("f").cast(LongType).as("frame_idx"),
+        call_function("bit_count", col("dh").bitwiseXOR(col("prev")))
+          .cast(IntegerType).as("hamming"))
+      .filter(col("hamming") > 3)
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+  }
+
   /** Audio-feature window (samples per analysis frame). 256 keeps the
     * per-window integer sums far inside int64 (|s| ≤ 1000 →
     * sq_sum ≤ 2.56e8).
@@ -548,5 +681,5 @@ object MultimodalQ {
   }
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup,
-    qMediaDhashClusters, qAudioFeatures, qPixelStats)
+    qMediaDhashClusters, qSceneCuts, qAudioFeatures, qPixelStats)
 }

@@ -83,5 +83,63 @@ object JoinsQ {
       .orderBy(col("band_id").asc)
   }
 
-  val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin)
+  /** Target output rows per task for [[qJoinSkewAdvisor]]'s salt
+    * recommendation (2^20 — the order of rows a shuffle task should
+    * own before a skewed key needs splitting).
+    */
+  private val skewTargetRows = 1048576L
+
+  /** JOIN-SKEW ADVISOR — the pre-flight profile a 100 TB self-join
+    * needs BEFORE running: per join key, the row count, the pair-space
+    * contribution n² (what a self-join on that key would emit), its
+    * share of the total output, and the recommended salt factor
+    * ⌈n² / [[skewTargetRows]]⌉ — the split count that brings the key's
+    * output back under one task's budget (the manual form of AQE's
+    * skew-join mitigation, computable from a keys-only scan). The
+    * catalog's pair-join families (LSH buckets, basket pairs, band
+    * joins) all live or die by exactly this bound; this operator turns
+    * the Σ n² analysis their scaladocs argue BY HAND into a query.
+    *
+    * NULL keys never meet an inner join, so they are excluded (the
+    * standard advisor convention; a null-heavy key column shows up in
+    * the profile's absence, not as a fake mega-key).
+    *
+    * Scale shape: one map-side-combined groupBy over the keys-only
+    * scan, a broadcast 1-row total, and a ≤ #keys output — the
+    * advisor costs one aggregation however large the fact table. All
+    * arithmetic is exact integers (n² and the ceiling division); only
+    * the share ratio is a double (IEEE division of exact operands).
+    */
+  val qJoinSkewAdvisor: Q = Q.sql(
+    "q_join_skew_advisor",
+    s"""WITH k AS (
+       |  SELECT event_type AS join_key, COUNT(*) AS n_rows
+       |  FROM events WHERE event_type IS NOT NULL
+       |  GROUP BY event_type),
+       |p AS (
+       |  SELECT join_key, n_rows, n_rows * n_rows AS n_pairs FROM k),
+       |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM p)
+       |SELECT join_key, n_rows, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS output_share,
+       |  CAST((n_pairs + ${skewTargetRows - 1}) // $skewTargetRows AS BIGINT)
+       |    AS salt_factor
+       |FROM p CROSS JOIN tot
+       |ORDER BY n_pairs DESC, join_key ASC""".stripMargin) { (s, d) =>
+    val k = Tables.events(s, d)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type").as("join_key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("join_key"), col("n_rows"),
+        (col("n_rows") * col("n_rows")).as("n_pairs"))
+    val tot = k.agg(sum("n_pairs").cast(LongType).as("t"))
+    k.crossJoin(broadcast(tot))
+      .select(col("join_key"), col("n_rows"), col("n_pairs"),
+        (col("n_pairs").cast(DoubleType) / col("t").cast(DoubleType))
+          .as("output_share"),
+        expr(s"(n_pairs + ${skewTargetRows - 1}) div $skewTargetRows")
+          .cast(LongType).as("salt_factor"))
+      .orderBy(col("n_pairs").desc, col("join_key").asc)
+  }
+
+  val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin, qJoinSkewAdvisor)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth for q_join_skew_advisor: exact pair-space arithmetic,
+  * ceiling-division salt factor, null-key exclusion, and ordering.
+  */
+class JoinSkewAdvisorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** 2048 "hot" rows, 3 "cold" rows, 2 null-key rows. 2048² = 2^22 =
+    * exactly 4× the 2^20 salt target, so salt_factor = 4 with no
+    * ceiling slack; 3² = 9 → salt_factor = 1 (ceiling of a tiny
+    * fraction).
+    */
+  private lazy val dir: String = {
+    val rows =
+      (1 to 2048).map(i => (i.toLong, "hot")) ++
+        (3000 to 3002).map(i => (i.toLong, "cold")) ++
+        Seq((4000L, null: String), (4001L, null: String))
+    val d = java.nio.file.Files.createTempDirectory("skew_fix").toString
+    rows.map { case (id, t) => (id, Timestamp.valueOf("2024-01-01 00:00:00"),
+      id % 7, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("planted skew: exact pair counts, ceiling salt, null keys excluded") {
+    val out = SparkEntry.queries("q_join_skew_advisor")(spark, dir).collect()
+    assert(out.length == 2, out.mkString("; "))
+    val hot = out.head
+    assert(hot.getString(0) == "hot" && hot.getLong(1) == 2048L)
+    assert(hot.getLong(2) == 2048L * 2048L)
+    assert(hot.getLong(4) == 4L, s"salt ${hot.getLong(4)}")
+    val cold = out(1)
+    assert(cold.getString(0) == "cold" && cold.getLong(2) == 9L)
+    assert(cold.getLong(4) == 1L, "any nonempty key needs at least one split")
+    val total = (2048L * 2048L + 9L).toDouble
+    assert(hot.getDouble(3) == 2048.0 * 2048.0 / total)
+  }
+
+  test("corpus run: shares sum to 1 and ordering is pair-count desc") {
+    val rows = SparkEntry.queries("q_join_skew_advisor")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val pairs = rows.map(_.getLong(2))
+    assert(pairs.toSeq == pairs.sortBy(-_).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * r.getLong(1))
+      assert(r.getLong(4) >= 1L)
+    }
+  }
+
+  test("plan: one map-side-combined aggregate over a keys-only scan, no shuffled join") {
+    val p = SparkEntry.queries("q_join_skew_advisor")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "key counts must partial-aggregate map-side")
+    assert(!p.linesIterator.exists(l => l.contains("Scan") && l.contains("value#")),
+      "the advisor must scan join keys only, not event payloads")
+  }
+}

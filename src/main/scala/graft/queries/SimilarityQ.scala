@@ -2279,10 +2279,125 @@ object SimilarityQ {
     prepareCentroids(ivfAuxDir)(s, d)
   }
 
+  /** IVF nprobe FRONTIER — the tuning table behind the q_ann_ivf
+    * configuration: recall@[[topK]] and mean scanned-corpus fraction
+    * for EVERY nprobe in 1..[[ivfNProbe]], from ONE probe pass. The
+    * trick making the sweep free: with an exact-cosine rerank, a true
+    * top-k neighbor that enters the candidate set always survives to
+    * the reported top-k (every candidate outscoring it is itself a
+    * true top-k vector of lower rank), so recall@k at probe depth p is
+    * exactly the fraction of true top-k edges whose neighbor's
+    * assigned centroid sits at probe rank ≤ p — no per-p rerank, just
+    * a GROUP BY over probe ranks. Scan fraction is the probed lists'
+    * size sum over (n_queries × corpus); both metrics are exact
+    * integer ratios (one IEEE divide each).
+    *
+    * Scale shape: one assignment pass (broadcast centroids into the
+    * scan), one nq-row probe ranking, the brute-force ground truth
+    * (the allow-listed broadcast idiom, nq = [[nQueries]] anchors),
+    * then joins over nq×k rows. The frontier the operator prints is
+    * the one number an index deployment tunes first.
+    */
+  val qIvfFrontier: Q = Q.sql(
+    "q_emb_ivf_frontier",
+    s"""${centroidDistCte(ivfAuxDir)},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |sizes AS (SELECT cid, COUNT(*) AS sz FROM assigned GROUP BY cid),
+       |probed AS (
+       |  SELECT vec_id AS query_id, cid, rn AS prank FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM dist WHERE vec_id < $nQueries) WHERE rn <= $ivfNProbe),
+       |bfs AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    ${oracleCosine("q.embedding", "v.embedding")} AS score
+       |  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id ASC) AS bf_rank
+       |    FROM bfs) WHERE bf_rank <= $topK),
+       |cov AS (
+       |  SELECT b.query_id, p.prank
+       |  FROM bf b
+       |  JOIN assigned a ON a.vec_id = b.neighbor_id
+       |  LEFT JOIN probed p ON p.query_id = b.query_id AND p.cid = a.cid),
+       |ps AS (SELECT UNNEST(range(1, ${ivfNProbe + 1})) AS nprobe),
+       |hits AS (
+       |  SELECT ps.nprobe, COUNT(*) AS n_matched
+       |  FROM cov CROSS JOIN ps WHERE cov.prank <= ps.nprobe
+       |  GROUP BY 1),
+       |scans AS (
+       |  SELECT ps.nprobe, SUM(s.sz) AS scanned
+       |  FROM probed p JOIN sizes s ON p.cid = s.cid
+       |  CROSS JOIN ps WHERE p.prank <= ps.nprobe
+       |  GROUP BY 1),
+       |nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < $nQueries),
+       |nv AS (SELECT COUNT(*) AS n FROM embeddings)
+       |SELECT CAST(ps.nprobe AS INT) AS nprobe,
+       |  CAST(nq.n AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(h.n_matched, 0) AS BIGINT) AS n_matched,
+       |  CAST(COALESCE(h.n_matched, 0) AS DOUBLE)
+       |    / CAST($topK * nq.n AS DOUBLE) AS mean_recall,
+       |  CAST(COALESCE(sc.scanned, 0) AS DOUBLE)
+       |    / CAST(nq.n * nv.n AS DOUBLE) AS mean_scan_frac
+       |FROM ps CROSS JOIN nq CROSS JOIN nv
+       |LEFT JOIN hits h ON h.nprobe = ps.nprobe
+       |LEFT JOIN scans sc ON sc.nprobe = ps.nprobe
+       |ORDER BY nprobe ASC""".stripMargin) { (s, d) =>
+    import graft.functions.IvfFunctions
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfFunctions.broadcastCentroids(emb, corpusCentroids(s, d, emb))
+    val assigned = emb.select(col("vec_id"),
+      IvfFunctions.assignUdf(centroids)(col("embedding")).as("cid"))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("sz"))
+    val probed = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(IvfFunctions.probeUdf(centroids, ivfNProbe)(col("embedding")))
+          .as(Seq("p0", "cid")))
+      .select(col("query_id"), (col("p0") + 1).cast(LongType).as("prank"), col("cid"))
+    val bf = qAnnBruteForce.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    val cov = bf
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cid")),
+        Seq("neighbor_id"))
+      .join(probed, Seq("query_id", "cid"), "left")
+    // the 1..nprobe fanout explodes FROM the row (a covered edge at
+    // prank p counts toward every depth ≥ p) — a ×nprobe Generate on
+    // nq×k-row tables, never a join
+    val ps = (1 to ivfNProbe).toDF("nprobe")
+    val depths = explode(sequence(col("prank").cast(IntegerType),
+      lit(ivfNProbe))).as("nprobe")
+    val hits = cov.filter(col("prank").isNotNull)
+      .select(depths)
+      .groupBy("nprobe").agg(count(lit(1)).as("n_matched"))
+    val scans = probed.join(sizes, Seq("cid"))
+      .select(col("sz"), depths)
+      .groupBy("nprobe").agg(sum("sz").as("scanned"))
+    val nqV = emb.filter(col("vec_id") < nQueries).count()
+    val nvV = emb.count()
+    ps
+      .join(hits, Seq("nprobe"), "left")
+      .join(scans, Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(nqV).as("n_queries"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast(DoubleType)
+          / lit(topK * nqV).cast(DoubleType)).as("mean_recall"),
+        (coalesce(col("scanned"), lit(0L)).cast(DoubleType)
+          / lit(nqV * nvV).cast(DoubleType)).as("mean_scan_frac"))
+      .orderBy(col("nprobe").asc)
+  }.preparedBy(prepareCentroids(ivfAuxDir))
+
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
     qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,
-    qEmbMatryoshka, qEmbKnnHops, qAnnRecall)
+    qEmbMatryoshka, qEmbKnnHops, qAnnRecall, qIvfFrontier)
 }

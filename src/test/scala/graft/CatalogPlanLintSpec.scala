@@ -70,7 +70,8 @@ class CatalogPlanLintSpec extends SparkSpecBase {
         "bounded day-grain window above"),
     Allow("bnlj-unbounded",
       Set("q_ann_bruteforce", "q_ann_quantized", "q_emb_ann_recall",
-        "q_emb_matryoshka", "q_emb_decontam", "q_embedding_neardup"),
+        "q_emb_matryoshka", "q_emb_decontam", "q_embedding_neardup",
+        "q_emb_ivf_frontier"),
       "fixed-query-set broadcast idiom: the build side is the embeddings " +
         "table filtered to a CONSTANT id set (nQueries probe vectors / the " +
         "benchmark eval set / the disclosed exact-oracle sample), " +

@@ -52,10 +52,49 @@ object MultimodalFunctions {
   def decodeMeta(payload: Array[Byte]): MediaMeta =
     MediaContainers.decodeMeta(payload)
 
+  /** REAL grayscale box-filter downsample: the (w, h) pixel array
+    * shrinks by integer factors (fx, fy), each output pixel the FLOOR
+    * average of its fx×fy source block — exact integer arithmetic end
+    * to end, so an oracle replays it verbatim. This is the real
+    * resize kernel for the one format the engine fully decodes
+    * (grayscale PNG, [[MediaContainers.pngGrayPixels]]); the stub
+    * below remains for payload formats with header-only decode.
+    */
+  def boxResizeGray(w: Int, h: Int, pix: Array[Byte],
+                    fx: Int, fy: Int): (Int, Int, Array[Byte]) = {
+    require(fx > 0 && fy > 0 && w % fx == 0 && h % fy == 0,
+      s"box resize needs exact factors: ${w}x$h by $fx x $fy")
+    val ow = w / fx
+    val oh = h / fy
+    val area = fx * fy
+    val out = new Array[Byte](ow * oh)
+    var r = 0
+    while (r < oh) {
+      var c = 0
+      while (c < ow) {
+        var s = 0
+        var dy = 0
+        while (dy < fy) {
+          var dx = 0
+          while (dx < fx) {
+            s += pix((r * fy + dy) * w + (c * fx + dx)) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out(r * ow + c) = (s / area).toByte
+        c += 1
+      }
+      r += 1
+    }
+    (ow, oh, out)
+  }
+
   /** STUB resize — returns a deterministically truncated/padded payload
-    * with the target "dimensions" baked into the length (a real build
-    * re-encodes pixels; the schema contract — binary in, binary out —
-    * is what downstream code depends on).
+    * with the target "dimensions" baked into the length (for payload
+    * formats where only the header decodes; grayscale PNG resizes for
+    * real via [[boxResizeGray]]). The schema contract — binary in,
+    * binary out — is what downstream code depends on.
     */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, (w * h) / 64)

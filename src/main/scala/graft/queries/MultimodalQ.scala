@@ -398,6 +398,96 @@ object MultimodalQ {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Source dims and shrink factor for [[qResize]] — 32×24 by 4×4
+    * blocks → 8×6 (exact integer factors, so the box filter has no
+    * edge remainder to special-case).
+    */
+  private[graft] val rsW = 32
+  private[graft] val rsH = 24
+  private[graft] val rsF = 4
+
+  /** (doc_id) → 32×24 grayscale source image for the resize gate —
+    * the same xor-fold mix as [[dhashFixturePixels]], unperturbed
+    * (resize needs pixel variety, not planted near-duplicates).
+    */
+  private[graft] def resizeFixturePixels(docId: Long): Array[Byte] = {
+    val key = docId % 100003L
+    val pix = new Array[Byte](rsW * rsH)
+    var r = 0
+    while (r < rsH) {
+      var c = 0
+      while (c < rsW) {
+        val m = key * 2654435761L + (r * rsW + c) * 40503L
+        pix(r * rsW + c) = ((m ^ (m / 65536)) % 251).toByte
+        c += 1
+      }
+      r += 1
+    }
+    pix
+  }
+
+  /** REAL IMAGE RESIZE — the previously-stubbed member of the
+    * multimodal quartet (decode / feature-extract / frame-sample /
+    * resize) made real for the format the engine fully decodes: per
+    * document, a 32×24 grayscale PNG round-trips
+    * encode → CRC-checked decode → exact 4×4 box-filter downsample
+    * ([[MultimodalFunctions.boxResizeGray]], floor-average integer
+    * arithmetic) → RE-ENCODE at 8×6 → decode AGAIN, and the reported
+    * stats come off that second decode — so a hash match certifies
+    * the resample kernel AND both codec round trips (width/height are
+    * read back from the re-encoded header, not assumed).
+    *
+    * Scale shape: pure per-row binary work fused in the scan, one
+    * output row per document, no shuffle before the sort — the same
+    * mapper class as the decode gate. ORACLE REPLAY: DuckDB recomputes
+    * the source pixels from doc_id, the 4×4 floor-average blocks, and
+    * the output stats.
+    */
+  val qResize: Q = Q.sql(
+    "q_multimodal_resize",
+    s"""WITH pm AS (
+       |  SELECT d.doc_id, r.r, c.c,
+       |    (d.doc_id % 100003) * 2654435761
+       |      + (r.r * $rsW + c.c) * 40503 AS m
+       |  FROM documents d, range(0, $rsH) r(r), range(0, $rsW) c(c)),
+       |px AS (
+       |  SELECT doc_id, r, c, xor(m, m // 65536) % 251 AS p FROM pm),
+       |op AS (
+       |  SELECT doc_id, r // $rsF AS orow, c // $rsF AS ocol,
+       |    SUM(p) // ${rsF * rsF} AS q
+       |  FROM px GROUP BY doc_id, r // $rsF, c // $rsF)
+       |SELECT doc_id,
+       |  CAST(${rsW / rsF} AS INT) AS out_w, CAST(${rsH / rsF} AS INT) AS out_h,
+       |  CAST(SUM(q) AS BIGINT) AS p_sum,
+       |  CAST(MIN(q) AS BIGINT) AS p_min, CAST(MAX(q) AS BIGINT) AS p_max
+       |FROM op GROUP BY doc_id
+       |ORDER BY doc_id ASC""".stripMargin,
+    doc = "Real resize gate: encode -> decode -> box resample -> " +
+      "re-encode -> decode, stats off the second decode; oracle " +
+      "replays the integer pixel arithmetic.") { (s, d) =>
+    val enc = udf((i: Long) =>
+      MediaContainers.pngBytesGray(rsW, rsH, resizeFixturePixels(i)))
+    val resizeStats = udf { b: Array[Byte] =>
+      val (w, h, pix) = MediaContainers.pngGrayPixels(b)
+      val (ow, oh, small) = MultimodalFunctions.boxResizeGray(w, h, pix, rsF, rsF)
+      val (w2, h2, pix2) =
+        MediaContainers.pngGrayPixels(MediaContainers.pngBytesGray(ow, oh, small))
+      var mn = 255L; var mx = 0L; var sm = 0L
+      pix2.foreach { pb =>
+        val v = (pb & 0xff).toLong
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sm += v
+      }
+      (w2, h2, sm, mn, mx)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), resizeStats(enc(col("doc_id"))).as("st"))
+      .select(col("doc_id"), col("st._1").as("out_w"), col("st._2").as("out_h"),
+        col("st._3").as("p_sum"), col("st._4").as("p_min"), col("st._5").as("p_max"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Frames per synthetic video for [[qSceneCuts]] (every 6th doc —
     * the mp4 class of the decode fixture's format rotation — is a
     * video).
@@ -681,5 +771,5 @@ object MultimodalQ {
   }
 
   val all: Seq[Q] = Seq(qMultimodalDecode, qMultimodalFrames, qMediaDhashNearDup,
-    qMediaDhashClusters, qSceneCuts, qAudioFeatures, qPixelStats)
+    qMediaDhashClusters, qSceneCuts, qResize, qAudioFeatures, qPixelStats)
 }

@@ -107,8 +107,14 @@ object JoinsQ {
     * Scale shape: one map-side-combined groupBy over the keys-only
     * scan, a broadcast 1-row total, and a ≤ #keys output — the
     * advisor costs one aggregation however large the fact table. All
-    * arithmetic is exact integers (n² and the ceiling division); only
-    * the share ratio is a double (IEEE division of exact operands).
+    * arithmetic is exact: n² and its corpus sum are DECIMAL(38,0) —
+    * a Long n² wraps negative past ~3.04e9 rows per key, i.e. exactly
+    * the mega-key regime the advisor exists to catch (Spark non-ANSI
+    * wraps, DuckDB raises: wrong answer AND divergence) — and the
+    * ceiling division is an integral divide of the decimal (exact up
+    * to salt factors of 2^63, reached only past ~3.1e12 rows on one
+    * key). Only the share ratio is a double (one IEEE division of
+    * exact operands).
     */
   val qJoinSkewAdvisor: Q = Q.sql(
     "q_join_skew_advisor",
@@ -117,12 +123,15 @@ object JoinsQ {
        |  FROM events WHERE event_type IS NOT NULL
        |  GROUP BY event_type),
        |p AS (
-       |  SELECT join_key, n_rows, n_rows * n_rows AS n_pairs FROM k),
-       |tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM p)
+       |  SELECT join_key, n_rows,
+       |    CAST(CAST(n_rows AS DECIMAL(38,0)) * n_rows AS DECIMAL(38,0))
+       |      AS n_pairs
+       |  FROM k),
+       |tot AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS t FROM p)
        |SELECT join_key, n_rows, n_pairs,
        |  CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS output_share,
-       |  CAST((n_pairs + ${skewTargetRows - 1}) // $skewTargetRows AS BIGINT)
-       |    AS salt_factor
+       |  CAST(CAST(n_pairs + ${skewTargetRows - 1} AS HUGEINT)
+       |    // $skewTargetRows AS BIGINT) AS salt_factor
        |FROM p CROSS JOIN tot
        |ORDER BY n_pairs DESC, join_key ASC""".stripMargin) { (s, d) =>
     val k = Tables.events(s, d)
@@ -130,8 +139,9 @@ object JoinsQ {
       .groupBy(col("event_type").as("join_key"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("join_key"), col("n_rows"),
-        (col("n_rows") * col("n_rows")).as("n_pairs"))
-    val tot = k.agg(sum("n_pairs").cast(LongType).as("t"))
+        (col("n_rows").cast(DecimalType(38, 0)) * col("n_rows"))
+          .cast(DecimalType(38, 0)).as("n_pairs"))
+    val tot = k.agg(sum("n_pairs").cast(DecimalType(38, 0)).as("t"))
     k.crossJoin(broadcast(tot))
       .select(col("join_key"), col("n_rows"), col("n_pairs"),
         (col("n_pairs").cast(DoubleType) / col("t").cast(DoubleType))

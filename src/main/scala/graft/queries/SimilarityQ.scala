@@ -2380,17 +2380,24 @@ object SimilarityQ {
     val scans = probed.join(sizes, Seq("cid"))
       .select(col("sz"), depths)
       .groupBy("nprobe").agg(sum("sz").as("scanned"))
-    val nqV = emb.filter(col("vec_id") < nQueries).count()
-    val nvV = emb.count()
+    // the totals fold in as broadcast 1-row aggregates (the market-
+    // basket idiom): no driver-side action, the whole query stays one
+    // lazy plan — PlanDumpMain and the lint can construct it without
+    // executing two corpus scans
+    val nq = emb.filter(col("vec_id") < nQueries)
+      .agg(count(lit(1)).as("nq"))
+    val nv = emb.agg(count(lit(1)).as("nv"))
     ps
       .join(hits, Seq("nprobe"), "left")
       .join(scans, Seq("nprobe"), "left")
-      .select(col("nprobe"), lit(nqV).as("n_queries"),
+      .crossJoin(broadcast(nq))
+      .crossJoin(broadcast(nv))
+      .select(col("nprobe"), col("nq").as("n_queries"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         (coalesce(col("n_matched"), lit(0L)).cast(DoubleType)
-          / lit(topK * nqV).cast(DoubleType)).as("mean_recall"),
+          / (lit(topK) * col("nq")).cast(DoubleType)).as("mean_recall"),
         (coalesce(col("scanned"), lit(0L)).cast(DoubleType)
-          / lit(nqV * nvV).cast(DoubleType)).as("mean_scan_frac"))
+          / (col("nq") * col("nv")).cast(DoubleType)).as("mean_scan_frac"))
       .orderBy(col("nprobe").asc)
   }.preparedBy(prepareCentroids(ivfAuxDir))
 

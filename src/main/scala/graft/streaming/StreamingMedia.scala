@@ -34,7 +34,15 @@ object StreamingMedia {
     * within-batch disorder is sorted out locally; cross-batch order
     * must be frame-index monotone per video — a frame decoder emits
     * frames in order by construction. A re-delivered frame at or
-    * before the carried index is a no-op.
+    * before the carried index is a no-op WHILE the video's state
+    * lives; once the final frame expires the state, a later replay of
+    * that video re-seeds it and can re-emit its tail cuts — the
+    * deliberate price of self-expiring state (the alternative, state
+    * for every video ever seen, is the unbounded-state leak this
+    * operator exists to avoid). Exactly-once sinks under an
+    * at-least-once source should therefore key on (doc_id, frame_idx)
+    * — cut rows are deterministic, so the replayed row is identical
+    * and idempotent upserts absorb it.
     *
     * State is O(active videos) × one (int, long) record, and — unlike
     * the SCD2 dimension state — self-expiring: the container metadata

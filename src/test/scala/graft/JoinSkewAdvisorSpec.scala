@@ -31,12 +31,14 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
   test("planted skew: exact pair counts, ceiling salt, null keys excluded") {
     val out = SparkEntry.queries("q_join_skew_advisor")(spark, dir).collect()
     assert(out.length == 2, out.mkString("; "))
+    // n_pairs is DECIMAL(38,0): a Long n² wraps negative past ~3e9
+    // rows per key — the exact mega-key regime the advisor exists for
     val hot = out.head
     assert(hot.getString(0) == "hot" && hot.getLong(1) == 2048L)
-    assert(hot.getLong(2) == 2048L * 2048L)
+    assert(hot.getDecimal(2).longValueExact() == 2048L * 2048L)
     assert(hot.getLong(4) == 4L, s"salt ${hot.getLong(4)}")
     val cold = out(1)
-    assert(cold.getString(0) == "cold" && cold.getLong(2) == 9L)
+    assert(cold.getString(0) == "cold" && cold.getDecimal(2).longValueExact() == 9L)
     assert(cold.getLong(4) == 1L, "any nonempty key needs at least one split")
     val total = (2048L * 2048L + 9L).toDouble
     assert(hot.getDouble(3) == 2048.0 * 2048.0 / total)
@@ -47,12 +49,30 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     val shares = rows.map(_.getDouble(3))
     assert(math.abs(shares.sum - 1.0) < 1e-9)
-    val pairs = rows.map(_.getLong(2))
+    val pairs = rows.map(_.getDecimal(2).longValueExact())
     assert(pairs.toSeq == pairs.sortBy(-_).toSeq)
     rows.foreach { r =>
-      assert(r.getLong(2) == r.getLong(1) * r.getLong(1))
+      assert(r.getDecimal(2).longValueExact() == r.getLong(1) * r.getLong(1))
       assert(r.getLong(4) >= 1L)
     }
+  }
+
+  test("mega-key arithmetic: n-squared past Long range stays exact in decimal") {
+    // 4e9 rows on one key -> n² = 1.6e19 > Long.MaxValue (9.22e18),
+    // wraps negative as a Long; the decimal path must carry it
+    // exactly, and Spark's integral `div` on the decimal must agree
+    // with DuckDB's HUGEINT `//` (cross-checked: 15258789062500)
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import spark.implicits._
+    val r = Seq(4000000000L).toDF("n_rows")
+      .select((col("n_rows").cast(DecimalType(38, 0)) * col("n_rows"))
+        .cast(DecimalType(38, 0)).as("n_pairs"))
+      .select(col("n_pairs"),
+        expr("(n_pairs + 1048575) div 1048576").cast(LongType).as("salt"))
+      .head()
+    assert(r.getDecimal(0).toBigInteger
+      == new java.math.BigInteger("16000000000000000000"))
+    assert(r.getLong(1) == 15258789062500L)
   }
 
   test("plan: one map-side-combined aggregate over a keys-only scan, no shuffled join") {

@@ -65,8 +65,9 @@ class PmiPairsSpec extends SparkSpecBase {
     rows.foreach { r =>
       assert(r.getString(0) <= r.getString(1), "pairs must be canonicalized w1 <= w2")
       assert(r.getLong(2) >= 5L)
-      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4) * 3,
-        "pair count bounded by unigram counts x window")
+      assert(r.getLong(2) <= 3 * math.min(r.getLong(3), r.getLong(4)),
+        "pair count bounded by window x the RARER side's unigram count " +
+          "(each occurrence of either token pairs with at most 3 others)")
       assert(r.getDouble(5) > 0.0)
     }
     // ordering: lift desc, then pair asc

@@ -298,7 +298,7 @@ object SimilarityQ {
     topKPerQuery(cand)
   }.preparedBy(prepareAnnLshKeys)
 
-  private val knnK = 5
+  private[graft] val knnK = 5
 
   /** MEGA-BUCKET GUARD for the band-key self-join family — the band
     * analogue of [[TextQ.maxShingleDf]]: a duplicate-heavy corpus
@@ -380,7 +380,7 @@ object SimilarityQ {
        |      ORDER BY score DESC, neighbor_id ASC) AS rank
        |  FROM scored)""".stripMargin
 
-  private val hardNegK = 3
+  private[graft] val hardNegK = 3
 
   /** Memoized ranked candidate-edge table — ONE candidate self-join +
     * exact-cosine rerank + one WindowExec pass per session per corpus

@@ -12,7 +12,7 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
 
   /** 2048 "hot" rows, 3 "cold" rows, 2 null-key rows. 2048² = 2^22 =
     * exactly 4× the 2^20 salt target, so salt_factor = 4 with no
-    * ceiling slack; 3² = 9 → salt_factor = 1 (ceiling of a tiny
+    * ceiling remainder; 3² = 9 → salt_factor = 1 (ceiling of a tiny
     * fraction).
     */
   private lazy val dir: String = {

@@ -113,8 +113,14 @@ object JoinsQ {
     * wraps, DuckDB raises: wrong answer AND divergence) — and the
     * ceiling division is an integral divide of the decimal (exact up
     * to salt factors of 2^63, reached only past ~3.1e12 rows on one
-    * key). Only the share ratio is a double (one IEEE division of
-    * exact operands).
+    * key). The share ratio is integer parts-per-million — an exact
+    * integral divide in both engines (the q_doc_pii_stats permille
+    * idiom): a DOUBLE quotient of DECIMAL(38,0) operands hits
+    * engine-specific decimal→double rounding paths (the r9 audit
+    * class) and is banned from hashed columns. The ×1e6 scaling is
+    * exact while n_pairs < ~1.7e32 (DuckDB's int128 ceiling; Spark's
+    * DECIMAL(38,0) holds more) — i.e. under ~1.3e16 rows on a single
+    * key, far past any real corpus.
     */
   val qJoinSkewAdvisor: Q = Q.sql(
     "q_join_skew_advisor",
@@ -129,7 +135,8 @@ object JoinsQ {
        |  FROM k),
        |tot AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS t FROM p)
        |SELECT join_key, n_rows, n_pairs,
-       |  CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS output_share,
+       |  CAST(CAST(n_pairs AS HUGEINT) * 1000000
+       |    // CAST(t AS HUGEINT) AS BIGINT) AS share_ppm,
        |  CAST(CAST(n_pairs + ${skewTargetRows - 1} AS HUGEINT)
        |    // $skewTargetRows AS BIGINT) AS salt_factor
        |FROM p CROSS JOIN tot
@@ -144,8 +151,7 @@ object JoinsQ {
     val tot = k.agg(sum("n_pairs").cast(DecimalType(38, 0)).as("t"))
     k.crossJoin(broadcast(tot))
       .select(col("join_key"), col("n_rows"), col("n_pairs"),
-        (col("n_pairs").cast(DoubleType) / col("t").cast(DoubleType))
-          .as("output_share"),
+        expr("(n_pairs * 1000000) div t").cast(LongType).as("share_ppm"),
         expr(s"(n_pairs + ${skewTargetRows - 1}) div $skewTargetRows")
           .cast(LongType).as("salt_factor"))
       .orderBy(col("n_pairs").desc, col("join_key").asc)

@@ -40,15 +40,18 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
     val cold = out(1)
     assert(cold.getString(0) == "cold" && cold.getDecimal(2).longValueExact() == 9L)
     assert(cold.getLong(4) == 1L, "any nonempty key needs at least one split")
-    val total = (2048L * 2048L + 9L).toDouble
-    assert(hot.getDouble(3) == 2048.0 * 2048.0 / total)
+    // share is exact integer ppm (floor): no IEEE division anywhere
+    val total = 2048L * 2048L + 9L
+    assert(hot.getLong(3) == 2048L * 2048L * 1000000L / total)
+    assert(cold.getLong(3) == 9L * 1000000L / total)
   }
 
-  test("corpus run: shares sum to 1 and ordering is pair-count desc") {
+  test("corpus run: ppm shares sum to ~1e6 (floor loss < #keys) and ordering is pair-count desc") {
     val rows = SparkEntry.queries("q_join_skew_advisor")(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val shares = rows.map(_.getDouble(3))
-    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val shares = rows.map(_.getLong(3))
+    assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length,
+      s"ppm sum ${shares.sum} over ${rows.length} keys")
     val pairs = rows.map(_.getDecimal(2).longValueExact())
     assert(pairs.toSeq == pairs.sortBy(-_).toSeq)
     rows.foreach { r =>

@@ -368,8 +368,12 @@ object TextQ {
     * 1-row aggregates; the final top-50 is TakeOrderedAndProject. At
     * 100 TB the same plan holds — the pair aggregate is the shuffle
     * (bounded by distinct-pair vocabulary, not corpus size, after
-    * map-side combine); a vocabulary past the broadcast budget demotes
-    * the unigram joins to shuffles with nothing else changing. The
+    * map-side combine). The unigram joins carry NO broadcast hint:
+    * AQE promotes them to broadcast from the measured shuffle size
+    * when the vocabulary fits (it does at every gate SF — pinned by
+    * PmiPairsSpec), and keeps them as shuffled joins past the
+    * broadcast budget — a hint would instead force an 8 GB-limit
+    * failure on a mega-vocabulary corpus (round-12 ADVICE). The
     * ORACLE replays the window as a positional self-join (fine at
     * gate SF; the engine never does).
     */
@@ -418,8 +422,8 @@ object TextQ {
     val tot = uni.agg(sum("n").cast(LongType).as("t"))
     val pt = pc.agg(sum("n_ab").cast(LongType).as("p"))
     pc.filter(col("n_ab") >= pmiMinCount)
-      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), Seq("w2"))
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(pt))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),

@@ -76,11 +76,18 @@ class PmiPairsSpec extends SparkSpecBase {
   }
 
   test("plan: pairs generate inside the scan — no positional self-join, top-50 is TakeOrdered") {
-    val p = SparkEntry.queries("q_doc_pmi_pairs")(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    val df = SparkEntry.queries("q_doc_pmi_pairs")(spark, sfDir)
+    df.collect() // finalize the adaptive plan from measured sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
     assert(!p.contains("SortMergeJoin"),
-      s"positional self-join leaked into the engine plan (oracle-only shape):\n$p")
+      s"positional self-join leaked into the engine plan (oracle-only shape), " +
+        s"or AQE failed to promote a gate-SF unigram lookup:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("BroadcastHashJoin"), "unigram lookups must broadcast")
+    // No broadcast() hint on the unigram joins (a mega-vocabulary
+    // would hit the 8 GB broadcast limit): AQE must promote them to
+    // broadcast from the MEASURED size at gate SF
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE must promote the small unigram lookups to broadcast")
   }
 }

@@ -33,11 +33,17 @@ final class SodaConnector(
 
   private val mapper = new ObjectMapper()
 
-  /** S2 — SoQL WHERE builder (fetcher:64-77). Values quote by runtime
-    * type; embedded single quotes are doubled (SoQL escaping).
+  /** S2 — SoQL builder (fetcher:64-77). Values quote by runtime
+    * type; embedded single quotes are doubled (SoQL escaping). The
+    * reference always sends `SELECT *`; `select` narrows the remote
+    * projection (SoQL `SELECT a, b`) when the DSv2 scan has pruned
+    * columns — the server then never serializes unread fields.
     */
-  def buildSoql(filters: Map[String, Any]): String = {
-    val base = "SELECT *"
+  def buildSoql(filters: Map[String, Any],
+                select: Seq[String] = Nil): String = {
+    val base =
+      if (select.isEmpty) "SELECT *"
+      else "SELECT " + select.mkString(", ")
     if (filters.isEmpty) base
     else base + " WHERE " + filters.map {
       case (k, v: String) => s"$k = '${v.replace("'", "''")}'"
@@ -47,9 +53,10 @@ final class SodaConnector(
 
   /** S1 — fetch every page of a dataset as schemaless string records. */
   def fetchRows(datasetId: String,
-                filters: Map[String, Any] = Map.empty): Seq[Map[String, String]] = {
+                filters: Map[String, Any] = Map.empty,
+                select: Seq[String] = Nil): Seq[Map[String, String]] = {
     val endpoint = s"${baseUrl.stripSuffix("/")}/$datasetId/query.json"
-    val soql = buildSoql(filters)
+    val soql = buildSoql(filters, select)
     val out = Seq.newBuilder[Map[String, String]]
     var pageNumber = 1
     var done = false

@@ -21,11 +21,13 @@ import graft.sources.connectors.{HttpClient, SodaConnector}
   * hand (nyc_open_data_fetcher.py:64-77); here the SAME pushdown is a
   * Catalyst contract — [[SodaScanBuilder]] implements
   * `SupportsPushDownFilters` (equality predicates compile to SoQL and
-  * never reach Spark) and `SupportsPushDownRequiredColumns` (only
-  * projected fields materialize into rows). `df.filter($"year" ===
-  * "2023").select("nta")` therefore fetches pre-filtered rows and
-  * builds two-column InternalRows, with every non-equality predicate
-  * left as a residual Spark filter.
+  * never reach Spark) and `SupportsPushDownRequiredColumns` (the
+  * pruned projection compiles to SoQL `SELECT a, b` — the server never
+  * serializes unread fields — and only those fields materialize into
+  * rows). `df.filter($"year" === "2023").select("nta")` therefore
+  * sends `SELECT nta WHERE year = '2023'` and builds one-column
+  * InternalRows, with every non-equality predicate left as a residual
+  * Spark filter.
   *
   * Schema: SODA JSON is schemaless — a user schema is required
   * (all-StringType; typing happens in the transform chains, SURVEY
@@ -113,13 +115,23 @@ final class SodaScanBuilder(fullSchema: StructType, datasetId: String,
 
   override def build(): Scan = {
     val soqlFilters = pushed.collect { case EqualTo(a, v) => a -> v }.toMap
-    new SodaScan(required, datasetId, baseUrl, pageSize, soqlFilters)
+    // Pruned projection travels to the server as SoQL `SELECT a, b`
+    // (the reference always sends `SELECT *`, fetcher.py:64-77 — remote
+    // narrowing is strictly less payload). An all-columns scan keeps
+    // the reference's literal `SELECT *`; an empty requirement (pure
+    // COUNT) still needs row multiplicity, so fetch one narrow column.
+    val select: Seq[String] =
+      if (required == fullSchema) Nil
+      else if (required.fields.isEmpty) fullSchema.fieldNames.toSeq.take(1)
+      else required.fieldNames.toSeq
+    new SodaScan(required, datasetId, baseUrl, pageSize, soqlFilters, select)
   }
 }
 
 final class SodaScan(schema: StructType, datasetId: String,
                      baseUrl: Option[String], pageSize: Int,
-                     filters: Map[String, Any]) extends Scan with Batch {
+                     filters: Map[String, Any],
+                     select: Seq[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -130,12 +142,12 @@ final class SodaScan(schema: StructType, datasetId: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = schema; val id = datasetId; val base = baseUrl
-    val ps = pageSize; val fs = filters
+    val ps = pageSize; val fs = filters; val sel = select
     (_: InputPartition) => new PartitionReader[InternalRow] {
       private val connector = base
         .map(b => new SodaConnector(SodaHttp.client, b, ps))
         .getOrElse(new SodaConnector(SodaHttp.client, pageSize = ps))
-      private val rows = connector.fetchRows(id, fs).iterator
+      private val rows = connector.fetchRows(id, fs, sel).iterator
       private var current: Map[String, String] = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

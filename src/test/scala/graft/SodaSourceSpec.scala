@@ -27,17 +27,17 @@ class SodaSourceSpec extends SparkSpecBase {
       val soql = req.get("query").asText()
       queries.synchronized { queries += soql }
       val page = req.get("page").get("pageNumber").asInt()
-      val matching = applyWhere(soql, rows)
+      val matching = applyWhere(soql, rows).map(project(soql, _))
       val slice = matching.slice((page - 1) * pageSize, page * pageSize)
       val body = slice.map(r =>
         r.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}"))
         .mkString("[", ",", "]")
       HttpResponse(200, body)
     }
-    private def applyWhere(soql: String, all: Seq[Map[String, String]]) = {
-      val Where = """SELECT \* WHERE (.*)""".r
+    private val Soql = """SELECT ([^ ].*?)(?: WHERE (.*))?""".r
+    private def applyWhere(soql: String, all: Seq[Map[String, String]]) =
       soql match {
-        case Where(clause) =>
+        case Soql(_, clause) if clause != null =>
           val preds = clause.split(" AND ").map { p =>
             val Array(k, v) = p.split(" = ", 2)
             k.trim -> v.trim.stripPrefix("'").stripSuffix("'")
@@ -45,7 +45,14 @@ class SodaSourceSpec extends SparkSpecBase {
           all.filter(r => preds.forall { case (k, v) => r.get(k).contains(v) })
         case _ => all
       }
-    }
+    // a real SODA server only serializes the SELECTed fields
+    private def project(soql: String, row: Map[String, String]) =
+      soql match {
+        case Soql(cols, _) if cols.trim != "*" =>
+          val keep = cols.split(",").map(_.trim).toSet
+          row.view.filterKeys(keep).toMap
+        case _ => row
+      }
   }
 
   private val fixtureRows = (0 until 25).map(i => Map(
@@ -69,10 +76,18 @@ class SodaSourceSpec extends SparkSpecBase {
   test("format(\"soda\") resolves via DataSourceRegister and pages through all rows") {
     withApi() { api =>
       val df = readSoda()
-      assert(df.count() == 25)
+      assert(df.collect().length == 25)
       // 25 rows at pageSize 5 → pages 1..5 full, page 6 returns empty
       assert(api.queries.size == 6)
       assert(api.queries.forall(_ == "SELECT *"))
+    }
+  }
+
+  test("a pure COUNT prunes to one narrow remote column (row multiplicity preserved)") {
+    withApi() { api =>
+      assert(readSoda().count() == 25)
+      assert(api.queries.forall(_ == "SELECT nta"),
+        s"SoQL seen: ${api.queries.distinct}")
     }
   }
 
@@ -94,11 +109,25 @@ class SodaSourceSpec extends SparkSpecBase {
     }
   }
 
-  test("column pruning reaches the reader (SupportsPushDownRequiredColumns)") {
-    withApi() { _ =>
+  test("column pruning reaches the SERVER as SoQL SELECT (SupportsPushDownRequiredColumns)") {
+    withApi() { api =>
       val df = readSoda().select("nta")
       assert(df.columns.toSeq == Seq("nta"))
       assert(df.distinct().count() == 25)
+      assert(api.queries.nonEmpty)
+      assert(api.queries.forall(_ == "SELECT nta"),
+        s"pruned projection must narrow the remote query: ${api.queries.distinct}")
+    }
+  }
+
+  test("pruning composes with filter pushdown: SELECT col WHERE k = 'v'") {
+    withApi() { api =>
+      val out = readSoda().filter(col("year") === "2023").select("nta").collect()
+      assert(out.length == 13) // even i in 0 until 25
+      assert(api.queries.forall(q =>
+        q.startsWith("SELECT nta, year WHERE year = '2023'") ||
+          q.startsWith("SELECT year, nta WHERE year = '2023'")),
+        s"SoQL seen: ${api.queries.distinct}")
     }
   }
 

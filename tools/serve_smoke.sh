@@ -51,4 +51,32 @@ check() { # endpoint exportfile
 check food-gaps food_gaps.json
 check poverty-by-zip poverty_by_zip.json
 check rent-by-zip rent_by_zip.json
+
+# Concurrency: 32 parallel GETs per endpoint, half gzip — every body
+# must be byte-identical to the batch export (pins the cached feature
+# frames' thread safety under the real server; round-11 verdict #7).
+conc() { # endpoint exportfile
+  ep=$1; f="$OUT/export/$2"; mkdir -p "$OUT/conc_$ep"
+  pids=""
+  for i in $(seq 1 32); do
+    if [ $((i % 2)) = 0 ]; then
+      curl -sf -H 'Accept-Encoding: gzip' "http://127.0.0.1:$PORT/api/$ep" \
+        | gunzip >"$OUT/conc_$ep/$i" &
+    else
+      curl -sf "http://127.0.0.1:$PORT/api/$ep" -o "$OUT/conc_$ep/$i" &
+    fi
+    pids="$pids $!"
+  done
+  # wait ONLY on the curls (a bare `wait` would block on the sbt server)
+  for p in $pids; do wait "$p" || true; done
+  ok=1
+  for i in $(seq 1 32); do
+    cmp -s "$OUT/conc_$ep/$i" "$f" ||
+      { echo "MISMATCH /api/$ep concurrent request $i"; ok=0; }
+  done
+  [ $ok = 1 ] && echo "ok: /api/$ep 32-way concurrent (16 identity + 16 gzip)" || fail=1
+}
+conc food-gaps food_gaps.json
+conc poverty-by-zip poverty_by_zip.json
+conc rent-by-zip rent_by_zip.json
 exit $fail

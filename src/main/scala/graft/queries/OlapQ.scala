@@ -1343,10 +1343,20 @@ object OlapQ {
     * expresses the SAME predicate as one per-order aggregate —
     * n_suppliers ≥ 2 AND n_late_suppliers = 1 (the late l1 row's
     * supplier then IS the only late one) — because two correlated
-    * subqueries over lineitem would scan the fact table three times,
-    * while the aggregate form pays one orderkey-keyed
-    * countDistinct pass and a join back. Equivalence is
-    * definitional, pinned on a planted fixture in TpchCanonSpec.
+    * subqueries over lineitem would scan the fact table three times.
+    * Single-pass shape (r12; the r11 form materialized the
+    * lineitem⋈orders join TWICE — once for the order stats, once for
+    * the late rows — then joined them back, plus a two-distinct
+    * Expand): ONE lineitem⋈orders join keyed on orderkey, then a
+    * (orderkey, suppkey) aggregate and an orderkey aggregate that BOTH
+    * reuse that partitioning (grouping keys ⊇ join key → zero further
+    * exchanges), carrying the qualifying order's late supplier and its
+    * late-row count in the same pass; numwait is then a tiny
+    * suppkey-keyed sum over ≤ #qualifying-orders rows. No
+    * countDistinct (no Expand), no join-back, one fact-table scan.
+    * Equivalence is definitional — n_late_sup = 1 makes
+    * max(late suppkey) THE late supplier and sum(late rows) its l1
+    * multiplicity — pinned on a planted fixture in TpchCanonSpec.
     */
   val qSuppliersWaiting: Q = Q.sql(
     "q21_suppliers_waiting",
@@ -1370,16 +1380,20 @@ object OlapQ {
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    val stats = lo.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_sup"),
-        countDistinct(when(isLate, col("l_suppkey"))).as("n_late_sup"))
+    val perSup = lo
+      .groupBy("l_orderkey", "l_suppkey") // rides the join's orderkey partitioning
+      .agg(sum(when(isLate, 1L).otherwise(0L)).as("n_late_rows"))
+    val qualifying = perSup
+      .groupBy("l_orderkey") // still the same partitioning — no exchange
+      .agg(count(lit(1)).as("n_sup"),
+        sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_sup"),
+        max(when(col("n_late_rows") > 0, col("l_suppkey"))).as("late_suppkey"),
+        sum(col("n_late_rows")).as("order_late_rows"))
       .filter(col("n_sup") >= 2 && col("n_late_sup") === 1)
-      .select("l_orderkey")
-    lo.filter(isLate)
-      .join(stats, "l_orderkey")
-      .groupBy("l_suppkey")
-      .agg(count(lit(1)).as("numwait"))
-      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    qualifying
+      .groupBy("late_suppkey")
+      .agg(sum(col("order_late_rows")).cast(LongType).as("numwait"))
+      .join(Tables.supplier(s, d), col("late_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey").asc)
       .limit(20)

@@ -917,14 +917,21 @@ object OlapQ {
     * individual frequencies, support and directional confidence — all
     * ratios of exact integers. Top-25 by co-occurrence.
     *
-    * Scale shape: the self-join is CO-PARTITIONED on l_orderkey (one
-    * hash exchange serves both sides), so the pair space is
-    * Σ basket_size² — the basket-level analogue of the LSH bucket²
-    * bound, bounded here by TPC-H's ≤ 7 lines/order and capped in any
-    * production deployment (a mega-basket is dropped or sampled, the
-    * standard Apriori mitigation). Pair counts map-side combine; the
-    * per-part frequency table joins pair-keyed; the order total is a
-    * 1-row scalar; the final top-25 is TakeOrderedAndProject.
+    * Scale shape (r12 — the pmi/source-overlap in-scan pair idiom;
+    * previously a co-partitioned self-join): ONE orderkey exchange
+    * builds per-order sorted part sets (collect_set dedups in the
+    * partial aggregate, so no separate DISTINCT exchange), pairs
+    * explode from each basket INSIDE the scan (a < b by slice
+    * position in the sorted array — codegen'd array builtins, no join
+    * probe), and the basket subtree's exchange is REUSED by the pair,
+    * per-part frequency, and order-total consumers. The pair space is
+    * still Σ basket_size² — the basket-level analogue of the LSH
+    * bucket² bound, bounded here by TPC-H's ≤ 7 lines/order and
+    * capped in any production deployment (a mega-basket is dropped or
+    * sampled, the standard Apriori mitigation). Pair counts map-side
+    * combine; the order total is a 1-row scalar; the final top-25 is
+    * TakeOrderedAndProject, cut BEFORE the frequency joins so both
+    * lookups join a broadcast 25-row side.
     */
   val qMarketBasket: Q = Q.sql(
     "q_market_basket",
@@ -948,23 +955,23 @@ object OlapQ {
       |LIMIT 25""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    // one orderkey exchange; collect_set dedups repeated parts in the
+    // partial aggregate (the oracle's DISTINCT), sort_array fixes the
+    // a < b pair orientation
+    val baskets = li.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("pks"))
     // 1-row order total folded in lazily (crossJoin of a broadcast
     // aggregate, matching the oracle's CROSS JOIN t) — no driver-side
     // action, the whole query stays one plan
-    val t = li.select(countDistinct(col("ok")).as("n_orders"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val t = baskets.select(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("pks"), (a, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          b => struct(a.as("part_a"), b.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
-    val parts = li.groupBy("pk").agg(count(lit(1)).as("n"))
-    // The top-25 order depends ONLY on the pair count, so the cut runs
-    // BEFORE the frequency joins: TakeOrderedAndProject on the pair
-    // table, then both part-frequency lookups join a broadcast 25-row
-    // side. The previous shape joined the full pair table (Σ basket²
-    // rows — ~9e7 at sf10) against the part table twice via sort-merge
-    // just to discard all but 25 rows at the end.
+    val parts = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
     val top = pairs
       .orderBy(col("n_ab").desc, col("part_a").asc, col("part_b").asc)
       .limit(25)

@@ -1105,12 +1105,13 @@ object PipelineQ {
     * of a (doc_id, bidx) struct — an aggregation, deliberately NOT a
     * row_number window, because a window partitioned by block puts a
     * corpus-frequency boilerplate block into ONE task while the
-    * aggregation pre-combines it per partition; the keep test is the
-    * same equi-join shuffle the frequency count already pays; rebuild
-    * sorts blocks inside the per-doc aggregate. At 100 TB the join key
-    * would be a 128-bit block hash instead of the block text (the
-    * string never needs to travel twice) — at gate scale the exact
-    * text keys keep the oracle bit-exact.
+    * aggregation pre-combines it per partition; there is NO keep-test
+    * join — the winning (doc_id, bidx, block) triple comes straight
+    * out of that aggregate (the block text is its grouping key), so
+    * each block travels the wire exactly once; rebuild sorts blocks
+    * inside the per-doc aggregate. At 100 TB the aggregate key would
+    * be a 128-bit block hash carried next to the text — at gate scale
+    * the exact text keys keep the oracle bit-exact.
     */
   val qParagraphDedup: Q = Q.sql(
     "q_doc_paragraph_dedup",
@@ -1161,10 +1162,16 @@ object PipelineQ {
         i => concat_ws(" ", slice(tok, i * paraK + lit(1), lit(paraK)))))
     val blocks = docs.select(col("doc_id"),
       posexplode(blockArr).as(Seq("bidx", "block")))
-    val firsts = blocks.groupBy("block")
+    // keep-first survivors ARE the min-struct rows: the block text is
+    // the grouping key, so the winning (doc_id, bidx, block) triple
+    // comes straight out of the aggregate — no join back against the
+    // block stream (r12; the previous shape re-shuffled every block a
+    // second time as the join probe side just to filter it down to the
+    // rows this aggregate already held)
+    val kept = blocks.groupBy("block")
       .agg(min(struct(col("doc_id"), col("bidx"))).as("f"))
-    val kept = blocks.join(firsts, "block")
-      .filter(col("doc_id") === col("f.doc_id") && col("bidx") === col("f.bidx"))
+      .select(col("f.doc_id").as("doc_id"), col("f.bidx").as("bidx"),
+        col("block"))
     val rebuilt = kept.groupBy("doc_id").agg(
       concat_ws(" ",
         transform(array_sort(collect_list(struct(col("bidx"), col("block")))),

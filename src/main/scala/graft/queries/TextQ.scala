@@ -2792,11 +2792,18 @@ object TextQ {
     * that op picks WHAT to keep, this one tells you when continuing
     * to crawl stops adding anything).
     *
-    * Scale shape: one shingle explode + distinct, a min-aggregate
-    * keyed by shingle (corpus-gram-sized shuffle, the
-    * q_split_leakage class), a keys-only join back, and a rollup to
-    * corpus/500 rows. First-carrier selection is an aggregate, never
-    * a window over shingle groups.
+    * Scale shape: one shingle explode + distinct, then TWO aggregates
+    * and no join-back (r12; the previous shape joined the corpus-gram
+    * stream against its own first-carrier table — a second full-size
+    * shuffle — just to flag rows the min-aggregate already identified):
+    * per-cohort membership totals straight off the distinct stream,
+    * and per-cohort novel counts off the shingle-keyed min-aggregate
+    * (corpus-gram-sized shuffle, the q_split_leakage class) — each
+    * shingle's min row IS its unique novel membership, so counting
+    * first carriers by cohort is the SUM(doc = first_doc) of the
+    * join form. The two cohort tables (corpus/500 rows) then join.
+    * First-carrier selection is an aggregate, never a window over
+    * shingle groups.
     */
   val qNoveltyCurve: Q = Q.sql(
     "q_doc_novelty_curve",
@@ -2821,15 +2828,18 @@ object TextQ {
     val sh = minhashShingles(s, d)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .distinct()
-    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-    val novel = (col("doc_id") === col("first_doc")).cast(LongType)
-    sh.join(first, Seq("shingle"))
-      .withColumn("cohort", expr("doc_id div 500"))
-      .groupBy("cohort")
-      .agg(count(lit(1)).as("n_grams"), sum(novel).as("n_novel"))
-      .select(col("cohort"), col("n_grams"), col("n_novel"),
-        (col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
-          .as("novelty"))
+    val tot = sh.groupBy(expr("doc_id div 500").as("cohort"))
+      .agg(count(lit(1)).as("n_grams"))
+    val nov = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .groupBy(expr("first_doc div 500").as("cohort"))
+      .agg(count(lit(1)).as("n_novel"))
+    // a cohort whose every shingle was seen before has no first-carrier
+    // row: LEFT + 0 matches the join form's SUM of zeros
+    tot.join(nov, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast(DoubleType)
+          / col("n_grams").cast(DoubleType)).as("novelty"))
       .orderBy(col("cohort").asc)
   }
 

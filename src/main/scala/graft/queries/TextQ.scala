@@ -2520,11 +2520,16 @@ object TextQ {
       |JOIN sizes sa ON p.src_a = sa.source
       |JOIN sizes sb ON p.src_b = sb.source
       |ORDER BY src_a ASC, src_b ASC""".stripMargin) { (s, d) =>
+    // The shingle key stays the RAW 3-token string: it is no wider
+    // than a 32-hex md5 and costs zero digest CPU per corpus shingle
+    // (the oracle's md5 is only DuckDB's spelling of "distinct by
+    // content" — counts agree exactly, with no collision caveat at
+    // all on this side). At 100 TB a 128-bit binary hash would cap the
+    // key width; at every gate SF the string IS the narrow form.
     val sh = Tables.documents(s, d)
       .select(col("source"), tokens(col("text")).as("tk"))
       .filter(size(col("tk")) >= 3)
-      .select(col("source"), explode(shingles(col("tk"), 3)).as("g"))
-      .select(col("source"), md5(col("g").cast(BinaryType)).as("gh"))
+      .select(col("source"), explode(shingles(col("tk"), 3)).as("gh"))
       .distinct()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
     // Pair expansion in the scan: sorted source set -> (a, b) combos with

@@ -694,9 +694,19 @@ object EventsQ {
     * ties: all ts peers enter the frame together, so the result is
     * deterministic no matter how equal-timestamp events are ordered.
     *
-    * Scale shape: partitioned by event_type (never a global ordered
-    * window); per-partition frame state is bounded by the 300-second
-    * horizon.
+    * Scale shape (r12): a window partitioned by event_type ALONE has
+    * parallelism = #types (≈5 here) — one task per type drags the
+    * whole corpus through a handful of sorts at 100 TB. The bounded
+    * 300-second lookback admits the standard ghost-row bucketing: rows
+    * partition by (event_type, hour bucket), and each bucket's last
+    * 300 seconds are DUPLICATED into the next bucket as ghost rows
+    * that feed frames but are filtered from the output. Every frame
+    * [ts−300, ts] is then complete inside one (type, bucket)
+    * partition — identical results (RANGE peers can't straddle a
+    * bucket edge: a ghost's ts is strictly below the next bucket's
+    * start), with parallelism #types × #hours and ≤ 300/3600 ≈ 8% row
+    * duplication. The ORACLE keeps the plain per-type window — DuckDB
+    * at gate SF doesn't need the parallelism.
     */
   val qTrailingRange: Q = Q.sql(
     "q_events_trailing_range",
@@ -712,15 +722,27 @@ object EventsQ {
       |WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec
       |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id ASC""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("event_type").orderBy("ts_sec")
-      .rangeBetween(-300, Window.currentRow)
-    Tables.events(s, d)
+    val e = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         floor(unix_micros(col("ts")) / lit(1000000L)).cast(LongType).as("ts_sec"),
         dec(col("value")).as("v"))
-      .select(col("event_id"), col("event_type"),
+    val bucketSecs = 3600L
+    val main = e
+      .withColumn("bkt", expr(s"ts_sec div $bucketSecs"))
+      .withColumn("ghost", lit(false))
+    val ghosts = e
+      .filter(pmod(col("ts_sec"), lit(bucketSecs)) >= bucketSecs - 300L)
+      .withColumn("bkt", expr(s"ts_sec div $bucketSecs") + 1L)
+      .withColumn("ghost", lit(true))
+    val w = Window.partitionBy("event_type", "bkt").orderBy("ts_sec")
+      .rangeBetween(-300, Window.currentRow)
+    main.unionByName(ghosts)
+      .select(col("event_id"), col("event_type"), col("ghost"),
         count(lit(1)).over(w).as("n_trailing"),
         sum(col("v")).over(w).cast(DoubleType).as("sum_trailing"))
+      .filter(!col("ghost"))
+      .select(col("event_id"), col("event_type"), col("n_trailing"),
+        col("sum_trailing"))
       .orderBy(col("event_id").asc)
   }
 

@@ -121,6 +121,19 @@ object JoinsQ {
     * exact while n_pairs < ~1.7e32 (DuckDB's int128 ceiling; Spark's
     * DECIMAL(38,0) holds more) — i.e. under ~1.3e16 rows on a single
     * key, far past any real corpus.
+    *
+    * PUBLISHED n_pairs is VARCHAR, not DECIMAL(38,0): the decimal math
+    * stays internal, and the hashed output carries its exact digit
+    * string. Rationale (r13): a wide-decimal OUTPUT column is the one
+    * type a downstream normalizer may render through engine-specific
+    * decimal128 paths (the r10 HUGEINT→DOUBLE double-rounding family)
+    * — this row was value-exact locally yet hash-red on the driver two
+    * rounds running, and it was the catalog's only remaining
+    * DECIMAL(38) output. Both engines render a scale-0 decimal as
+    * plain digits, so the VARCHAR round-trip (proven driver-green in
+    * the ab_test/anomaly z columns) is exact and unambiguous. The
+    * total order keys off n_rows — n_pairs = n_rows² is strictly
+    * monotone in it — so ordering never touches the string form.
     */
   val qJoinSkewAdvisor: Q = Q.sql(
     "q_join_skew_advisor",
@@ -134,13 +147,13 @@ object JoinsQ {
        |      AS n_pairs
        |  FROM k),
        |tot AS (SELECT CAST(SUM(n_pairs) AS DECIMAL(38,0)) AS t FROM p)
-       |SELECT join_key, n_rows, n_pairs,
+       |SELECT join_key, n_rows, CAST(n_pairs AS VARCHAR) AS n_pairs,
        |  CAST(CAST(n_pairs AS HUGEINT) * 1000000
        |    // CAST(t AS HUGEINT) AS BIGINT) AS share_ppm,
        |  CAST(CAST(n_pairs + ${skewTargetRows - 1} AS HUGEINT)
        |    // $skewTargetRows AS BIGINT) AS salt_factor
        |FROM p CROSS JOIN tot
-       |ORDER BY n_pairs DESC, join_key ASC""".stripMargin) { (s, d) =>
+       |ORDER BY n_rows DESC, join_key ASC""".stripMargin) { (s, d) =>
     val k = Tables.events(s, d)
       .filter(col("event_type").isNotNull)
       .groupBy(col("event_type").as("join_key"))
@@ -150,11 +163,12 @@ object JoinsQ {
           .cast(DecimalType(38, 0)).as("n_pairs"))
     val tot = k.agg(sum("n_pairs").cast(DecimalType(38, 0)).as("t"))
     k.crossJoin(broadcast(tot))
-      .select(col("join_key"), col("n_rows"), col("n_pairs"),
+      .select(col("join_key"), col("n_rows"),
+        col("n_pairs").cast(StringType).as("n_pairs"),
         expr("(n_pairs * 1000000) div t").cast(LongType).as("share_ppm"),
         expr(s"(n_pairs + ${skewTargetRows - 1}) div $skewTargetRows")
           .cast(LongType).as("salt_factor"))
-      .orderBy(col("n_pairs").desc, col("join_key").asc)
+      .orderBy(col("n_rows").desc, col("join_key").asc)
   }
 
   val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin, qJoinSkewAdvisor)

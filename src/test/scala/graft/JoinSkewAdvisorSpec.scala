@@ -31,14 +31,16 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
   test("planted skew: exact pair counts, ceiling salt, null keys excluded") {
     val out = SparkEntry.queries("q_join_skew_advisor")(spark, dir).collect()
     assert(out.length == 2, out.mkString("; "))
-    // n_pairs is DECIMAL(38,0): a Long n² wraps negative past ~3e9
-    // rows per key — the exact mega-key regime the advisor exists for
+    // n_pairs is DECIMAL(38,0) internally (a Long n² wraps negative
+    // past ~3e9 rows per key — the exact mega-key regime the advisor
+    // exists for) but PUBLISHED as its exact digit string: the r13
+    // fix for the driver-red wide-decimal hashed surface
     val hot = out.head
     assert(hot.getString(0) == "hot" && hot.getLong(1) == 2048L)
-    assert(hot.getDecimal(2).longValueExact() == 2048L * 2048L)
+    assert(BigInt(hot.getString(2)) == BigInt(2048L) * 2048L)
     assert(hot.getLong(4) == 4L, s"salt ${hot.getLong(4)}")
     val cold = out(1)
-    assert(cold.getString(0) == "cold" && cold.getDecimal(2).longValueExact() == 9L)
+    assert(cold.getString(0) == "cold" && BigInt(cold.getString(2)) == 9)
     assert(cold.getLong(4) == 1L, "any nonempty key needs at least one split")
     // share is exact integer ppm (floor): no IEEE division anywhere
     val total = 2048L * 2048L + 9L
@@ -52,10 +54,10 @@ class JoinSkewAdvisorSpec extends SparkSpecBase {
     val shares = rows.map(_.getLong(3))
     assert(shares.sum <= 1000000L && shares.sum > 1000000L - rows.length,
       s"ppm sum ${shares.sum} over ${rows.length} keys")
-    val pairs = rows.map(_.getDecimal(2).longValueExact())
-    assert(pairs.toSeq == pairs.sortBy(-_).toSeq)
+    val pairs = rows.map(r => BigInt(r.getString(2)))
+    assert(pairs.toSeq == pairs.sortBy(p => -p).toSeq)
     rows.foreach { r =>
-      assert(r.getDecimal(2).longValueExact() == r.getLong(1) * r.getLong(1))
+      assert(BigInt(r.getString(2)) == BigInt(r.getLong(1)) * r.getLong(1))
       assert(r.getLong(4) >= 1L)
     }
   }

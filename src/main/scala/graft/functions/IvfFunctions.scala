@@ -412,7 +412,7 @@ object IvfFunctions {
     * cid) — the tail shared by the flat and hierarchical IVF paths
     * (the only difference between them is how `cid` is produced).
     */
-  private[functions] def rerankProbed(lists: DataFrame, probed: DataFrame,
+  private[graft] def rerankProbed(lists: DataFrame, probed: DataFrame,
                                       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.ensureRegistered(lists.sparkSession)

@@ -1034,8 +1034,15 @@ object SimilarityQ {
     * additionally measures recall against q_ann_bruteforce and pins
     * the k-means kernel on planted clusters.
     */
-  val qAnnIvf: Q = Q.sql(
-    "q_ann_ivf",
+  /** The shared IVF oracle: replayed centroid table → assignment →
+    * probe ranking → candidate join → exact-cosine rerank → top-k.
+    * Used verbatim by q_ann_ivf (in-session index) AND
+    * q_ann_ivf_persistent (materialized index): both engine paths are
+    * deterministic functions of the same centroids, so one SQL gates
+    * both — what differs (and what the second query verifies) is that
+    * the persistent path reads assignment from the stored index.
+    */
+  private def ivfAnnOracleSql: String =
     s"""${centroidDistCte(ivfAuxDir)},
        |assigned AS (
        |  SELECT vec_id, cid FROM (
@@ -1064,7 +1071,11 @@ object SimilarityQ {
        |  FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= $topK
-       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  val qAnnIvf: Q = Q.sql(
+    "q_ann_ivf",
+    ivfAnnOracleSql) { (s, d) =>
     import graft.functions.IvfFunctions
     val emb = Tables.embeddings(s, d)
     val centroids = corpusCentroids(s, d, emb)
@@ -1096,6 +1107,66 @@ object SimilarityQ {
       val emb = Tables.embeddings(s, d)
       writeCentroids(emb, corpusCentroids(s, d, emb), auxDir)
     }
+
+  /** Build-once memo for the PERSISTENT IVF index
+    * ([[graft.sink.VectorIndex]]): one warehouse table pair per
+    * (session, corpus), named by the corpus fingerprint so a stale
+    * table from another scale factor never answers. Invoked from the
+    * prepare hook, so the timed/verified query is a pure index READ.
+    */
+  private def persistentIvfTable(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String =
+    SharedFrames.value(s, s"vector_index_table:$d") {
+      val emb = Tables.embeddings(s, d)
+      val table = s"graft_vecidx_${corpusKey(emb)}"
+      // PERSISTENT means reuse: if the name (which embeds the corpus
+      // fingerprint) already resolves, the index from an earlier
+      // session/build answers as-is — rebuilding would also clobber
+      // the files under any OTHER session whose catalog cache still
+      // points at them (a newSession() test harness hit exactly that).
+      // refreshTable drops this session's stale listing if someone
+      // else built it after we first read.
+      if (s.catalog.tableExists(table) &&
+          s.catalog.tableExists(s"${table}_centroids")) {
+        s.catalog.refreshTable(table)
+        s.catalog.refreshTable(s"${table}_centroids")
+      } else {
+        graft.sink.VectorIndex.build(emb, table, corpusCentroids(s, d, emb))
+      }
+      table
+    }
+
+  /** PERSISTENT-INDEX ANN — the deployment shape of [[qAnnIvf]]: the
+    * coarse quantizer and the cid-bucketed inverted lists are
+    * MATERIALIZED warehouse tables ([[graft.sink.VectorIndex]], the
+    * embedding twin of the text side's HashIndex/BandIndex), and this
+    * query is the SEARCH path: load the k-row centroid table, probe,
+    * read ONLY the probed buckets (cid IN (…) → bucket pruning at the
+    * scan; the index side never shuffles), exact-rerank. No k-means,
+    * no corpus assignment, no corpus scan — the work a 100 TB ANN
+    * service actually does per query batch once its index exists.
+    * Index build runs in the prepare hook (once per session+corpus);
+    * VectorIndexSpec proves search-vs-in-session result identity, the
+    * pruned zero-Exchange index read, and append/rebuild equivalence.
+    * Same oracle as q_ann_ivf: both paths are deterministic functions
+    * of the same replayed centroid table.
+    */
+  val qAnnIvfPersistent: Q = Q.sql(
+    "q_ann_ivf_persistent",
+    ivfAnnOracleSql,
+    doc = "ORACLE REPLAY: engine-published centroid table; DuckDB " +
+      "replays assignment, probe ranking, candidate join, and the " +
+      "exact-cosine rerank — the engine side answers from the " +
+      "materialized VectorIndex tables, never retraining.") { (s, d) =>
+    val table = persistentIvfTable(s, d)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
+    graft.sink.VectorIndex.search(s, table, queries,
+      nProbe = ivfNProbe, topK = topK)
+  }.preparedBy { (s, d) =>
+    prepareCentroids(ivfAuxDir)(s, d)
+    persistentIvfTable(s, d)
+    ()
+  }
 
   /** Int8 scalar quantization of the embedding column — the memory
     * lever that makes vector search shippable at 100 TB: per-dimension
@@ -2401,7 +2472,8 @@ object SimilarityQ {
       .orderBy(col("nprobe").asc)
   }.preparedBy(prepareCentroids(ivfAuxDir))
 
-  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qEmbeddingNearDup,
+  val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qAnnIvfPersistent,
+    qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
     qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.IvfFunctions
+import graft.sink.VectorIndex
+import graft.sources.Tables
+
+/** The persistent IVF index (round-12 verdict #5): a search against
+  * the materialized centroid + bucketed inverted-list tables must
+  * (a) equal the in-session IVF path bit-for-bit, (b) read ONLY the
+  * probed buckets with the index side never sitting under an
+  * Exchange, and (c) absorb an appended batch exactly as if the index
+  * had been built over the full corpus with the same centroids — the
+  * no-retrain growth contract.
+  */
+class VectorIndexSpec extends SparkSpecBase {
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+
+  test("persistent search equals the in-session IVF path bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val queries = emb.filter(col("vec_id") < 5)
+    val expect = rows(IvfFunctions.annTopKWith(
+      emb, queries, centroids, nProbe = 6, topK = 10))
+    spark.sql("DROP TABLE IF EXISTS vecidx_spec")
+    spark.sql("DROP TABLE IF EXISTS vecidx_spec_centroids")
+    VectorIndex.build(emb, "vecidx_spec", centroids)
+    val got = rows(VectorIndex.search(spark, "vecidx_spec", queries,
+      nProbe = 6, topK = 10))
+    assert(got == expect,
+      "the stored index must answer exactly what the in-session path answers")
+  }
+
+  test("probe reads are bucket-pruned and the index scan never sits under an Exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    spark.sql("DROP TABLE IF EXISTS vecidx_plan")
+    spark.sql("DROP TABLE IF EXISTS vecidx_plan_centroids")
+    VectorIndex.build(emb, "vecidx_plan", centroids)
+    // one query, two probes: of 8 buckets at most 2 may be read
+    val one = emb.filter(col("vec_id") === 0)
+    val res = VectorIndex.search(spark, "vecidx_plan", one, nProbe = 2, topK = 5)
+    val full = res.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"probe read must bucket-prune:\n$plan")
+    assert(sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt == 8,
+      s"1 query x 2 probes must read at most 2 of 8 buckets: ${sel.get}")
+    assert("Exchange[^\\n]*\\n[^\\n]*FileScan parquet".r.findFirstIn(plan).isEmpty,
+      s"the bucketed index scan must not sit under an Exchange:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the (tiny) probe table must broadcast into the index read:\n$plan")
+  }
+
+  test("append assigns with the EXISTING centroids: grown index == full rebuild") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    spark.sql("DROP TABLE IF EXISTS vecidx_grow")
+    spark.sql("DROP TABLE IF EXISTS vecidx_grow_centroids")
+    VectorIndex.build(corpus, "vecidx_grow", centroids)
+    VectorIndex.append(spark, "vecidx_grow", batch)
+
+    spark.sql("DROP TABLE IF EXISTS vecidx_full")
+    spark.sql("DROP TABLE IF EXISTS vecidx_full_centroids")
+    VectorIndex.build(emb, "vecidx_full", centroids)
+
+    val grown = rows(VectorIndex.search(spark, "vecidx_grow", queries,
+      nProbe = 6, topK = 10))
+    val rebuilt = rows(VectorIndex.search(spark, "vecidx_full", queries,
+      nProbe = 6, topK = 10))
+    assert(grown == rebuilt,
+      "append must be indistinguishable from a same-centroid full rebuild")
+    // and the grown index still bucket-prunes (append preserved the spec)
+    val one = emb.filter(col("vec_id") === 0)
+    val plan = VectorIndex.search(spark, "vecidx_grow", one, nProbe = 2, topK = 5)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount:"),
+      s"append must preserve the bucket spec:\n$plan")
+  }
+}

@@ -727,12 +727,22 @@ object EventsQ {
         floor(unix_micros(col("ts")) / lit(1000000L)).cast(LongType).as("ts_sec"),
         dec(col("value")).as("v"))
     val bucketSecs = 3600L
+    // FLOOR-division bucket, spelled via pmod so bucket assignment and
+    // the ghost predicate share one modular arithmetic: `div` truncates
+    // toward zero while `pmod` floors, and for negative ts_sec
+    // (pre-1970 events) the two disagree — a row at ts_sec=-3600 would
+    // land in truncated bucket -1 with pmod=0 (never ghosted) while
+    // its within-300s neighbors at -3599..-3300 truncate into bucket 0,
+    // silently losing frame rows. (ts_sec - pmod) is an exact multiple
+    // of the bucket width, so the integral divide below IS floor
+    // (and stays in Long — a double quotient would round past 2^52).
+    val bkt = expr(s"(ts_sec - pmod(ts_sec, $bucketSecs)) div $bucketSecs")
     val main = e
-      .withColumn("bkt", expr(s"ts_sec div $bucketSecs"))
+      .withColumn("bkt", bkt)
       .withColumn("ghost", lit(false))
     val ghosts = e
       .filter(pmod(col("ts_sec"), lit(bucketSecs)) >= bucketSecs - 300L)
-      .withColumn("bkt", expr(s"ts_sec div $bucketSecs") + 1L)
+      .withColumn("bkt", bkt + 1L)
       .withColumn("ghost", lit(true))
     val w = Window.partitionBy("event_type", "bkt").orderBy("ts_sec")
       .rangeBetween(-300, Window.currentRow)

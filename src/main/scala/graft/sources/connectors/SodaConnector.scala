@@ -38,17 +38,36 @@ final class SodaConnector(
     * reference always sends `SELECT *`; `select` narrows the remote
     * projection (SoQL `SELECT a, b`) when the DSv2 scan has pruned
     * columns — the server then never serializes unread fields.
+    *
+    * Identifiers — both pushed filter keys and projected column names
+    * — interpolate into the remote query text, so they are validated
+    * against the SoQL field-name grammar ([A-Za-z_][A-Za-z0-9_]*): a
+    * schema field carrying SoQL metacharacters (comma, quote, WHERE)
+    * must not silently rewrite the remote query. A non-conforming
+    * projection falls back to `SELECT *` (over-fetch is safe; the
+    * Spark side prunes locally); a non-conforming filter key is
+    * refused outright (dropping a filter would change results).
     */
+  private def soqlIdent(name: String): Boolean =
+    name != null && name.matches("[A-Za-z_][A-Za-z0-9_]*")
+
   def buildSoql(filters: Map[String, Any],
                 select: Seq[String] = Nil): String = {
     val base =
-      if (select.isEmpty) "SELECT *"
-      else "SELECT " + select.mkString(", ")
+      if (select.nonEmpty && select.forall(soqlIdent))
+        "SELECT " + select.mkString(", ")
+      else "SELECT *"
     if (filters.isEmpty) base
-    else base + " WHERE " + filters.map {
-      case (k, v: String) => s"$k = '${v.replace("'", "''")}'"
-      case (k, v) => s"$k = $v"
-    }.mkString(" AND ")
+    else {
+      filters.keys.find(!soqlIdent(_)).foreach { k =>
+        throw new IllegalArgumentException(
+          s"filter key is not a SoQL identifier: '$k'")
+      }
+      base + " WHERE " + filters.map {
+        case (k, v: String) => s"$k = '${v.replace("'", "''")}'"
+        case (k, v) => s"$k = $v"
+      }.mkString(" AND ")
+    }
   }
 
   /** S1 — fetch every page of a dataset as schemaless string records. */

@@ -44,6 +44,20 @@ class ConnectorsSpec extends SparkSpecBase {
     assert(soql == "SELECT * WHERE boro = 'O''Neill' AND year = 2023")
   }
 
+  test("S2: identifiers are validated — injection metacharacters can't rewrite the remote query") {
+    val c = new SodaConnector(new StubHttp(Nil))
+    // clean projection narrows; a metacharacter name falls back to
+    // SELECT * (over-fetch is safe, the Spark side prunes locally)
+    assert(c.buildSoql(Map.empty, Seq("nta", "val_2")) == "SELECT nta, val_2")
+    assert(c.buildSoql(Map.empty, Seq("nta", "a, b WHERE x")) == "SELECT *")
+    assert(c.buildSoql(Map.empty, Seq("a'b")) == "SELECT *")
+    assert(c.buildSoql(Map.empty, Seq("9lead")) == "SELECT *")
+    // a malformed filter KEY is refused (dropping it would change rows)
+    intercept[IllegalArgumentException] {
+      c.buildSoql(Map("year = 2023 OR 1=1 --" -> 1))
+    }
+  }
+
   test("S1: page loop accumulates full pages and stops on the short page") {
     val stub = new StubHttp(Seq(
       HttpResponse(200, sodaPage(0 until 3)),

@@ -84,8 +84,10 @@ object Bench {
       // artifacts cost one materialization across the whole run. A
       // prepare crash falls through to the timed run, which then fails
       // visibly rather than vanishing here.
+      graft.queries.SharedFrames.setPhase("prepare")
       try prepares.get(name).foreach(p => p(spark, sfDir))
       catch { case _: Throwable => () }
+      finally graft.queries.SharedFrames.setPhase("timed")
       def timeOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -109,21 +111,43 @@ object Bench {
     // checked-in per-query baseline (bench_baseline.json) and flag
     // queries that slowed >2x beyond a 0.5s noise floor
     val baseline: Map[String, Double] = {
-      // sf-matched envelope: the sf1 decade adjudicates against its own
-      // pin (bench_sf1_baseline.json), not the sf0.1 one
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json"))
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p))
-        // scope the scrape to the "queries" object: pinned artifacts also
-        // carry an "adjudicated" map whose entries would otherwise
-        // override (last-wins) that query's real baseline
-        val scope = """(?s)"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
-        val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
-        entry.findAllMatchIn(scope)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // SF-MATCHED envelope only (r13): every pinned artifact carries
+      // its "sf" field, and a baseline from another scale factor is
+      // always garbage — the r12 sf10 sweep adjudicated against the
+      // sf0.1 pin, flagged 148 "regressions" (everything is >2x its
+      // sf0.1 time at sf10), and paid ~130 s of evicted-frame rebuilds
+      // re-timing them all. A candidate whose sf field disagrees with
+      // this run's corpus is skipped; no matching pin → no regression
+      // tracking, which is correct for an unpinned scale.
+      val candidates = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+        .map(Seq(_))
+        .getOrElse(Seq("bench_baseline.json", "bench_sf1_baseline.json",
+          "bench_sf10_baseline.json"))
+      val chosen = candidates.iterator.flatMap { f =>
+        val p = java.nio.file.Paths.get(f)
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p))
+          val sfField = """"sf"\s*:\s*"([^"]+)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          // a pin without an sf field predates the stamp — only the
+          // explicit env override may still use it
+          val matches = sfField.contains(sfDir) ||
+            (sfField.isEmpty && sys.env.contains("SPARK_GRAFT_BENCH_BASELINE"))
+          if (matches) Some(txt) else None
+        }
+      }.nextOption()
+      chosen match {
+        case None => Map.empty
+        case Some(txt) =>
+          // scope the scrape to the "queries" object: pinned artifacts
+          // also carry an "adjudicated" map whose entries would
+          // otherwise override (last-wins) that query's real baseline
+          val scope = """(?s)"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
+          val entry = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+          entry.findAllMatchIn(scope)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
     def trips(name: String, t: Double): Boolean =
@@ -182,8 +206,8 @@ object Bench {
     // silently dropped the earlier ones (r10: 67 builds, 56 unique keys
     // — 11 builds vanished from the ledger the accounting depends on).
     val frameJson = graft.queries.SharedFrames.buildLog(spark)
-      .map { case (k, sec, q, b) =>
-        s"""{"key":${jstr(k)},"sec":$sec,"query":${jstr(q)},"bytes":$b}"""
+      .map { case (k, sec, q, b, ph) =>
+        s"""{"key":${jstr(k)},"sec":$sec,"query":${jstr(q)},"bytes":$b,"phase":${jstr(ph)}}"""
       }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errJson,"regressions":$regJson,"adjudicated":$adjJson,"frame_builds":$frameJson,"sf":"$sfDir"$subsetJson}"""

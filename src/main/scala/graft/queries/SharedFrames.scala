@@ -69,10 +69,12 @@ object SharedFrames {
   private val memo =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
   private val builds =
-    scala.collection.mutable.ArrayBuffer.empty[(SparkSession, String, Double, String, Long)]
+    scala.collection.mutable.ArrayBuffer
+      .empty[(SparkSession, String, Double, String, Long, String)]
 
   @volatile private var epoch: Long = 0L
   @volatile private var context: String = ""
+  @volatile private var phase: String = "timed"
 
   /** Byte budget for resident frame blocks (mem + disk). Default: a
     * QUARTER of the driver's max heap — local-mode blocks live in the
@@ -98,8 +100,19 @@ object SharedFrames {
     * subsequent builds in the build log.
     */
   def setContext(query: String): Unit = synchronized {
-    epoch += 1; context = query
+    epoch += 1; context = query; phase = "timed"
   }
+
+  /** Label subsequent builds with an execution phase. Bench marks its
+    * UNTIMED oracle-aux prepare window as "prepare": a build paid
+    * there (centroid training, index materialization) never inflates
+    * the query's own timing, so the exponent adjudication in
+    * tools/update_pins.py must not count it toward build-domination —
+    * before this flag, a prepare-hook build made a sub-second index
+    * READ look build-dominated and family-sum against whatever shared
+    * its probe subset (r13).
+    */
+  def setPhase(p: String): Unit = synchronized { phase = p }
 
   /** Memoized materialized frame (caller's block must return an eagerly
     * materialized frame — `localCheckpoint(true)` or equivalent).
@@ -148,7 +161,7 @@ object SharedFrames {
               e.value.asInstanceOf[DataFrame]
             case None =>
               memo.put(k, Entry(df, rdd, bytes, epoch))
-              builds += ((s, key, sec, context, bytes))
+              builds += ((s, key, sec, context, bytes, phase))
               evict(s)
               df
           }
@@ -178,7 +191,7 @@ object SharedFrames {
           memo.get(k) match {
             case Some(e) => e.lastEpoch = epoch; e.value.asInstanceOf[T]
             case None =>
-              builds += ((s, key, sec, context, 0L))
+              builds += ((s, key, sec, context, 0L, phase))
               memo.put(k, Entry(v, None, 0L, epoch))
               v
           }
@@ -227,8 +240,8 @@ object SharedFrames {
     * triggered the build, block bytes). Bench dumps this into the
     * artifact so memo accounting adjudicates itself.
     */
-  def buildLog(s: SparkSession): Seq[(String, Double, String, Long)] = synchronized {
-    builds.collect { case (ss, k, sec, q, b) if ss eq s => (k, sec, q, b) }.toSeq
+  def buildLog(s: SparkSession): Seq[(String, Double, String, Long, String)] = synchronized {
+    builds.collect { case (ss, k, sec, q, b, ph) if ss eq s => (k, sec, q, b, ph) }.toSeq
   }
 
   /** Drop every entry for a session, unpersisting frame blocks. */

@@ -27,21 +27,33 @@ object FingerprintKit {
     * anything.
     */
   def canonicalText(df: DataFrame, sfDir: String): String =
-    df.queryExecution.analyzed.toString
+    renumberExprIds(df.queryExecution.analyzed.toString
       .replace(sfDir, "<SF>")
       // ScalaUDF / typed-map closures print their JVM lambda identity
       // (class$$Lambda$N/0xADDR@hash) — address-dependent, differs per
       // JVM. Keep the owning class, drop the allocation identity.
       .replaceAll("""\$\$Lambda[$/][^,\s)]*""", "\\$\\$Lambda")
       .replaceAll("@[0-9a-f]{6,}", "@id")
-      // exprIds come from a session-global counter — build-order
-      // dependent across catalog walks. Names carry the signal; ids
-      // don't.
-      .replaceAll("#\\d+", "#")
-      // higher-order-function variables embed the same counter in the
-      // NAME itself (`lambda x_67`): normalize the suffix, keep the
-      // variable letter
-      .replaceAll("(lambda [A-Za-z]+)_\\d+", "$1_")
+      // higher-order-function variables embed the session-global
+      // counter in the NAME itself (`lambda x_67`): normalize the
+      // suffix, keep the variable letter
+      .replaceAll("(lambda [A-Za-z]+)_\\d+", "$1_"))
+
+  /** exprIds come from a session-global counter — build-order
+    * dependent across catalog walks — but DELETING them (pre-r13)
+    * collapsed distinct same-named attributes: a self-join alias swap
+    * (a.col vs b.col) or an edit re-routing which duplicate-named
+    * column feeds an expression fingerprinted identically and slipped
+    * the gate. Renumber each distinct id to its first-occurrence
+    * ordinal in text order instead: stable across sessions and build
+    * order, yet `col#5 join col#9` and the swapped wiring renumber
+    * differently.
+    */
+  private def renumberExprIds(text: String): String = {
+    val ids = scala.collection.mutable.HashMap.empty[String, Int]
+    "#(\\d+)".r.replaceAllIn(text, m =>
+      "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
+  }
 
   def fingerprint(df: DataFrame, sfDir: String): String = {
     val d = MessageDigest.getInstance("SHA-256")

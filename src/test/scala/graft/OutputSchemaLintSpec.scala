@@ -85,7 +85,13 @@ class OutputSchemaLintSpec extends SparkSpecBase {
       SparkEntry.catalog.sortBy(_.name).flatMap { q =>
         try prepares.get(q.name).foreach(p => p(lint, sfDir))
         catch { case _: Throwable => () }
-        val schema = q.fn(lint, sfDir).schema
+        val schema =
+          try q.fn(lint, sfDir).schema
+          catch { case t: Throwable =>
+            fail(s"${q.name}: query build failed during schema lint — " +
+              s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")
+                .linesIterator.take(3).mkString(" | ")}")
+          }
         schema.fields.toSeq.flatMap { f =>
           leafTypes(f.dataType).flatMap(codeOf).distinct
             .map(code => (q.name, f.name, code))

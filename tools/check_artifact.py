@@ -20,8 +20,14 @@ import sys
 
 def find_metric(text: str):
     """Last line containing a JSON object with a `metric` key (sbt may
-    prefix it with [info]/[error])."""
-    for line in reversed(text.splitlines()):
+    prefix it with [info]/[error]). Returns (obj, displaced): displaced
+    is True when the metric line is NOT the final non-empty line — the
+    Bench contract is final-stdout, and a displaced line means the tail
+    window may truncate it next time (the r10 failure mode this tool
+    guards, r12 ADVICE finding)."""
+    lines = [l for l in text.splitlines() if l.strip()]
+    for idx in range(len(lines) - 1, -1, -1):
+        line = lines[idx]
         i = line.find("{")
         if i < 0:
             continue
@@ -30,8 +36,22 @@ def find_metric(text: str):
         except json.JSONDecodeError:
             continue
         if isinstance(cand, dict) and "metric" in cand:
-            return cand
-    return None
+            return cand, idx != len(lines) - 1
+    return None, False
+
+
+def catalog_size():
+    """Catalog size from the exponent pin file (one entry per query),
+    resolved relative to this tool's repo; None when unavailable."""
+    import os
+    pins = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "src", "test", "resources",
+                        "sf10_exponent_pins.json")
+    try:
+        with open(pins) as f:
+            return len(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def check(path: str) -> list:
@@ -43,7 +63,8 @@ def check(path: str) -> list:
         return [f"unreadable: {e}"]
     if not text:
         return ["empty file (the r10 missing-metric-line failure mode)"]
-    obj = find_metric(text)
+    obj, displaced = find_metric(text)
+    wrapped = False
     if obj is None:
         # driver-round artifacts wrap the run: {"n":…,"rc":…,"tail":"…"}
         # with the metric line embedded (escaped) inside the tail — the
@@ -53,12 +74,19 @@ def check(path: str) -> list:
         except json.JSONDecodeError:
             wrapper = None
         if isinstance(wrapper, dict) and isinstance(wrapper.get("tail"), str):
-            obj = find_metric(wrapper["tail"])
+            wrapped = True
+            obj, _ = find_metric(wrapper["tail"])
             if obj is None:
                 return ["driver wrapper's tail window lost the metric line "
                         "(the r10 failure mode)"]
     if obj is None:
         return ["no parseable metric line found"]
+    if displaced and not wrapped:
+        # a bare bench dump whose metric line is not final stdout is one
+        # log flood away from shipping truncated — fail it now, while
+        # the full line still exists to inspect
+        errs.append("metric line is not the final non-empty line (the "
+                    "final-stdout contract; a tail window may truncate it)")
     if not isinstance(obj.get("value"), (int, float)):
         errs.append("missing/non-numeric `value`")
     q = obj.get("queries")
@@ -74,6 +102,14 @@ def check(path: str) -> list:
         n = obj.get("n_queries")
         if n is not None and (not isinstance(n, int) or n < len(q)):
             errs.append(f"n_queries={n!r} inconsistent with {len(q)} timed queries")
+        # over-reporting guard: the count may not exceed the catalog
+        # size (the pin file enumerates it; ±16 slack for queries added
+        # since the last re-pin)
+        if n is not None and isinstance(n, int):
+            cat = catalog_size()
+            if cat and n > cat + 16:
+                errs.append(f"n_queries={n} exceeds the known catalog "
+                            f"size ({cat}) — over-reported artifact")
     failed = obj.get("failed")
     if failed is None or not isinstance(failed, list):
         errs.append("missing `failed` list")

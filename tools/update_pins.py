@@ -76,14 +76,22 @@ def main():
     qlo, qhi = lo["queries"], hi["queries"]
     blo, bhi = records(lo.get("frame_builds", [])), records(hi.get("frame_builds", []))
 
+    # prepare-phase builds run OUTSIDE the timed window (Bench marks
+    # them since r13): they can never inflate a query's timing, so they
+    # neither count toward build-domination nor define a family.
+    # Artifacts predating the phase field count everything, as before.
+    def timed(r):
+        return r.get("phase", "timed") != "prepare"
     paid_lo, paid_hi = defaultdict(float), defaultdict(float)
     for r in blo:
-        paid_lo[r["query"]] += r["sec"]
+        if timed(r):
+            paid_lo[r["query"]] += r["sec"]
     for r in bhi:
-        paid_hi[r["query"]] += r["sec"]
+        if timed(r):
+            paid_hi[r["query"]] += r["sec"]
     fams = defaultdict(set)
     for r in blo + bhi:
-        if r["query"]:
+        if r["query"] and timed(r):
             fams[r["key"]].add(r["query"])
 
     def family_of(q):
@@ -98,9 +106,37 @@ def main():
         bd = paid_lo.get(q, 0) > 0.5 * qlo[q] or paid_hi.get(q, 0) > 0.5 * qhi[q]
         if not bd:
             return raw, "raw"
-        fam = family_of(q)
-        slo = sum(qlo.get(m, 0.0) for m in fam)
-        shi = sum(qhi.get(m, 0.0) for m in fam)
+        # In a TARGETED (subset) artifact the build log cannot name the
+        # family — the build is paid once, by whichever member ran, so
+        # the payer list never spans the family. A build-dominated
+        # query benched alone would therefore "family-sum" against
+        # itself and pin the build's own scaling as its exponent — the
+        # exact inflation the adjudication exists to cancel (r12 ADVICE
+        # finding). Rules: a singleton subset is refused outright; a
+        # multi-query subset IS the family (the workflow benches the
+        # whole family under one --only).
+        subset = set(lo.get("subset", []) or []) | set(hi.get("subset", []) or [])
+        if subset:
+            fam = subset & set(qlo) & set(qhi)
+            if fam <= {q}:
+                raise SystemExit(
+                    f"{q}: build-dominated inside a single-query bench "
+                    f"artifact — the family-sum adjudication needs the whole "
+                    f"family benched together. Re-run both probes with "
+                    f"SPARK_GRAFT_BENCH_ONLY=<{q} plus its frame family> "
+                    f"(see frame_builds in the last full-catalog artifact)")
+        else:
+            fam = family_of(q)
+            # a full-catalog artifact must still carry every member it
+            # itself named — a partial sum under-cancels the build
+            absent = sorted(m for m in fam if m not in qlo or m not in qhi)
+            if absent:
+                raise SystemExit(
+                    f"{q}: build-dominated, but family members {absent} are "
+                    f"missing from a bench artifact — re-run the probes with "
+                    f"the full family present in both")
+        slo = sum(qlo[m] for m in fam)
+        shi = sum(qhi[m] for m in fam)
         return exponent(slo, shi), f"family[{len(fam)}]"
 
     targets = set(qlo) & set(qhi)

@@ -1661,30 +1661,15 @@ object SimilarityQ {
       graft.functions.PqFunctions.trainCodebooks(ivfpqResidFrame(s, d), "r")
     }
 
-  /** IVF-PQ ANN — the composition every production vector index ships
-    * (FAISS IndexIVFPQ, Jégou 2011 §IV): the coarse k-means quantizer
-    * partitions the corpus into inverted lists (same memoized centroid
-    * table as q_ann_ivf), each vector stores only the PQ codes of its
-    * RESIDUAL x − c(x) (residual energy ≪ vector energy, so the same
-    * 8 B of codes quantize far finer than raw-vector PQ), and a query
-    * scans only its nProbe probed lists with a PER-LIST ADC table
-    * (the query residual differs per probed centroid). Exact-cosine
-    * rerank of the top-candidates cut, as in the other ANN paths.
-    *
-    * At 100 TB this is THE resident shape: lists partition the index
-    * (probe = partition pruning), the scan reads 8 B codes instead of
-    * 256 B floats, and nothing but (query, neighbor) pairs survives.
-    *
-    * HASH-VERIFIED by double replay: the engine materializes BOTH
-    * trained kernels (coarse centroids → ivf_centroids aux, shared
-    * with q_ann_ivf; residual codebooks → ivfpq_codebooks aux) and
-    * DuckDB replays assignment, float residuals (one double subtract +
-    * one float rounding per element), per-subspace argmin encode, the
-    * per-(query, list) ADC tables, the j-ascending fold, candidate
-    * cut, and exact rerank — all fixed-order arithmetic.
+  /** The shared IVF-PQ oracle: replayed centroids + residual
+    * codebooks → assignment, residual encode, per-probed-list ADC
+    * tables, the j-ascending ADC fold, candidate cut, exact rerank.
+    * Used verbatim by q_ann_ivfpq (in-session) AND
+    * q_ann_ivfpq_persistent (materialized coded index): both engine
+    * paths are deterministic functions of the same two replayed
+    * kernel tables.
     */
-  val qAnnIvfPq: Q = Q.sql(
-    "q_ann_ivfpq",
+  private def ivfpqAnnOracleSql: String =
     s"""${centroidDistCte(ivfAuxDir)},
        |assigned AS (
        |  SELECT vec_id, cid FROM (
@@ -1763,7 +1748,33 @@ object SimilarityQ {
        |  FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= $topK
-       |ORDER BY query_id ASC, rank ASC""".stripMargin) { (s, d) =>
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  /** IVF-PQ ANN — the composition every production vector index ships
+    * (FAISS IndexIVFPQ, Jégou 2011 §IV): the coarse k-means quantizer
+    * partitions the corpus into inverted lists (same memoized centroid
+    * table as q_ann_ivf), each vector stores only the PQ codes of its
+    * RESIDUAL x − c(x) (residual energy ≪ vector energy, so the same
+    * 8 B of codes quantize far finer than raw-vector PQ), and a query
+    * scans only its nProbe probed lists with a PER-LIST ADC table
+    * (the query residual differs per probed centroid). Exact-cosine
+    * rerank of the top-candidates cut, as in the other ANN paths.
+    *
+    * At 100 TB this is THE resident shape: lists partition the index
+    * (probe = partition pruning), the scan reads 8 B codes instead of
+    * 256 B floats, and nothing but (query, neighbor) pairs survives.
+    *
+    * HASH-VERIFIED by double replay: the engine materializes BOTH
+    * trained kernels (coarse centroids → ivf_centroids aux, shared
+    * with q_ann_ivf; residual codebooks → ivfpq_codebooks aux) and
+    * DuckDB replays assignment, float residuals (one double subtract +
+    * one float rounding per element), per-subspace argmin encode, the
+    * per-(query, list) ADC tables, the j-ascending fold, candidate
+    * cut, and exact rerank — all fixed-order arithmetic.
+    */
+  val qAnnIvfPq: Q = Q.sql(
+    "q_ann_ivfpq",
+    ivfpqAnnOracleSql) { (s, d) =>
     import graft.functions.{IvfFunctions, PqFunctions}
     graft.expressions.CosineSimilarity.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
@@ -1820,6 +1831,60 @@ object SimilarityQ {
       writePqCodebooks(Tables.embeddings(s, d), ivfpqCodebooks(s, d),
         ivfpqCbAuxDir)
     }
+  }
+
+  /** Build-once memo for the PERSISTENT coded IVF-PQ index — the
+    * [[persistentIvfTable]] pattern over THREE tables (coded lists,
+    * centroids, residual codebooks), name keyed by the corpus
+    * fingerprint, reuse-don't-rebuild when the tables already resolve.
+    */
+  private def persistentIvfPqTable(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String =
+    SharedFrames.value(s, s"vector_index_pq_table:$d") {
+      val emb = Tables.embeddings(s, d)
+      val table = s"graft_vecidx_pq_${corpusKey(emb)}"
+      val parts = Seq("", "_centroids", "_codebooks").map(table + _)
+      if (parts.forall(s.catalog.tableExists)) parts.foreach(s.catalog.refreshTable)
+      else graft.sink.VectorIndex.buildCoded(emb, table,
+        corpusCentroids(s, d, emb), ivfpqCodebooks(s, d))
+      table
+    }
+
+  /** PERSISTENT CODED-INDEX ANN — the [[qAnnIvfPersistent]] idea at
+    * the layout a 100 TB deployment actually keeps resident: the
+    * materialized inverted lists hold 8 PQ codes per vector (32 B of
+    * list row, not a 256 B float vector), next to the centroid and
+    * codebook tables ([[graft.sink.VectorIndex.buildCoded]]). The
+    * timed query is the pure search path: load the two kernel tables,
+    * probe, ADC-scan ONLY the probed buckets reading codes only, cut
+    * to [[pqCandidates]] per query, and fetch just the survivors'
+    * float vectors from the corpus store for the exact-cosine rerank —
+    * no training, no corpus assignment, no full-width corpus scan.
+    * appendCoded grows it batch-over-batch without retraining either
+    * quantizer (VectorIndexSpec pins grown == same-kernel rebuild).
+    * Same oracle as q_ann_ivfpq: both paths are deterministic
+    * functions of the same two replayed kernel tables.
+    */
+  val qAnnIvfPqPersistent: Q = Q.sql(
+    "q_ann_ivfpq_persistent",
+    ivfpqAnnOracleSql,
+    doc = "ORACLE REPLAY: engine-published centroid + codebook tables; " +
+      "DuckDB replays assignment, residual encode, per-list ADC, " +
+      "candidate cut, and exact rerank — the engine side answers from " +
+      "the materialized coded VectorIndex, never retraining.") { (s, d) =>
+    val table = persistentIvfPqTable(s, d)
+    val emb = Tables.embeddings(s, d)
+    graft.sink.VectorIndex.searchCoded(s, table,
+      emb.filter(col("vec_id") < nQueries), emb,
+      nProbe = ivfNProbe, pqCandidates = pqCandidates, topK = topK)
+  }.preparedBy { (s, d) =>
+    prepareCentroids(ivfAuxDir)(s, d)
+    OracleAux.prepareOnce(s, ivfpqCbAuxDir, d) {
+      writePqCodebooks(Tables.embeddings(s, d), ivfpqCodebooks(s, d),
+        ivfpqCbAuxDir)
+    }
+    persistentIvfPqTable(s, d)
+    ()
   }
 
   private[graft] val pcaAuxDir = s"${OracleAux.root}/pca_model"
@@ -2475,7 +2540,8 @@ object SimilarityQ {
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qAnnIvfPersistent,
     qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qEmbClusterBalance,
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qAnnIvfPqPersistent,
+    qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
     qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,
     qEmbMatryoshka, qEmbKnnHops, qAnnRecall, qIvfFrontier)

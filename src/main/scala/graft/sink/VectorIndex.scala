@@ -3,7 +3,7 @@ package graft.sink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.IvfFunctions
+import graft.functions.{IvfFunctions, PqFunctions}
 
 /** Persistent IVF vector index — the embedding sibling of
   * [[HashIndex]]/[[BandIndex]] (round-12 verdict #5): centroids plus
@@ -50,17 +50,67 @@ object VectorIndex {
             buckets: Int = 8): Unit = {
     val s = emb.sparkSession
     BandIndex.clearOrphanedLocation(s, table)
-    BandIndex.clearOrphanedLocation(s, s"${table}_centroids")
     val bc = IvfFunctions.broadcastCentroids(emb, centroids)
     emb.select(IvfFunctions.assignUdf(bc)(col("embedding")).as("cid"),
         col("vec_id"), col("embedding"))
       .write.mode("overwrite")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
-    val rows = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    writeCentroids(s, table, centroids)
+  }
+
+  private def writeCentroids(s: SparkSession, table: String,
+                             centroids: Array[Array[Double]]): Unit = {
+    BandIndex.clearOrphanedLocation(s, s"${table}_centroids")
     import s.implicits._
-    rows.toSeq.toDF("cid", "c")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "c")
       .coalesce(1).write.mode("overwrite").saveAsTable(s"${table}_centroids")
+  }
+
+  /** CODED layout — the 100 TB-resident variant: inverted lists hold
+    * the m PQ codes of each vector's RESIDUAL x − c(x) instead of the
+    * raw float32 vector (8 codes ≈ 32 B of list row vs 256 B — the
+    * FAISS IndexIVFPQ layout, Jégou 2011 §IV), alongside the k-row
+    * centroid table and the m×16 codebook table. A probe then ADC-
+    * scans only the probed buckets reading codes only; nothing but
+    * (query, candidate) pairs leaves the index, and the exact rerank
+    * fetches just candidates × queries vectors from the corpus store.
+    * Same determinism contract as [[build]]: assignment, residual,
+    * and encode are the exact kernels the in-session q_ann_ivfpq path
+    * runs, so the materialized index answers identically.
+    */
+  def buildCoded(emb: DataFrame, table: String,
+                 centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 buckets: Int = 8): Unit = {
+    val s = emb.sparkSession
+    BandIndex.clearOrphanedLocation(s, table)
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    val bcCb = PqFunctions.broadcastCodebooks(emb, codebooks)
+    emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("cid"), col("vec_id"),
+        PqFunctions.encodeUdf(bcCb)(col("r")).as("cs"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+    writeCentroids(s, table, centroids)
+    BandIndex.clearOrphanedLocation(s, s"${table}_codebooks")
+    import s.implicits._
+    codebooks.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "c")
+      .coalesce(1).write.mode("overwrite").saveAsTable(s"${table}_codebooks")
+  }
+
+  /** The stored residual codebooks, (sub, code)-ordered. */
+  def loadCodebooks(spark: SparkSession, table: String): Array[Array[Array[Double]]] = {
+    val rows = spark.table(s"${table}_codebooks")
+      .orderBy(col("sub").asc, col("code").asc).collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
   }
 
   /** The trained coarse quantizer, cid-ordered — k rows, one read. */
@@ -92,6 +142,69 @@ object VectorIndex {
     IvfFunctions.rerankProbed(lists, probed, topK)
   }
 
+  /** ANN top-k against a CODED index ([[buildCoded]]): centroids and
+    * codebooks load from their k-row/m×16-row tables; each query's
+    * per-probed-list ADC tables precompute on the driver (bounded:
+    * |queries| × nProbe entries — the fixed-query-set idiom); the
+    * coded lists scan bucket-pruned, ADC-rank, and cut to
+    * `pqCandidates` per query; only then do the survivors fetch their
+    * float vectors from `corpusVecs` (vec_id, embedding) for the
+    * exact-cosine rerank. Every kernel (probe, ADC fold, candidate
+    * cut, rerank ordering) matches the in-session q_ann_ivfpq path,
+    * so the materialized index answers identically.
+    */
+  def searchCoded(spark: SparkSession, table: String, queries: DataFrame,
+                  corpusVecs: DataFrame, nProbe: Int, pqCandidates: Int,
+                  topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.CosineSimilarity.ensureRegistered(spark)
+    val centroids = loadCentroids(spark, table)
+    val cb = loadCodebooks(spark, table)
+    val bcC = IvfFunctions.broadcastCentroids(queries, centroids)
+    val probedPairs = queries.select(col("vec_id").as("query_id"),
+        explode(IvfFunctions.probeUdf(bcC, nProbe)(col("embedding"))).as("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val qVecs = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qResidual(q: Array[Float], cid: Int): Array[Float] = {
+      val c = centroids(cid)
+      Array.tabulate(q.length)(i => (q(i).toDouble - c(i)).toFloat)
+    }
+    val bcTabs = spark.sparkContext.broadcast(
+      probedPairs.map { case (qid, cid) =>
+        (qid, cid) -> PqFunctions.adcTables(qResidual(qVecs(qid), cid), cb)
+      }.toMap)
+    import spark.implicits._
+    val probedDf = probedPairs.toSeq.toDF("query_id", "cid")
+    val probedCids = probedPairs.map(_._2).distinct.sorted
+    val lists = spark.table(table)
+      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    val cand = lists.join(broadcast(probedDf), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc",
+        PqFunctions.adcByListUdf(bcTabs)(col("query_id"), col("cid"), col("cs")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+      .filter(col("crank") <= pqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val vecs = corpusVecs.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorFunctions.fastCosine(col("q_emb"), col("embedding"))
+          .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Record a new batch: assign against the EXISTING centroids and
     * append. `buckets` must match [[build]] (Spark rejects a
     * mismatched spec loudly); append preserves the spec, so probe
@@ -103,6 +216,24 @@ object VectorIndex {
     val bc = IvfFunctions.broadcastCentroids(emb, centroids)
     emb.select(IvfFunctions.assignUdf(bc)(col("embedding")).as("cid"),
         col("vec_id"), col("embedding"))
+      .write.mode("append")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  /** [[append]] for a coded index: assign + residual + encode against
+    * the EXISTING centroids and codebooks (both quantizers are fixed
+    * once trained — the FAISS growth mode), append preserving the
+    * bucket spec.
+    */
+  def appendCoded(spark: SparkSession, table: String, emb: DataFrame,
+                  buckets: Int = 8): Unit = {
+    val bcC = IvfFunctions.broadcastCentroids(emb, loadCentroids(spark, table))
+    val bcCb = PqFunctions.broadcastCodebooks(emb, loadCodebooks(spark, table))
+    emb.withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("cid"), col("vec_id"),
+        PqFunctions.encodeUdf(bcCb)(col("r")).as("cs"))
       .write.mode("append")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)

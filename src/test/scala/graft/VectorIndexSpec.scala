@@ -56,6 +56,61 @@ class VectorIndexSpec extends SparkSpecBase {
       s"the (tiny) probe table must broadcast into the index read:\n$plan")
   }
 
+  test("persistent CODED search equals the in-session IVF-PQ path bit-for-bit") {
+    SparkEntry.prepares.get("q_ann_ivfpq_persistent").foreach(p => p(spark, sfDir))
+    val expect = rows(SparkEntry.queries("q_ann_ivfpq")(spark, sfDir))
+    val got = rows(SparkEntry.queries("q_ann_ivfpq_persistent")(spark, sfDir))
+    assert(got == expect,
+      "the stored coded index must answer exactly what the in-session path answers")
+  }
+
+  test("coded lists scan reads codes only (no embedding column) and bucket-prunes") {
+    SparkEntry.prepares.get("q_ann_ivfpq_persistent").foreach(p => p(spark, sfDir))
+    val res = SparkEntry.queries("q_ann_ivfpq_persistent")(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount:"),
+      s"coded probe read must bucket-prune:\n$plan")
+    val idxScan = plan.linesIterator
+      .filter(l => l.contains("graft_vecidx_pq") && l.contains("FileScan"))
+      .mkString("\n")
+    assert(idxScan.nonEmpty, s"coded index scan not found in plan:\n$plan")
+    assert(!idxScan.contains("embedding"),
+      s"the coded index scan must read codes only, never a float vector:\n$idxScan")
+  }
+
+  test("appendCoded with EXISTING kernels: grown coded index == same-kernel rebuild") {
+    import graft.functions.PqFunctions
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    val resid = emb
+      .withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("vec_id"), col("r"))
+    val cbs = PqFunctions.trainCodebooks(resid, "r")
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_grow")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_grow_centroids")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_grow_codebooks")
+    VectorIndex.buildCoded(corpus, "vecidxpq_grow", centroids, cbs)
+    VectorIndex.appendCoded(spark, "vecidxpq_grow", batch)
+
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_full")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_full_centroids")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_full_codebooks")
+    VectorIndex.buildCoded(emb, "vecidxpq_full", centroids, cbs)
+
+    val grown = rows(VectorIndex.searchCoded(spark, "vecidxpq_grow", queries,
+      emb, nProbe = 6, pqCandidates = 64, topK = 10))
+    val rebuilt = rows(VectorIndex.searchCoded(spark, "vecidxpq_full", queries,
+      emb, nProbe = 6, pqCandidates = 64, topK = 10))
+    assert(grown == rebuilt,
+      "appendCoded must be indistinguishable from a same-kernel full rebuild")
+  }
+
   test("append assigns with the EXISTING centroids: grown index == full rebuild") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)

@@ -123,20 +123,35 @@ object Bench {
         .map(Seq(_))
         .getOrElse(Seq("bench_baseline.json", "bench_sf1_baseline.json",
           "bench_sf10_baseline.json"))
-      val chosen = candidates.iterator.flatMap { f =>
-        val p = java.nio.file.Paths.get(f)
-        if (!java.nio.file.Files.exists(p)) None
-        else {
-          val txt = new String(java.nio.file.Files.readAllBytes(p))
-          val sfField = """"sf"\s*:\s*"([^"]+)"""".r
-            .findFirstMatchIn(txt).map(_.group(1))
-          // a pin without an sf field predates the stamp — only the
-          // explicit env override may still use it
-          val matches = sfField.contains(sfDir) ||
-            (sfField.isEmpty && sys.env.contains("SPARK_GRAFT_BENCH_BASELINE"))
-          if (matches) Some(txt) else None
-        }
+      // the sf stamp is a PATH — a trailing slash, relative spelling,
+      // or symlinked corpus dir must not silently disable regression
+      // tracking, so both sides normalize (resolving symlinks where
+      // the path exists) before comparing
+      def normPath(raw: String): String = {
+        val p = java.nio.file.Paths.get(raw)
+        try p.toRealPath().toString
+        catch { case _: Exception => p.toAbsolutePath.normalize.toString }
+      }
+      val sfNorm = normPath(sfDir)
+      val present = candidates.filter(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+      val chosen = present.iterator.flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)))
+        val sfField = """"sf"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        // a pin without an sf field predates the stamp — only the
+        // explicit env override may still use it
+        val matches = sfField.exists(normPath(_) == sfNorm) ||
+          (sfField.isEmpty && sys.env.contains("SPARK_GRAFT_BENCH_BASELINE"))
+        if (matches) Some(txt) else None
       }.nextOption()
+      if (chosen.isEmpty && present.nonEmpty)
+        // stderr, never stdout — the driver tails stdout for the metric
+        System.err.println(
+          s"[bench] NO SF-MATCHED BASELINE: ${present.mkString(", ")} exist " +
+            s"but none matches sf=$sfNorm — regression tracking disabled " +
+            "for this run")
       chosen match {
         case None => Map.empty
         case Some(txt) =>

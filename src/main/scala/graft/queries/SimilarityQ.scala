@@ -1125,13 +1125,20 @@ object SimilarityQ {
       // the files under any OTHER session whose catalog cache still
       // points at them (a newSession() test harness hit exactly that).
       // refreshTable drops this session's stale listing if someone
-      // else built it after we first read.
+      // else built it after we first read. Reuse is GUARDED (r13
+      // ADVICE): the fingerprint is vec_id-only, so a regenerated
+      // corpus with the same id set would alias the name — the stored
+      // centroid table must match the content-trained quantizer
+      // exactly, else rebuild.
+      val expected = corpusCentroids(s, d, emb)
       if (s.catalog.tableExists(table) &&
           s.catalog.tableExists(s"${table}_centroids")) {
         s.catalog.refreshTable(table)
         s.catalog.refreshTable(s"${table}_centroids")
+        if (!graft.sink.VectorIndex.centroidsMatch(s, table, expected))
+          graft.sink.VectorIndex.build(emb, table, expected)
       } else {
-        graft.sink.VectorIndex.build(emb, table, corpusCentroids(s, d, emb))
+        graft.sink.VectorIndex.build(emb, table, expected)
       }
       table
     }
@@ -1844,8 +1851,15 @@ object SimilarityQ {
       val emb = Tables.embeddings(s, d)
       val table = s"graft_vecidx_pq_${corpusKey(emb)}"
       val parts = Seq("", "_centroids", "_codebooks").map(table + _)
-      if (parts.forall(s.catalog.tableExists)) parts.foreach(s.catalog.refreshTable)
-      else graft.sink.VectorIndex.buildCoded(emb, table,
+      // same stale-reuse guard as [[persistentIvfTable]]: both stored
+      // quantizers must match the content-trained kernels exactly
+      val staleOrAbsent = !parts.forall(s.catalog.tableExists) || {
+        parts.foreach(s.catalog.refreshTable)
+        !graft.sink.VectorIndex.centroidsMatch(s, table,
+          corpusCentroids(s, d, emb)) ||
+          !graft.sink.VectorIndex.codebooksMatch(s, table, ivfpqCodebooks(s, d))
+      }
+      if (staleOrAbsent) graft.sink.VectorIndex.buildCoded(emb, table,
         corpusCentroids(s, d, emb), ivfpqCodebooks(s, d))
       table
     }

@@ -104,6 +104,33 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").saveAsTable(s"${table}_codebooks")
   }
 
+  /** True iff the stored `<table>_centroids` equals `expected`
+    * exactly. Reuse guard (r13 ADVICE): a table-name key derived from
+    * vec_ids alone is content-INsensitive — a regenerated corpus with
+    * the same id set but different embeddings would silently reuse a
+    * stale index. Centroids are trained from the embedding content, so
+    * an exact compare against the expected quantizer (binary64
+    * round-trips parquet exactly — no tolerance needed) detects the
+    * swap; callers rebuild on mismatch.
+    */
+  def centroidsMatch(spark: SparkSession, table: String,
+                     expected: Array[Array[Double]]): Boolean = {
+    val stored = loadCentroids(spark, table)
+    stored.length == expected.length &&
+      stored.zip(expected).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+  }
+
+  /** [[centroidsMatch]] for the residual codebooks of a coded index. */
+  def codebooksMatch(spark: SparkSession, table: String,
+                     expected: Array[Array[Array[Double]]]): Boolean = {
+    val stored = loadCodebooks(spark, table)
+    stored.length == expected.length &&
+      stored.zip(expected).forall { case (sj, ej) =>
+        sj.length == ej.length &&
+          sj.zip(ej).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      }
+  }
+
   /** The stored residual codebooks, (sub, code)-ordered. */
   def loadCodebooks(spark: SparkSession, table: String): Array[Array[Array[Double]]] = {
     val rows = spark.table(s"${table}_codebooks")

@@ -65,7 +65,19 @@ final class SodaConnector(
       }
       base + " WHERE " + filters.map {
         case (k, v: String) => s"$k = '${v.replace("'", "''")}'"
-        case (k, v) => s"$k = $v"
+        // non-string values render bare, so only types whose toString
+        // can never carry SoQL metacharacters are allowed — any other
+        // Any would interpolate raw text into the remote query
+        case (k, v @ (_: Int | _: Long | _: Short | _: Byte |
+                      _: Boolean)) => s"$k = $v"
+        case (k, v: Double) if !v.isNaN && !v.isInfinite => s"$k = $v"
+        case (k, v: Float) if !v.isNaN && !v.isInfinite => s"$k = $v"
+        case (k, v: java.math.BigDecimal) => s"$k = ${v.toPlainString}"
+        case (k, v) => throw new IllegalArgumentException(
+          s"filter value for '$k' has unsupported type " +
+            s"${if (v == null) "null" else v.getClass.getName} — only " +
+            "String, integral, finite floating, Boolean and BigDecimal " +
+            "values render into SoQL")
       }.mkString(" AND ")
     }
   }

@@ -58,6 +58,26 @@ class ConnectorsSpec extends SparkSpecBase {
     }
   }
 
+  test("S2: filter VALUES render by whitelist — an arbitrary toString can't reach the remote query") {
+    val c = new SodaConnector(new StubHttp(Nil))
+    // whitelisted scalar types render bare
+    assert(c.buildSoql(Map("a" -> 7L)) == "SELECT * WHERE a = 7")
+    assert(c.buildSoql(Map("a" -> true)) == "SELECT * WHERE a = true")
+    assert(c.buildSoql(Map("a" -> 1.5)) == "SELECT * WHERE a = 1.5")
+    assert(c.buildSoql(Map("a" -> new java.math.BigDecimal("10.25")))
+      == "SELECT * WHERE a = 10.25")
+    // an Any whose toString carries SoQL metacharacters is refused,
+    // not interpolated (the r13 injection surface)
+    case class Evil() { override def toString = "1 OR 1=1 --" }
+    intercept[IllegalArgumentException] { c.buildSoql(Map("a" -> Evil())) }
+    intercept[IllegalArgumentException] { c.buildSoql(Map("a" -> null)) }
+    // non-finite doubles have no SoQL literal form — refused too
+    intercept[IllegalArgumentException] { c.buildSoql(Map("a" -> Double.NaN)) }
+    intercept[IllegalArgumentException] {
+      c.buildSoql(Map("a" -> Double.PositiveInfinity))
+    }
+  }
+
   test("S1: page loop accumulates full pages and stops on the short page") {
     val stub = new StubHttp(Seq(
       HttpResponse(200, sodaPage(0 until 3)),

@@ -111,6 +111,40 @@ class VectorIndexSpec extends SparkSpecBase {
       "appendCoded must be indistinguishable from a same-kernel full rebuild")
   }
 
+  test("stale-reuse guard: centroidsMatch/codebooksMatch detect a content-swapped corpus") {
+    import graft.functions.PqFunctions
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    spark.sql("DROP TABLE IF EXISTS vecidx_guard")
+    spark.sql("DROP TABLE IF EXISTS vecidx_guard_centroids")
+    VectorIndex.build(emb, "vecidx_guard", centroids)
+    assert(VectorIndex.centroidsMatch(spark, "vecidx_guard", centroids),
+      "a faithful rebuild of the same corpus must match its stored quantizer")
+    // a regenerated corpus (same vec_ids, different embeddings) trains
+    // different centroids — the guard must refuse the stale index
+    val perturbed = centroids.map(_.clone())
+    perturbed(0)(0) += 1e-9
+    assert(!VectorIndex.centroidsMatch(spark, "vecidx_guard", perturbed),
+      "any content drift must be detected exactly — no tolerance window")
+    assert(!VectorIndex.centroidsMatch(spark, "vecidx_guard", centroids.drop(1)),
+      "a different k must be detected")
+
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    val resid = emb
+      .withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("vec_id"), col("r"))
+    val cbs = PqFunctions.trainCodebooks(resid, "r")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_guard")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_guard_centroids")
+    spark.sql("DROP TABLE IF EXISTS vecidxpq_guard_codebooks")
+    VectorIndex.buildCoded(emb, "vecidxpq_guard", centroids, cbs)
+    assert(VectorIndex.codebooksMatch(spark, "vecidxpq_guard", cbs))
+    val cbsPerturbed = cbs.map(_.map(_.clone()))
+    cbsPerturbed(0)(0)(0) += 1e-9
+    assert(!VectorIndex.codebooksMatch(spark, "vecidxpq_guard", cbsPerturbed))
+  }
+
   test("append assigns with the EXISTING centroids: grown index == full rebuild") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)

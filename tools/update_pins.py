@@ -117,6 +117,15 @@ def main():
         # whole family under one --only).
         subset = set(lo.get("subset", []) or []) | set(hi.get("subset", []) or [])
         if subset:
+            # mirror the full-catalog guard: a named subset member that
+            # failed (or is missing from one artifact) would silently
+            # under-cancel the shared build — fail loudly instead
+            absent = sorted(m for m in subset if m not in qlo or m not in qhi)
+            if absent:
+                raise SystemExit(
+                    f"{q}: build-dominated, but subset members {absent} are "
+                    f"missing from a bench artifact (failed or not timed) — "
+                    f"re-run both probes with the full family green")
             fam = subset & set(qlo) & set(qhi)
             if fam <= {q}:
                 raise SystemExit(

@@ -28,7 +28,7 @@ object BandIndex {
     * a dead run's debris, so clear it when the catalog doesn't know
     * the table. Shared with [[HashIndex]].
     */
-  private[sink] def clearOrphanedLocation(spark: SparkSession, table: String): Unit =
+  private[graft] def clearOrphanedLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val p = new org.apache.hadoop.fs.Path(wh,

@@ -49,12 +49,136 @@ object Compactor {
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val target = Paths.get(dir)
+    refuseBucketed(spark, target)
     recover(target)
     val partitions = partitionDirs(target)
     if (partitions.nonEmpty) {
       val results = partitions.map(p => compactLeaf(spark, p, targetBytes))
       (results.map(_._1).sum, results.map(_._2).sum)
     } else compactLeaf(spark, target, targetBytes)
+  }
+
+  /** REFUSE a directory that is the storage location of a BUCKETED
+    * catalog table (r13 verdict #1). Spark encodes the bucket id in
+    * file NAMES (`..._00003.c000...`) and trusts it at read time —
+    * bucket pruning (`cid IN (...)` → SelectedBucketsCount) and
+    * zero-Exchange bucketed joins never re-hash the rows. A naive
+    * `read.parquet(...).repartition(n)` rewrite scrambles rows across
+    * files while the table keeps CLAIMING its bucket spec: silently
+    * wrong candidate sets from every index built this way (HashIndex,
+    * BandIndex, VectorIndex inverted lists). Those tables compact via
+    * [[VectorIndex.compact]]-style bucket-preserving rebuilds that
+    * re-write through `bucketBy(...)` — never through this raw-file
+    * path, so the check fails loudly instead of corrupting.
+    */
+  private def refuseBucketed(spark: SparkSession, target: Path): Unit = {
+    val norm = target.toAbsolutePath.normalize.toString
+    val cat = spark.sessionState.catalog
+    val owner = cat.listDatabases().iterator.flatMap { db =>
+      cat.listTables(db).iterator.flatMap { ident =>
+        try {
+          val meta = cat.getTableMetadata(ident)
+          val loc = meta.storage.locationUri
+            .map(u => Paths.get(u).toAbsolutePath.normalize.toString)
+          if (meta.bucketSpec.isDefined && loc.contains(norm))
+            Some(ident.unquotedString)
+          else None
+        } catch { case _: Exception => None } // temp views, dropped races
+      }
+    }.nextOption()
+    owner.foreach { t =>
+      throw new IllegalArgumentException(
+        s"refusing to compact '$target': it is the location of BUCKETED " +
+          s"table '$t' — a raw parquet rewrite would scramble " +
+          "bucket-id-in-filename pruning into silently wrong reads; " +
+          "rebuild through the table's own bucket spec instead " +
+          "(e.g. VectorIndex.compact)")
+    }
+  }
+
+  /** Bucket-PRESERVING compaction for a bucketed catalog table — the
+    * legal path [[refuseBucketed]] points at. Each append to a
+    * bucketed table lays down its own file set per bucket (N appends ⇒
+    * N×buckets files, unbounded: VectorIndex/HashIndex/BandIndex all
+    * grow this way), and the raw-directory path above must never touch
+    * them. This rebuild re-writes the rows THROUGH the table's own
+    * catalog bucket spec (same columns, same numBuckets, same sort)
+    * into a staging table, pre-shuffled so each task holds exactly one
+    * bucket (Spark's bucket id and `repartition(n, cols)` both hash
+    * Murmur3 pmod n) — one file per non-empty bucket — then swaps via
+    * DROP + RENAME (write-new-then-swap, the UpsertSink discipline).
+    *
+    * `prune` lets an index drop tombstoned rows during the rewrite
+    * (VectorIndex.compact passes its anti-join); identity otherwise.
+    *
+    * Crash contract: a death before the DROP leaves the live table
+    * canonical and a complete-but-superseded staging table (cleared on
+    * the next run); a death between DROP and RENAME leaves the staging
+    * table holding the only copy — the next call (or any
+    * [[recoverBucketed]]) renames it back before doing anything else.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+                      prune: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+                        = identity): (Int, Int) = {
+    val staging = s"${table}_compacting"
+    recoverBucketed(spark, table)
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"'$table' is not bucketed — use compact(dir) for plain tables"))
+    val before = parquetCount(meta.location)
+    val cols = spec.bucketColumnNames
+    // Read the ROWS via the raw files, not spark.table: a bucketed
+    // scan reports HashPartitioning(cols, n), so the aligning
+    // repartition below would be elided as redundant — and the planner
+    // may then DISABLE the bucketed scan (no downstream operator
+    // exploits it inside a V1 write), leaving unaligned read
+    // partitions that fan out one file per (task × bucket). A plain
+    // file scan has unknown partitioning, the exchange survives, and
+    // each write task holds exactly one bucket (shuffle partition id
+    // and bucket id are the same Murmur3-pmod expression).
+    val raw = spark.read.schema(meta.schema)
+      .parquet(Paths.get(meta.location).toString)
+    BandIndex.clearOrphanedLocation(spark, staging)
+    val writer = prune(raw)
+      .repartition(spec.numBuckets,
+        cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, cols.head, cols.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case Nil => writer
+      case s => writer.sortBy(s.head, s.tail: _*)
+    }
+    sorted.saveAsTable(staging)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    val after = parquetCount(
+      cat.getTableMetadata(ident).location)
+    (before, after)
+  }
+
+  /** Recovery for [[compactBucketed]]'s DROP+RENAME window: a live
+    * staging table with the base table PRESENT is superseded residue
+    * (dropped); with the base table ABSENT it holds the only copy
+    * (renamed back).
+    */
+  def recoverBucketed(spark: SparkSession, table: String): Unit = {
+    val staging = s"${table}_compacting"
+    if (spark.catalog.tableExists(staging)) {
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"DROP TABLE $staging")
+      else
+        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
+  }
+
+  private def parquetCount(location: java.net.URI): Int = {
+    val p = Paths.get(location)
+    if (!Files.isDirectory(p)) 0
+    else walk(p)(_.count(f =>
+      f.toString.endsWith(".parquet") && Files.isRegularFile(f)))
   }
 
   /** Leaf directories of a (possibly nested) `col=value` partition

@@ -104,6 +104,46 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").saveAsTable(s"${table}_codebooks")
   }
 
+  private def tombTable(table: String) = s"${table}_tombstones"
+
+  /** Tombstone-delete (r13 verdict #3): dedup pipelines REMOVE vectors,
+    * and a bucketed table can't delete in place — record the vec_ids
+    * in a side table instead. [[search]]/[[searchCoded]] anti-join the
+    * (tiny, broadcast) tombstone set out of every candidate scan, so a
+    * deleted vector never surfaces as a neighbor; [[compact]] later
+    * purges the rows physically and clears the mask. A masked id stays
+    * masked even if re-appended — re-adding a deleted vector requires
+    * a [[compact]] first (the standard tombstone-store contract).
+    */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append").saveAsTable(tombTable(table))
+
+  private def maskTombstones(spark: SparkSession, table: String,
+                             lists: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(tombTable(table)))
+      lists.join(broadcast(spark.table(tombTable(table)).select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    else lists
+
+  /** Bucket-preserving compaction (r13 verdict #3): N appends leave N
+    * file sets per bucket forever, and the raw-directory Compactor
+    * path legally refuses bucketed tables — this is the lawful rebuild
+    * ([[Compactor.compactBucketed]]): rows re-write THROUGH the
+    * table's own bucket spec (one file per non-empty bucket),
+    * tombstoned rows are dropped during the rewrite, and the cleared
+    * mask table is removed. Search results are bit-identical
+    * before/after (VectorIndexSpec pins it), and probe reads stay
+    * bucket-pruned. Works on plain and coded indexes alike — both
+    * bucket by cid. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, table: String): (Int, Int) = {
+    val res = Compactor.compactBucketed(spark, table,
+      df => maskTombstones(spark, table, df))
+    if (spark.catalog.tableExists(tombTable(table)))
+      spark.sql(s"DROP TABLE ${tombTable(table)}")
+    res
+  }
+
   /** True iff the stored `<table>_centroids` equals `expected`
     * exactly. Reuse guard (r13 ADVICE): a table-name key derived from
     * vec_ids alone is content-INsensitive — a regenerated corpus with
@@ -165,7 +205,8 @@ object VectorIndex {
       explode(IvfFunctions.probeUdf(bc, nProbe)(col("embedding"))).as("cid"))
     val probedCids = probed.select("cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = spark.table(table).filter(col("cid").isin(probedCids.map(Int.box): _*))
+    val lists = maskTombstones(spark, table,
+      spark.table(table).filter(col("cid").isin(probedCids.map(Int.box): _*)))
     IvfFunctions.rerankProbed(lists, probed, topK)
   }
 
@@ -204,8 +245,8 @@ object VectorIndex {
     import spark.implicits._
     val probedDf = probedPairs.toSeq.toDF("query_id", "cid")
     val probedCids = probedPairs.map(_._2).distinct.sorted
-    val lists = spark.table(table)
-      .filter(col("cid").isin(probedCids.map(Int.box): _*))
+    val lists = maskTombstones(spark, table,
+      spark.table(table).filter(col("cid").isin(probedCids.map(Int.box): _*)))
     val cand = lists.join(broadcast(probedDf), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adc",

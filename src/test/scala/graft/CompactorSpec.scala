@@ -12,6 +12,24 @@ import graft.sink.Compactor
   */
 class CompactorSpec extends SparkSpecBase {
 
+  private def dropClean(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sink.BandIndex.clearOrphanedLocation(spark, t)
+  }
+
+  /** Executed plan of a cid=3 point read with auto-bucketed-scan
+    * pinned on (a bare filter otherwise lets the planner disable the
+    * bucketed scan and hide SelectedBucketsCount).
+    */
+  private def prunedPlan(t: String): String = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try spark.table(t).filter(col("cid") === 3)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set(key, prev)
+  }
+
   test("fragmented table compacts to measured-size file count, rows intact") {
     val dir = Files.createTempDirectory("compact").resolve("t").toString
     // 64 tiny files
@@ -48,6 +66,74 @@ class CompactorSpec extends SparkSpecBase {
     val (_, after) = Compactor.compact(spark, dir, targetBytes = target)
     assert(after >= 4 && after <= 5, s"expected ~4 files for bytes/target=4, got $after")
     assert(spark.read.parquet(dir).count() == 100000)
+  }
+
+  test("a bucketed catalog table's location is REFUSED — raw rewrite would scramble bucket pruning") {
+    dropClean("compact_bucketed_guard")
+    spark.range(1000)
+      .select((col("id") % 8).cast("int").as("cid"), col("id").as("vec_id"))
+      .write.bucketBy(8, "cid").sortBy("cid")
+      .saveAsTable("compact_bucketed_guard")
+    val loc = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("compact_bucketed_guard"))
+        .location)
+    val ex = intercept[IllegalArgumentException] {
+      Compactor.compact(spark, loc.toString)
+    }
+    assert(ex.getMessage.contains("BUCKETED"), ex.getMessage)
+    // the table is untouched: still bucket-prunes and reads all rows
+    // (a bare filter lets the planner disable the bucketed scan, so
+    // pin auto-bucketed-scan on for the probe)
+    assert(prunedPlan("compact_bucketed_guard")
+      .contains("SelectedBucketsCount: 1 out of 8"))
+    assert(spark.table("compact_bucketed_guard").count() == 1000)
+  }
+
+  test("compactBucketed rebuilds through the table's own bucket spec — pruning intact, rows intact") {
+    dropClean("compact_bucketed_ok")
+    val df = spark.range(2000)
+      .select((col("id") % 8).cast("int").as("cid"), col("id").as("vec_id"))
+    // three appends = three file sets per bucket
+    df.filter(col("vec_id") < 700).write.mode("overwrite")
+      .bucketBy(8, "cid").sortBy("cid").saveAsTable("compact_bucketed_ok")
+    df.filter(col("vec_id") >= 700 && col("vec_id") < 1400).write.mode("append")
+      .bucketBy(8, "cid").sortBy("cid").saveAsTable("compact_bucketed_ok")
+    df.filter(col("vec_id") >= 1400).write.mode("append")
+      .bucketBy(8, "cid").sortBy("cid").saveAsTable("compact_bucketed_ok")
+    val beforeRows = spark.table("compact_bucketed_ok").orderBy("vec_id")
+      .collect().toSeq
+    val (before, after) = Compactor.compactBucketed(spark, "compact_bucketed_ok")
+    assert(before > 8, s"three appends must fragment past one file set, had $before")
+    assert(after <= 8 && after < before,
+      s"rebuild must land at most one file per bucket, got $after")
+    assert(spark.table("compact_bucketed_ok").orderBy("vec_id")
+      .collect().toSeq == beforeRows, "row content must be untouched")
+    assert(prunedPlan("compact_bucketed_ok")
+      .contains("SelectedBucketsCount: 1 out of 8"),
+      "the rebuilt table must still bucket-prune")
+    // no staging residue
+    assert(!spark.catalog.tableExists("compact_bucketed_ok_compacting"))
+  }
+
+  test("recoverBucketed: staging with base ABSENT renames back; with base PRESENT drops staging") {
+    dropClean("compact_recover_b")
+    dropClean("compact_recover_b_compacting")
+    val df = spark.range(100)
+      .select((col("id") % 4).cast("int").as("cid"), col("id").as("vec_id"))
+    // crash between DROP and RENAME: only the staging table exists
+    df.write.bucketBy(4, "cid").saveAsTable("compact_recover_b_compacting")
+    Compactor.recoverBucketed(spark, "compact_recover_b")
+    assert(spark.catalog.tableExists("compact_recover_b"))
+    assert(!spark.catalog.tableExists("compact_recover_b_compacting"))
+    assert(spark.table("compact_recover_b").count() == 100)
+    // crash before DROP: staging is superseded residue next to the live table
+    df.limit(10).write.bucketBy(4, "cid")
+      .saveAsTable("compact_recover_b_compacting")
+    Compactor.recoverBucketed(spark, "compact_recover_b")
+    assert(!spark.catalog.tableExists("compact_recover_b_compacting"))
+    assert(spark.table("compact_recover_b").count() == 100,
+      "the live table must stay canonical")
   }
 
   test("recover restores a table stranded mid-swap and clears residue") {

@@ -111,6 +111,119 @@ class VectorIndexSpec extends SparkSpecBase {
       "appendCoded must be indistinguishable from a same-kernel full rebuild")
   }
 
+  private def indexFiles(table: String): Int = {
+    val loc = java.nio.file.Paths.get(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val stream = java.nio.file.Files.walk(loc)
+    try {
+      var n = 0
+      stream.iterator().forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)) n += 1
+      }
+      n
+    } finally stream.close()
+  }
+
+  test("compact bounds append fragmentation; search results bit-identical; pruning intact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("vecidx_gc", "vecidx_gc_centroids", "vecidx_gc_tombstones",
+      "vecidx_gc_compacting")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sink.BandIndex.clearOrphanedLocation(spark, t)
+      }
+    // build + 3 appends → 4 file sets per non-empty bucket
+    VectorIndex.build(emb.filter(col("vec_id") % 4 === 0), "vecidx_gc", centroids)
+    (1 to 3).foreach { r =>
+      VectorIndex.append(spark, "vecidx_gc", emb.filter(col("vec_id") % 4 === r))
+    }
+    val fragmented = indexFiles("vecidx_gc")
+    assert(fragmented > 8, s"4 write rounds must fragment past 8 files, had $fragmented")
+    val beforeSearch = rows(VectorIndex.search(spark, "vecidx_gc", queries,
+      nProbe = 6, topK = 10))
+    val (before, after) = VectorIndex.compact(spark, "vecidx_gc")
+    assert(before == fragmented && after <= 8,
+      s"compaction must land at most one file per bucket, got $before -> $after")
+    assert(rows(VectorIndex.search(spark, "vecidx_gc", queries,
+      nProbe = 6, topK = 10)) == beforeSearch,
+      "search must be bit-identical across compaction")
+    val plan = VectorIndex.search(spark, "vecidx_gc",
+      emb.filter(col("vec_id") === 0), nProbe = 2, topK = 5)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SelectedBucketsCount:"),
+      s"compaction must preserve bucket pruning:\n$plan")
+  }
+
+  test("delete tombstones mask neighbors immediately; compact purges rows and clears the mask") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("vecidx_del", "vecidx_del_centroids", "vecidx_del_tombstones",
+      "vecidx_del_compacting")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sink.BandIndex.clearOrphanedLocation(spark, t)
+      }
+    VectorIndex.build(emb, "vecidx_del", centroids)
+    val full = rows(VectorIndex.search(spark, "vecidx_del", queries,
+      nProbe = 6, topK = 10))
+    // delete the top neighbor of query 0 — it must vanish from results
+    val victim = full.filter(_._1 == 0L).minBy(_._3)._2
+    VectorIndex.delete(spark, "vecidx_del", Seq(victim).toDF("vec_id"))
+    val masked = rows(VectorIndex.search(spark, "vecidx_del", queries,
+      nProbe = 6, topK = 10))
+    assert(!masked.exists(_._2 == victim),
+      s"deleted vector $victim must never surface as a neighbor")
+    // physical rows still present until compact
+    assert(spark.table("vecidx_del").filter(col("vec_id") === victim).count() == 1)
+    VectorIndex.compact(spark, "vecidx_del")
+    assert(spark.table("vecidx_del").filter(col("vec_id") === victim).count() == 0,
+      "compact must purge tombstoned rows physically")
+    assert(!spark.catalog.tableExists("vecidx_del_tombstones"),
+      "compact must clear the tombstone mask")
+    assert(rows(VectorIndex.search(spark, "vecidx_del", queries,
+      nProbe = 6, topK = 10)) == masked,
+      "post-compact search must equal the masked results exactly")
+  }
+
+  test("coded index: delete + compact keep searchCoded identical to the masked view") {
+    import graft.functions.PqFunctions
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    val resid = emb
+      .withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("vec_id"), col("r"))
+    val cbs = PqFunctions.trainCodebooks(resid, "r")
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("vecidxpq_del", "vecidxpq_del_centroids", "vecidxpq_del_codebooks",
+      "vecidxpq_del_tombstones", "vecidxpq_del_compacting")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sink.BandIndex.clearOrphanedLocation(spark, t)
+      }
+    VectorIndex.buildCoded(emb, "vecidxpq_del", centroids, cbs)
+    val full = rows(VectorIndex.searchCoded(spark, "vecidxpq_del", queries,
+      emb, nProbe = 6, pqCandidates = 64, topK = 10))
+    val victim = full.filter(_._1 == 0L).minBy(_._3)._2
+    VectorIndex.delete(spark, "vecidxpq_del", Seq(victim).toDF("vec_id"))
+    val masked = rows(VectorIndex.searchCoded(spark, "vecidxpq_del", queries,
+      emb, nProbe = 6, pqCandidates = 64, topK = 10))
+    assert(!masked.exists(_._2 == victim))
+    VectorIndex.compact(spark, "vecidxpq_del")
+    assert(rows(VectorIndex.searchCoded(spark, "vecidxpq_del", queries,
+      emb, nProbe = 6, pqCandidates = 64, topK = 10)) == masked,
+      "coded search must be stable across tombstone purge")
+    assert(!spark.catalog.tableExists("vecidxpq_del_tombstones"))
+  }
+
   test("stale-reuse guard: centroidsMatch/codebooksMatch detect a content-swapped corpus") {
     import graft.functions.PqFunctions
     val emb = Tables.embeddings(spark, sfDir)

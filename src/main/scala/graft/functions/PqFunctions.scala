@@ -129,4 +129,49 @@ object PqFunctions {
       while (j < tabs.length) { s += tabs(j)(codes(j)); j += 1 }
       s
     }
+
+  /** Per-(query, probed-list) ADC table computed ON EXECUTORS from the
+    * broadcast centroids + codebooks, returned FLATTENED
+    * (`[j * k + code]`, j ascending). This lifts the fixed-query-set
+    * driver bound (r13 verdict #2): nothing about the query batch ever
+    * collects, so a corpus-sized batch (the kNN-graph-over-index
+    * retrieval shape) streams through the scan. Bit-identical to the
+    * driver-side [[adcTables]]: the residual is the same
+    * `(q_i − c_i).toFloat` per element and every table entry is the
+    * same [[l2sqSub]] fixed-order fold.
+    */
+  def adcTableUdf(bcC: Broadcast[Array[Array[Double]]],
+                  bcCb: Broadcast[Array[Array[Array[Double]]]])
+      : UserDefinedFunction =
+    udf { (v: Seq[Float], cid: Int) =>
+      val q = toFloatArray(v)
+      val c = bcC.value(cid)
+      val r = new Array[Float](q.length)
+      var i = 0
+      while (i < q.length) { r(i) = (q(i).toDouble - c(i)).toFloat; i += 1 }
+      val cb = bcCb.value
+      val out = new Array[Double](cb.length * codesPerSubspace)
+      var j = 0
+      while (j < cb.length) {
+        var t = 0
+        while (t < cb(j).length) {
+          out(j * codesPerSubspace + t) = l2sqSub(r, j * subDim, cb(j)(t))
+          t += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+
+  /** j-ascending ADC fold over a [[adcTableUdf]]-flattened table — the
+    * executor-side twin of [[adcByListUdf]]: same additions, same
+    * order, bit-identical result.
+    */
+  def adcFlatUdf: UserDefinedFunction =
+    udf { (tabs: Seq[Double], codes: Seq[Int]) =>
+      var s = 0.0
+      var j = 0
+      while (j < codes.length) { s += tabs(j * codesPerSubspace + codes(j)); j += 1 }
+      s
+    }
 }

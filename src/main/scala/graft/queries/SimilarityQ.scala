@@ -1677,6 +1677,13 @@ object SimilarityQ {
     * kernel tables.
     */
   private def ivfpqAnnOracleSql: String =
+    ivfpqAnnOracleSqlFor(s"vec_id < $nQueries")
+
+  /** [[ivfpqAnnOracleSql]] parametrized over the query-set predicate —
+    * the corpus-batch twin (q_ann_ivfpq_batch) replays the identical
+    * kernels over a modulo-cut query set that SCALES with the corpus.
+    */
+  private def ivfpqAnnOracleSqlFor(queryPred: String): String =
     s"""${centroidDistCte(ivfAuxDir)},
        |assigned AS (
        |  SELECT vec_id, cid FROM (
@@ -1711,7 +1718,7 @@ object SimilarityQ {
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
-       |    FROM dist WHERE vec_id < $nQueries) WHERE rn <= $ivfNProbe),
+       |    FROM dist WHERE $queryPred) WHERE rn <= $ivfNProbe),
        |qresid AS (
        |  SELECT p.query_id, p.cid,
        |    list_transform(range(1, 65),
@@ -1891,6 +1898,45 @@ object SimilarityQ {
     graft.sink.VectorIndex.searchCoded(s, table,
       emb.filter(col("vec_id") < nQueries), emb,
       nProbe = ivfNProbe, pqCandidates = pqCandidates, topK = topK)
+  }.preparedBy { (s, d) =>
+    prepareCentroids(ivfAuxDir)(s, d)
+    OracleAux.prepareOnce(s, ivfpqCbAuxDir, d) {
+      writePqCodebooks(Tables.embeddings(s, d), ivfpqCodebooks(s, d),
+        ivfpqCbAuxDir)
+    }
+    persistentIvfPqTable(s, d)
+    ()
+  }
+
+  /** CORPUS-BATCH retrieval over the persistent coded index — the
+    * kNN-graph-over-index shape a 100 TB deployment actually runs
+    * (r13 verdict #2): the query set is a deterministic modulo cut of
+    * the CORPUS (vec_id % 16 = 0 — 1/16th of every scale factor, so
+    * the batch grows with the data and could never collect to a
+    * driver), searched against the same materialized IVF-PQ tables as
+    * [[qAnnIvfPqPersistent]]. Executor-side ADC
+    * ([[graft.functions.PqFunctions.adcTableUdf]]) computes each
+    * (query, probed-list) table inside the scan from the broadcast
+    * kernels; `broadcastProbe = false` leaves the candidate join
+    * unhinted, so a genuinely large probe side shuffles TO the index's
+    * bucket layout (the index itself still never re-hashes) while AQE
+    * may broadcast a runtime-small one. Scale shape: with adaptive k ∝
+    * corpus, list length stays ~constant, so candidate pairs grow
+    * LINEARLY with the corpus — the 10× probe pins it.
+    */
+  val qAnnIvfPqBatch: Q = Q.sql(
+    "q_ann_ivfpq_batch",
+    ivfpqAnnOracleSqlFor("vec_id % 16 = 0"),
+    doc = "ORACLE REPLAY: same centroid + codebook replay as " +
+      "q_ann_ivfpq, over the corpus-scaled modulo-cut query batch — " +
+      "the engine side answers from the materialized coded index with " +
+      "executor-side ADC, never collecting the query set.") { (s, d) =>
+    val table = persistentIvfPqTable(s, d)
+    val emb = Tables.embeddings(s, d)
+    graft.sink.VectorIndex.searchCoded(s, table,
+      emb.filter(col("vec_id") % 16 === 0), emb,
+      nProbe = ivfNProbe, pqCandidates = pqCandidates, topK = topK,
+      broadcastProbe = false)
   }.preparedBy { (s, d) =>
     prepareCentroids(ivfAuxDir)(s, d)
     OracleAux.prepareOnce(s, ivfpqCbAuxDir, d) {
@@ -2554,7 +2600,7 @@ object SimilarityQ {
   val all: Seq[Q] = Seq(qAnnBruteForce, qAnnLsh, qAnnIvf, qAnnIvfPersistent,
     qEmbeddingNearDup,
     qEmbeddingNearDupLsh, qEmbQuantize, qAnnQuantized, qEmbSemDedup,
-    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qAnnIvfPqPersistent,
+    qEmbSemDedupLsh, qAnnPq, qEmbDecontam, qAnnIvfPq, qAnnIvfPqPersistent, qAnnIvfPqBatch,
     qEmbClusterBalance,
     qEmbPca, qEmbOutliers, qEmbKnnGraph, qEmbTopicClusters, qEmbHardNegatives,
     qEmbPrunePrototypes, qClassSeparation, qLabelProp, qEmbKnnTriangles,

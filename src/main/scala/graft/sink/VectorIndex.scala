@@ -211,46 +211,53 @@ object VectorIndex {
   }
 
   /** ANN top-k against a CODED index ([[buildCoded]]): centroids and
-    * codebooks load from their k-row/m×16-row tables; each query's
-    * per-probed-list ADC tables precompute on the driver (bounded:
-    * |queries| × nProbe entries — the fixed-query-set idiom); the
-    * coded lists scan bucket-pruned, ADC-rank, and cut to
-    * `pqCandidates` per query; only then do the survivors fetch their
-    * float vectors from `corpusVecs` (vec_id, embedding) for the
-    * exact-cosine rerank. Every kernel (probe, ADC fold, candidate
-    * cut, rerank ordering) matches the in-session q_ann_ivfpq path,
-    * so the materialized index answers identically.
+    * codebooks load from their k-row/m×16-row tables and broadcast;
+    * each query's per-probed-list ADC table computes ON EXECUTORS
+    * ([[PqFunctions.adcTableUdf]]) — the query batch itself NEVER
+    * collects to the driver (r13 verdict #2), so a corpus-sized batch
+    * (kNN-graph-over-index, the retrieval shape a 100 TB deployment
+    * runs) streams through exactly like a 5-query one. The coded lists
+    * scan bucket-pruned reading codes only, ADC-rank, cut to
+    * `pqCandidates` per query; only the survivors fetch float vectors
+    * from `corpusVecs` (vec_id, embedding) for the exact-cosine
+    * rerank. Every kernel (probe, residual, ADC entries, j-ascending
+    * fold, candidate cut, rerank ordering) is bit-identical to the
+    * in-session q_ann_ivfpq path, so the materialized index answers
+    * identically. The only driver reduction left is the distinct
+    * probed-centroid set for bucket pruning — ≤ k ints (k ≤ 65536 by
+    * the adaptive-k cap).
+    *
+    * `broadcastProbe` picks the candidate-join shape: true (default)
+    * broadcasts the probe side — right for bounded query batches, the
+    * index never shuffles; false leaves the join unhinted — a
+    * corpus-sized probe side shuffles TO THE INDEX's bucket layout
+    * (the bucketed side still never re-hashes) and AQE may still
+    * broadcast a runtime-small side.
     */
   def searchCoded(spark: SparkSession, table: String, queries: DataFrame,
                   corpusVecs: DataFrame, nProbe: Int, pqCandidates: Int,
-                  topK: Int): DataFrame = {
+                  topK: Int, broadcastProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.CosineSimilarity.ensureRegistered(spark)
     val centroids = loadCentroids(spark, table)
     val cb = loadCodebooks(spark, table)
     val bcC = IvfFunctions.broadcastCentroids(queries, centroids)
-    val probedPairs = queries.select(col("vec_id").as("query_id"),
+    val bcCb = PqFunctions.broadcastCodebooks(queries, cb)
+    val probed = queries.select(col("vec_id").as("query_id"), col("embedding"),
         explode(IvfFunctions.probeUdf(bcC, nProbe)(col("embedding"))).as("cid"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
-    val qVecs = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def qResidual(q: Array[Float], cid: Int): Array[Float] = {
-      val c = centroids(cid)
-      Array.tabulate(q.length)(i => (q(i).toDouble - c(i)).toFloat)
-    }
-    val bcTabs = spark.sparkContext.broadcast(
-      probedPairs.map { case (qid, cid) =>
-        (qid, cid) -> PqFunctions.adcTables(qResidual(qVecs(qid), cid), cb)
-      }.toMap)
-    import spark.implicits._
-    val probedDf = probedPairs.toSeq.toDF("query_id", "cid")
-    val probedCids = probedPairs.map(_._2).distinct.sorted
+      .select(col("query_id"), col("cid"),
+        PqFunctions.adcTableUdf(bcC, bcCb)(col("embedding"), col("cid")).as("adct"))
+    // bounded reduction (≤ k ints): the distinct probed lists, for the
+    // `cid IN (...)` bucket prune at the index scan
+    val probedCids = queries.select(
+        explode(IvfFunctions.probeUdf(bcC, nProbe)(col("embedding"))).as("cid"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val lists = maskTombstones(spark, table,
       spark.table(table).filter(col("cid").isin(probedCids.map(Int.box): _*)))
-    val cand = lists.join(broadcast(probedDf), Seq("cid"))
+    val probeSide = if (broadcastProbe) broadcast(probed) else probed
+    val cand = lists.join(probeSide, Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adc",
-        PqFunctions.adcByListUdf(bcTabs)(col("query_id"), col("cid"), col("cs")))
+      .withColumn("adc", PqFunctions.adcFlatUdf(col("adct"), col("cs")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc").asc, col("vec_id").asc)))

@@ -78,6 +78,34 @@ class VectorIndexSpec extends SparkSpecBase {
       s"the coded index scan must read codes only, never a float vector:\n$idxScan")
   }
 
+  test("corpus-batch search never collects the query set: no LocalTableScan, executor-side ADC") {
+    SparkEntry.prepares.get("q_ann_ivfpq_batch").foreach(p => p(spark, sfDir))
+    val res = SparkEntry.queries("q_ann_ivfpq_batch")(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the r13 driver-side path surfaced the collected probe pairs as a
+    // LocalTableScan — the executor-side path must read BOTH sides of
+    // the candidate join from files
+    assert(!plan.contains("LocalTableScan"),
+      s"the query batch must never round-trip through the driver:\n$plan")
+    assert(plan.contains("SelectedBucketsCount:"),
+      s"the corpus-batch probe must still bucket-prune the index scan:\n$plan")
+    val idxScan = plan.linesIterator
+      .filter(l => l.contains("graft_vecidx_pq") && l.contains("FileScan"))
+      .mkString("\n")
+    assert(idxScan.nonEmpty && !idxScan.contains("embedding"),
+      s"the coded index scan must read codes only:\n$idxScan")
+    // and the batch answers per-query-identically: query 0 sits in
+    // BOTH query sets (vec_id < 5 and vec_id % 16 = 0), and its
+    // neighbors must match the fixed-query persistent path exactly
+    val batch = rows(res)
+    SparkEntry.prepares.get("q_ann_ivfpq_persistent").foreach(p => p(spark, sfDir))
+    val fixed = rows(SparkEntry.queries("q_ann_ivfpq_persistent")(spark, sfDir))
+    assert(batch.filter(_._1 == 0L) == fixed.filter(_._1 == 0L),
+      "batch and fixed-set search must agree on a shared query")
+    assert(batch.map(_._1).distinct.size > 1,
+      "the modulo cut must select more than one query")
+  }
+
   test("appendCoded with EXISTING kernels: grown coded index == same-kernel rebuild") {
     import graft.functions.PqFunctions
     val emb = Tables.embeddings(spark, sfDir)

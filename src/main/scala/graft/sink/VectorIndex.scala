@@ -296,6 +296,45 @@ object VectorIndex {
       .saveAsTable(table)
   }
 
+  /** RESTART-IDEMPOTENT [[appendCoded]] — the foreachBatch tail of the
+    * streaming embedding ingest ([[graft.streaming.StreamingVectors]]):
+    * the batch re-encodes with the stored kernels, then anti-joins out
+    * any vec_id ALREADY PRESENT in the lists the batch lands in, so a
+    * replayed micro-batch (post-crash re-fire of foreachBatch) appends
+    * exactly zero rows. The existence probe is bucket-pruned to the
+    * batch's own target cids (`cid IN (...)`, a bounded ≤ k-int driver
+    * reduction) — at 100 TB the index is touched only where the batch
+    * lands, never scanned. Atomicity comes from the file-commit
+    * protocol: an epoch's append either commits all its files or none,
+    * so the replay sees either nothing (re-appends whole) or everything
+    * (appends nothing) — no partial state exists.
+    */
+  def appendCodedIdempotent(spark: SparkSession, table: String,
+                            emb: DataFrame, buckets: Int = 8): Unit = {
+    val bcC = IvfFunctions.broadcastCentroids(emb, loadCentroids(spark, table))
+    val bcCb = PqFunctions.broadcastCodebooks(emb, loadCodebooks(spark, table))
+    val coded = emb
+      .withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("cid"), col("vec_id"),
+        PqFunctions.encodeUdf(bcCb)(col("r")).as("cs"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val cids = coded.select("cid").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (cids.nonEmpty) {
+        val existing = spark.table(table)
+          .filter(col("cid").isin(cids.map(Int.box): _*))
+          .select(col("vec_id"))
+        coded.join(existing, Seq("vec_id"), "left_anti")
+          .write.mode("append")
+          .bucketBy(buckets, "cid").sortBy("cid")
+          .saveAsTable(table)
+      }
+    } finally coded.unpersist()
+  }
+
   /** [[append]] for a coded index: assign + residual + encode against
     * the EXISTING centroids and codebooks (both quantizers are fixed
     * once trained — the FAISS growth mode), append preserving the

@@ -21,17 +21,29 @@ import org.apache.spark.sql.types._
   *   - `double`: DoubleType — allowed ONLY when pinned in
   *     `src/test/resources/double_output_pins.json` with an idiom tag.
   *     A double is hash-safe under the determinism contract
-  *     (QueryDef.scala) when it is decimal-exact-then-cast (`dsum`:
-  *     one terminal widening of an exact decimal), a single IEEE op on
-  *     pinned decimal-exact operands replayed identically in the
-  *     oracle SQL (`ieee-pinned`), a pass-through of a source double
-  *     column with no arithmetic (`raw-column`), or a value replayed
-  *     from a shared aux table on both sides (`replay`). The 193
-  *     columns shipped before this lint carry `r12-driver-green`:
-  *     empirically hash-green across two full driver rounds on both
-  *     corpora — a NEW double column cannot use that tag (the suite
-  *     rejects growth of the grandfather set), so it must be authored
-  *     against one of the four idioms and pinned by hand.
+  *     (QueryDef.scala) under exactly four idioms (every pin was
+  *     audited against its defining expression in round 14; the
+  *     original 193-entry `r12-driver-green` grandfather set is gone
+  *     and `grandfatherCeiling` = 0 keeps it gone):
+  *       - `dsum`: decimal-exact arithmetic (sum/max/windowed sum over
+  *         DECIMAL-cast operands) with ONE terminal widening to
+  *         double. Order-independent in any engine.
+  *       - `ieee-pinned`: at most ONE rounding IEEE op (typically the
+  *         final division) on operands whose VALUES are exactly
+  *         determined — integer/decimal arithmetic, pinned literals,
+  *         power-of-two scaling, and correctly-rounded operand
+  *         widenings (long/decimal→double casts) do not count as
+  *         rounding ops — replayed identically in the oracle SQL.
+  *       - `raw-column`: a source/scan value passed through or
+  *         SELECTED (filter, CASE guard, argmax snapshot, min/max,
+  *         top-k, exact-quantile pick) with no FP arithmetic.
+  *       - `replay`: a deterministic scalar fold of 2+ rounding IEEE
+  *         ops (+,−,×,÷,√,round) in PINNED operand order over
+  *         deterministic inputs — or a value read from a shared
+  *         oracle-aux table — replayed op-for-op in the oracle SQL.
+  *         No order-dependent double aggregation, no transcendentals
+  *         (IEEE 754 requires correct rounding for ÷ and √ but not
+  *         for libm log/exp/pow, so those stay banned).
   *
   * Nested types are walked (array/map/struct elements hash too).
   * Like CatalogPlanLintSpec, the pin set may not rot: a pin whose
@@ -50,10 +62,12 @@ class OutputSchemaLintSpec extends SparkSpecBase {
   /** Idiom tags a NEW double pin may use (scaladoc above). */
   private val newPinTags = Set("dsum", "ieee-pinned", "raw-column", "replay")
 
-  /** Count of `r12-driver-green` grandfather pins at lint adoption —
-    * the set may shrink (stale pins must be removed) but never grow.
+  /** The `r12-driver-green` grandfather set was burned down to ZERO in
+    * round 14 (every pin re-audited against its defining expression
+    * and tagged with its idiom); the ceiling stays at 0 so the tag can
+    * never be reintroduced.
     */
-  private val grandfatherCeiling = 193
+  private val grandfatherCeiling = 0
 
   private lazy val doublePins: Map[String, String] = {
     val src = scala.io.Source.fromInputStream(

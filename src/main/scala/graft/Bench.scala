@@ -125,14 +125,20 @@ object Bench {
           "bench_sf10_baseline.json"))
       // the sf stamp is a PATH — a trailing slash, relative spelling,
       // or symlinked corpus dir must not silently disable regression
-      // tracking, so both sides normalize (resolving symlinks where
-      // the path exists) before comparing
-      def normPath(raw: String): String = {
+      // tracking, so both sides normalize before comparing. BOTH the
+      // lexical and the symlink-resolved form count: a stamp recorded
+      // through a symlink whose real target has since moved still
+      // matches the same spelling lexically (resolving one side but
+      // not the other would silently drop the pin)
+      def normForms(raw: String): Set[String] = {
         val p = java.nio.file.Paths.get(raw)
-        try p.toRealPath().toString
-        catch { case _: Exception => p.toAbsolutePath.normalize.toString }
+        val abs = p.toAbsolutePath.normalize
+        val real =
+          try Set(abs.toRealPath().toString)
+          catch { case _: Exception => Set.empty[String] }
+        real + abs.toString
       }
-      val sfNorm = normPath(sfDir)
+      val sfNorm = normForms(sfDir)
       val present = candidates.filter(f =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
       val chosen = present.iterator.flatMap { f =>
@@ -142,7 +148,7 @@ object Bench {
           .findFirstMatchIn(txt).map(_.group(1))
         // a pin without an sf field predates the stamp — only the
         // explicit env override may still use it
-        val matches = sfField.exists(normPath(_) == sfNorm) ||
+        val matches = sfField.exists(f => (normForms(f) & sfNorm).nonEmpty) ||
           (sfField.isEmpty && sys.env.contains("SPARK_GRAFT_BENCH_BASELINE"))
         if (matches) Some(txt) else None
       }.nextOption()

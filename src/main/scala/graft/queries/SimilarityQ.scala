@@ -1126,19 +1126,21 @@ object SimilarityQ {
       // points at them (a newSession() test harness hit exactly that).
       // refreshTable drops this session's stale listing if someone
       // else built it after we first read. Reuse is GUARDED (r13
-      // ADVICE): the fingerprint is vec_id-only, so a regenerated
-      // corpus with the same id set would alias the name — the stored
-      // centroid table must match the content-trained quantizer
-      // exactly, else rebuild.
-      val expected = corpusCentroids(s, d, emb)
+      // ADVICE, tightened r14): the NAME is vec_id-only, so a
+      // regenerated corpus with the same id set would alias it — the
+      // build-time content signature must match the current corpus
+      // (VectorIndex.signatureMatches: one hash-scan, COMPLETE — the
+      // earlier quantizer compare only saw content drift that
+      // perturbed the hash-cut training sample, and paid a k-means
+      // retrain on every reuse just to run the compare).
       if (s.catalog.tableExists(table) &&
           s.catalog.tableExists(s"${table}_centroids")) {
         s.catalog.refreshTable(table)
         s.catalog.refreshTable(s"${table}_centroids")
-        if (!graft.sink.VectorIndex.centroidsMatch(s, table, expected))
-          graft.sink.VectorIndex.build(emb, table, expected)
+        if (!graft.sink.VectorIndex.signatureMatches(s, table, emb))
+          graft.sink.VectorIndex.build(emb, table, corpusCentroids(s, d, emb))
       } else {
-        graft.sink.VectorIndex.build(emb, table, expected)
+        graft.sink.VectorIndex.build(emb, table, corpusCentroids(s, d, emb))
       }
       table
     }
@@ -1858,13 +1860,13 @@ object SimilarityQ {
       val emb = Tables.embeddings(s, d)
       val table = s"graft_vecidx_pq_${corpusKey(emb)}"
       val parts = Seq("", "_centroids", "_codebooks").map(table + _)
-      // same stale-reuse guard as [[persistentIvfTable]]: both stored
-      // quantizers must match the content-trained kernels exactly
+      // same stale-reuse guard as [[persistentIvfTable]] (r14): the
+      // build-time content signature must match the current corpus —
+      // complete and one hash-scan, vs retraining both quantizers
+      // every session only to compare their sample-bounded kernels
       val staleOrAbsent = !parts.forall(s.catalog.tableExists) || {
         parts.foreach(s.catalog.refreshTable)
-        !graft.sink.VectorIndex.centroidsMatch(s, table,
-          corpusCentroids(s, d, emb)) ||
-          !graft.sink.VectorIndex.codebooksMatch(s, table, ivfpqCodebooks(s, d))
+        !graft.sink.VectorIndex.signatureMatches(s, table, emb)
       }
       if (staleOrAbsent) graft.sink.VectorIndex.buildCoded(emb, table,
         corpusCentroids(s, d, emb), ivfpqCodebooks(s, d))

@@ -71,18 +71,38 @@ object Compactor {
     * re-write through `bucketBy(...)` — never through this raw-file
     * path, so the check fails loudly instead of corrupting.
     */
+  /** Both the lexical and the symlink-resolved spelling of a path:
+    * the catalog may record the real path while a caller passes a
+    * symlinked one (or vice versa — /tmp is itself a symlink on some
+    * hosts), and an exact-string compare on one spelling lets the raw
+    * rewrite through (the same hazard Bench's SF-matched baseline
+    * lookup normalizes for). `toRealPath` needs the path to exist;
+    * a vanished location falls back to the lexical form alone.
+    */
+  private def canonForms(p: Path): Seq[Path] = {
+    val abs = p.toAbsolutePath.normalize
+    val real =
+      try Seq(abs.toRealPath()) catch { case _: Exception => Seq.empty }
+    (abs +: real).distinct
+  }
+
   private def refuseBucketed(spark: SparkSession, target: Path): Unit = {
-    val norm = target.toAbsolutePath.normalize.toString
+    val tforms = canonForms(target)
     val cat = spark.sessionState.catalog
     val owner = cat.listDatabases().iterator.flatMap { db =>
       cat.listTables(db).iterator.flatMap { ident =>
         try {
           val meta = cat.getTableMetadata(ident)
-          val loc = meta.storage.locationUri
-            .map(u => Paths.get(u).toAbsolutePath.normalize.toString)
-          if (meta.bucketSpec.isDefined && loc.contains(norm))
-            Some(ident.unquotedString)
-          else None
+          // containment, not equality, in BOTH directions: compacting
+          // a partition-leaf INSIDE a bucketed location scrambles that
+          // bucket subset; compacting a PARENT sweeps the table's
+          // files into the raw rewrite along with everything else
+          val overlaps = meta.bucketSpec.isDefined &&
+            meta.storage.locationUri.exists { u =>
+              canonForms(Paths.get(u)).exists(l =>
+                tforms.exists(t => t.startsWith(l) || l.startsWith(t)))
+            }
+          if (overlaps) Some(ident.unquotedString) else None
         } catch { case _: Exception => None } // temp views, dropped races
       }
     }.nextOption()

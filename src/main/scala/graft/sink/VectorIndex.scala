@@ -57,7 +57,49 @@ object VectorIndex {
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     writeCentroids(s, table, centroids)
+    writeSignature(s, table, corpusSignature(emb))
   }
+
+  /** Order-independent content fingerprint of the corpus an index was
+    * built from: the decimal-exact SUM of xxhash64(vec_id, embedding)
+    * over every row (sum commutes, so partitioning/order never changes
+    * it; decimal(20,0) → sum never overflows under ANSI). COMPLETE
+    * where the r13-ADVICE quantizer compare was not: retrained
+    * centroids/codebooks only see the hash-cut training SAMPLE, so a
+    * regenerated corpus whose drift lay outside the sample compared
+    * equal and silently reused a stale index — any changed row changes
+    * this sum. Also cheaper on the reuse path: one hash-scan of the
+    * corpus instead of a k-means retrain plus full assignment pass.
+    */
+  def corpusSignature(emb: DataFrame): String =
+    emb.agg(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0))))
+      .head().getDecimal(0).toBigInteger.toString
+
+  private def sigTable(table: String) = s"${table}_sig"
+
+  private def writeSignature(s: SparkSession, table: String,
+                             sig: String): Unit = {
+    BandIndex.clearOrphanedLocation(s, sigTable(table))
+    import s.implicits._
+    Seq(sig).toDF("sig")
+      .coalesce(1).write.mode("overwrite").saveAsTable(sigTable(table))
+  }
+
+  /** True iff `table` carries a build-time corpus signature equal to
+    * `emb`'s current content. Absent stamp (pre-r14 index) → false:
+    * rebuild once, get stamped. The stamp records the BUILT corpus —
+    * out-of-band [[append]]s to a memo-managed table deliberately
+    * un-match it (the next memo hit rebuilds from the true corpus).
+    */
+  def signatureMatches(spark: SparkSession, table: String,
+                       emb: DataFrame): Boolean =
+    spark.catalog.tableExists(sigTable(table)) && {
+      spark.catalog.refreshTable(sigTable(table))
+      val stored = spark.table(sigTable(table)).select(col("sig"))
+        .head().getString(0)
+      stored == corpusSignature(emb)
+    }
 
   private def writeCentroids(s: SparkSession, table: String,
                              centroids: Array[Array[Double]]): Unit = {
@@ -96,6 +138,7 @@ object VectorIndex {
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(table)
     writeCentroids(s, table, centroids)
+    writeSignature(s, table, corpusSignature(emb))
     BandIndex.clearOrphanedLocation(s, s"${table}_codebooks")
     import s.implicits._
     codebooks.zipWithIndex.flatMap { case (codes, j) =>
@@ -111,9 +154,15 @@ object VectorIndex {
     * in a side table instead. [[search]]/[[searchCoded]] anti-join the
     * (tiny, broadcast) tombstone set out of every candidate scan, so a
     * deleted vector never surfaces as a neighbor; [[compact]] later
-    * purges the rows physically and clears the mask. A masked id stays
-    * masked even if re-appended — re-adding a deleted vector requires
-    * a [[compact]] first (the standard tombstone-store contract).
+    * purges the rows physically. The MASK is the source of truth for
+    * deletion and survives compaction by default: a masked id stays
+    * masked even if re-appended — including a streaming epoch REPLAYED
+    * after a crash ([[appendCodedIdempotent]]'s anti-join probes table
+    * content, which a compact has already purged, so only the retained
+    * mask stops the replay from resurrecting the deleted vector).
+    * Re-adding a deleted vector requires an explicit
+    * `compact(clearMask = true)` at a moment the operator KNOWS no
+    * streaming replay window is open (all checkpoints committed).
     */
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit =
     ids.select(col("vec_id")).write.mode("append").saveAsTable(tombTable(table))
@@ -129,18 +178,38 @@ object VectorIndex {
     * file sets per bucket forever, and the raw-directory Compactor
     * path legally refuses bucketed tables — this is the lawful rebuild
     * ([[Compactor.compactBucketed]]): rows re-write THROUGH the
-    * table's own bucket spec (one file per non-empty bucket),
-    * tombstoned rows are dropped during the rewrite, and the cleared
-    * mask table is removed. Search results are bit-identical
-    * before/after (VectorIndexSpec pins it), and probe reads stay
-    * bucket-pruned. Works on plain and coded indexes alike — both
-    * bucket by cid. Returns (filesBefore, filesAfter).
+    * table's own bucket spec (one file per non-empty bucket) and
+    * tombstoned rows are dropped during the rewrite. The mask table is
+    * RETAINED (deduplicated to distinct ids) unless `clearMask = true`:
+    * dropping it eagerly would let a crashed streaming epoch that
+    * replays after the compact resurrect a deleted vector (see
+    * [[delete]]) — the ids-only mask is tiny, so keeping it costs one
+    * broadcast anti-join and closes that window. Pass
+    * `clearMask = true` only when every streaming checkpoint that
+    * could replay an old epoch has committed. Search results are
+    * bit-identical before/after (VectorIndexSpec pins it), and probe
+    * reads stay bucket-pruned. Works on plain and coded indexes alike
+    * — both bucket by cid. Returns (filesBefore, filesAfter).
     */
-  def compact(spark: SparkSession, table: String): (Int, Int) = {
+  def compact(spark: SparkSession, table: String,
+              clearMask: Boolean = false): (Int, Int) = {
     val res = Compactor.compactBucketed(spark, table,
       df => maskTombstones(spark, table, df))
-    if (spark.catalog.tableExists(tombTable(table)))
-      spark.sql(s"DROP TABLE ${tombTable(table)}")
+    if (spark.catalog.tableExists(tombTable(table))) {
+      if (clearMask) spark.sql(s"DROP TABLE ${tombTable(table)}")
+      else {
+        // hygiene: the purge made the mask's row HISTORY redundant —
+        // rewrite it as the distinct id set (write-new-then-swap)
+        val tt = tombTable(table)
+        val distinctIds = spark.table(tt).select(col("vec_id")).distinct()
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          spark.sql(s"DROP TABLE $tt")
+          distinctIds.write.saveAsTable(tt)
+        } finally distinctIds.unpersist()
+      }
+    }
     res
   }
 
@@ -243,14 +312,23 @@ object VectorIndex {
     val cb = loadCodebooks(spark, table)
     val bcC = IvfFunctions.broadcastCentroids(queries, centroids)
     val bcCb = PqFunctions.broadcastCodebooks(queries, cb)
-    val probed = queries.select(col("vec_id").as("query_id"), col("embedding"),
+    // the probe pass (k-centroid distances per query) runs ONCE and
+    // materializes its (query_id, embedding, cid) pairs — both the
+    // ADC join side and the bucket-prune cid set derive from it; the
+    // pre-r14 shape evaluated probeUdf a second, independent time just
+    // for the distinct-cid collect, an extra full k-distance pass over
+    // a corpus-scaled batch
+    val probePairs = queries
+      .select(col("vec_id").as("query_id"), col("embedding"),
         explode(IvfFunctions.probeUdf(bcC, nProbe)(col("embedding"))).as("cid"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val probed = probePairs
       .select(col("query_id"), col("cid"),
         PqFunctions.adcTableUdf(bcC, bcCb)(col("embedding"), col("cid")).as("adct"))
     // bounded reduction (≤ k ints): the distinct probed lists, for the
     // `cid IN (...)` bucket prune at the index scan
-    val probedCids = queries.select(
-        explode(IvfFunctions.probeUdf(bcC, nProbe)(col("embedding"))).as("cid"))
+    val probedCids = probePairs.select(col("cid"))
       .distinct().collect().map(_.getInt(0)).sorted
     val lists = maskTombstones(spark, table,
       spark.table(table).filter(col("cid").isin(probedCids.map(Int.box): _*)))
@@ -307,7 +385,11 @@ object VectorIndex {
     * lands, never scanned. Atomicity comes from the file-commit
     * protocol: an epoch's append either commits all its files or none,
     * so the replay sees either nothing (re-appends whole) or everything
-    * (appends nothing) — no partial state exists.
+    * (appends nothing). The one other state a replay can meet is a
+    * DELETE (± compact) that ran while the stream was down — the
+    * tombstone mask is retained across compaction (see [[compact]])
+    * and the probe here treats masked ids as present, so the replay
+    * neither resurrects nor re-materializes a deleted vector.
     */
   def appendCodedIdempotent(spark: SparkSession, table: String,
                             emb: DataFrame, buckets: Int = 8): Unit = {
@@ -327,7 +409,12 @@ object VectorIndex {
         val existing = spark.table(table)
           .filter(col("cid").isin(cids.map(Int.box): _*))
           .select(col("vec_id"))
-        coded.join(existing, Seq("vec_id"), "left_anti")
+        // tombstones count as "present" too: a replayed epoch must not
+        // physically re-add a vector deleted (and possibly compacted
+        // away) while the stream was down — the retained mask would
+        // hide it from search either way, but garbage rows are garbage
+        maskTombstones(spark, table,
+            coded.join(existing, Seq("vec_id"), "left_anti"))
           .write.mode("append")
           .bucketBy(buckets, "cid").sortBy("cid")
           .saveAsTable(table)

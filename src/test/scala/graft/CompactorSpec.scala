@@ -88,6 +88,32 @@ class CompactorSpec extends SparkSpecBase {
     assert(prunedPlan("compact_bucketed_guard")
       .contains("SelectedBucketsCount: 1 out of 8"))
     assert(spark.table("compact_bucketed_guard").count() == 1000)
+
+    // a SYMLINKED spelling of the same location must also be refused
+    // (the catalog records one spelling, the caller may hold another)
+    val linkParent = Files.createTempDirectory("compact_guard_link")
+    val link = linkParent.resolve("via_link")
+    try {
+      Files.createSymbolicLink(link, loc)
+      val exLink = intercept[IllegalArgumentException] {
+        Compactor.compact(spark, link.toString)
+      }
+      assert(exLink.getMessage.contains("BUCKETED"), exLink.getMessage)
+    } finally {
+      Files.deleteIfExists(link)
+      Files.deleteIfExists(linkParent)
+    }
+
+    // ...and so must a SUBDIRECTORY inside the bucketed location
+    // (compacting a slice scrambles that bucket subset just the same)
+    val sub = loc.resolve("nested_leaf")
+    Files.createDirectories(sub)
+    try {
+      val exSub = intercept[IllegalArgumentException] {
+        Compactor.compact(spark, sub.toString)
+      }
+      assert(exSub.getMessage.contains("BUCKETED"), exSub.getMessage)
+    } finally Files.deleteIfExists(sub)
   }
 
   test("compactBucketed rebuilds through the table's own bucket spec — pruning intact, rows intact") {

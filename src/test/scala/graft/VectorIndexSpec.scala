@@ -186,7 +186,7 @@ class VectorIndexSpec extends SparkSpecBase {
       s"compaction must preserve bucket pruning:\n$plan")
   }
 
-  test("delete tombstones mask neighbors immediately; compact purges rows and clears the mask") {
+  test("delete tombstones mask neighbors immediately; compact purges rows, mask survives unless cleared") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
@@ -212,11 +212,59 @@ class VectorIndexSpec extends SparkSpecBase {
     VectorIndex.compact(spark, "vecidx_del")
     assert(spark.table("vecidx_del").filter(col("vec_id") === victim).count() == 0,
       "compact must purge tombstoned rows physically")
-    assert(!spark.catalog.tableExists("vecidx_del_tombstones"),
-      "compact must clear the tombstone mask")
+    assert(spark.catalog.tableExists("vecidx_del_tombstones"),
+      "compact must RETAIN the tombstone mask by default — a streaming " +
+        "epoch replayed after the purge would otherwise resurrect the vector")
     assert(rows(VectorIndex.search(spark, "vecidx_del", queries,
       nProbe = 6, topK = 10)) == masked,
       "post-compact search must equal the masked results exactly")
+    // clearMask = true is the explicit no-replay-window-open opt-in
+    VectorIndex.compact(spark, "vecidx_del", clearMask = true)
+    assert(!spark.catalog.tableExists("vecidx_del_tombstones"),
+      "compact(clearMask = true) must drop the mask")
+  }
+
+  test("a crashed epoch replayed after delete+compact does not resurrect the deleted vector") {
+    import graft.functions.PqFunctions
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    val bcC = IvfFunctions.broadcastCentroids(emb, centroids)
+    val resid = emb
+      .withColumn("cid", IvfFunctions.assignUdf(bcC)(col("embedding")))
+      .withColumn("r", IvfFunctions.residualUdf(bcC)(col("embedding"), col("cid")))
+      .select(col("vec_id"), col("r"))
+    val cbs = PqFunctions.trainCodebooks(resid, "r")
+    val queries = emb.filter(col("vec_id") < 5)
+    Seq("vecidxpq_replay", "vecidxpq_replay_centroids",
+      "vecidxpq_replay_codebooks", "vecidxpq_replay_tombstones",
+      "vecidxpq_replay_compacting")
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.sink.BandIndex.clearOrphanedLocation(spark, t)
+      }
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val epoch = emb.filter(col("vec_id") % 2 === 1)
+    VectorIndex.buildCoded(base, "vecidxpq_replay", centroids, cbs)
+    // the epoch commits to the TABLE but (scenario) the stream
+    // checkpoint does not — then, while the stream is down, one of the
+    // epoch's vectors is deleted and the index compacted
+    VectorIndex.appendCodedIdempotent(spark, "vecidxpq_replay", epoch)
+    val victim = epoch.select(col("vec_id")).orderBy(col("vec_id").asc)
+      .head().getLong(0)
+    VectorIndex.delete(spark, "vecidxpq_replay", Seq(victim).toDF("vec_id"))
+    VectorIndex.compact(spark, "vecidxpq_replay")
+    val masked = rows(VectorIndex.searchCoded(spark, "vecidxpq_replay",
+      queries, emb, nProbe = 6, pqCandidates = 64, topK = 10))
+    assert(!masked.exists(_._2 == victim))
+    // restart: the stream re-fires the SAME epoch
+    VectorIndex.appendCodedIdempotent(spark, "vecidxpq_replay", epoch)
+    assert(spark.table("vecidxpq_replay")
+      .filter(col("vec_id") === victim).count() == 0,
+      "replayed epoch must not physically re-add a masked vector")
+    assert(rows(VectorIndex.searchCoded(spark, "vecidxpq_replay",
+      queries, emb, nProbe = 6, pqCandidates = 64, topK = 10)) == masked,
+      "replayed epoch must not change search results after delete+compact")
   }
 
   test("coded index: delete + compact keep searchCoded identical to the masked view") {
@@ -249,7 +297,8 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(rows(VectorIndex.searchCoded(spark, "vecidxpq_del", queries,
       emb, nProbe = 6, pqCandidates = 64, topK = 10)) == masked,
       "coded search must be stable across tombstone purge")
-    assert(!spark.catalog.tableExists("vecidxpq_del_tombstones"))
+    assert(spark.catalog.tableExists("vecidxpq_del_tombstones"),
+      "the mask survives a default compact (replay-window safety)")
   }
 
   test("stale-reuse guard: centroidsMatch/codebooksMatch detect a content-swapped corpus") {
@@ -284,6 +333,36 @@ class VectorIndexSpec extends SparkSpecBase {
     val cbsPerturbed = cbs.map(_.map(_.clone()))
     cbsPerturbed(0)(0)(0) += 1e-9
     assert(!VectorIndex.codebooksMatch(spark, "vecidxpq_guard", cbsPerturbed))
+  }
+
+  test("content-signature guard: one changed row ANYWHERE is detected; quantizer compare is sample-blind to it") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = IvfFunctions.trainCentroids(emb, "embedding", k = 16, seed = 42)
+    Seq("vecidx_sig", "vecidx_sig_centroids", "vecidx_sig_sig")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    VectorIndex.build(emb, "vecidx_sig", centroids)
+    assert(VectorIndex.signatureMatches(spark, "vecidx_sig", emb),
+      "the stamped index must match its own corpus")
+    // regenerate ONE row's embedding, keeping every vec_id: the r13
+    // quantizer compare only noticed drift inside the hash-cut
+    // TRAINING SAMPLE, so a single out-of-sample change could silently
+    // reuse a stale index — the signature sums every row's hash
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val swapped = emb
+      .withColumn("embedding",
+        when(col("vec_id") === maxId,
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), x => x + lit(1.0f)))
+          .otherwise(col("embedding")))
+    assert(!VectorIndex.signatureMatches(spark, "vecidx_sig", swapped),
+      "a single changed row must un-match the stored signature")
+    // same ids, same count — only content differs
+    assert(swapped.count() == emb.count())
+    // signature is order-independent: a re-partitioned/re-ordered scan
+    // of the SAME content still matches
+    assert(VectorIndex.signatureMatches(spark, "vecidx_sig",
+      emb.repartition(7).sortWithinPartitions(col("vec_id").desc)),
+      "the signature must not depend on row order or partitioning")
   }
 
   test("append assigns with the EXISTING centroids: grown index == full rebuild") {

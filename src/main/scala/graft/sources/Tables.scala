@@ -16,8 +16,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Relation-resolution memo (r14, guide §1/§6): `spark.read.parquet`
+    * pays ~80–130 ms of driver-side work per call (fresh
+    * InMemoryFileIndex listing + a synchronous footer read for schema
+    * inference), and every catalog query fn re-resolves each table on
+    * every invocation — twice per query in the bench's min-of-two, ~18 s
+    * across the 237-query catalog at sf0.1. The memo returns the SAME
+    * unresolved relation (metadata only: listing + schema — exactly what
+    * a metastore entry is; no rows are cached and every materialization
+    * still scans the parquet), keyed by a CONTENT SIGNATURE of the path
+    * — (size, mtime) for a file, the child (name, size, mtime) set for a
+    * directory — so a corpus rewritten in place (planted-spec dirs,
+    * regenerated /tmp corpora) re-resolves instead of serving a stale
+    * file list. The analyzed-plan text is identical to a fresh resolve,
+    * so plan fingerprints and the 10x-probe pins are unaffected.
+    */
+  private val relationMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def contentSignature(path: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    def stamp(p: java.nio.file.Path): String =
+      s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    try {
+      if (Files.isDirectory(path)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(path)
+        try s.iterator().asScala.map(c => s"${c.getFileName}=${stamp(c)}")
+          .toSeq.sorted.mkString(";")
+        finally s.close()
+      } else stamp(path)
+    } catch { case _: java.io.IOException => s"unreadable:${System.nanoTime()}" }
+  }
+
+  /** A/B kill-switch: SPARK_GRAFT_RELATION_MEMO=0 restores the
+    * resolve-per-call behavior (used for back-to-back adjudication legs
+    * without a recompile; the default is on).
+    */
+  private val memoEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_RELATION_MEMO").forall(_ != "0")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (!memoEnabled) spark.read.parquet(s"$sfDir/$name.parquet")
+    else {
+      val path = s"$sfDir/$name.parquet"
+      val sig = contentSignature(java.nio.file.Paths.get(path))
+      relationMemo.computeIfAbsent((spark, path, sig),
+        _ => spark.read.parquet(path))
+    }
 
   /** Register every table as a temp view named after itself (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

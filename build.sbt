@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // A/B seam for perf adjudication legs: extra JVM flags (GC choice,
+  // -Dspark.* conf overrides) injected per invocation without a
+  // build-file edit, e.g. SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC".
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

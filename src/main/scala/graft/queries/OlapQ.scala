@@ -1231,6 +1231,12 @@ object OlapQ {
     * (partition-prunable on a date-partitioned table); nation
     * broadcasts; the aggregate keys on custkey so the topk is
     * TakeOrderedAndProject over customer-sized input.
+    *
+    * r14 note: a SHUFFLE_HASH hint on the customer⋈orders leg was
+    * tried (guide §3.1) and looked good under the session-wide
+    * preferSortMergeJoin=false probe, but did not reproduce as a
+    * standalone hint across four interleaved sf10 leg pairs (min
+    * 3.89 s hinted vs 2.98 s sort-merge) — kept sort-merge.
     */
   val qReturnedItems: Q = Q.sql(
     "q10_returned_items",
@@ -1468,10 +1474,19 @@ object OlapQ {
       |ORDER BY numwait DESC, s_suppkey ASC
       |LIMIT 20""".stripMargin) { (s, d) =>
     val isLate = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    // r14 (guide §3.1): the filtered orders side takes a SHUFFLE_HASH
+    // hint — it is the smaller side of the fact join and the shuffle on
+    // orderkey is paid either way, so the hash build skips both
+    // per-partition sorts (and the downstream orderkey-keyed aggregates
+    // still ride the join's hash partitioning, exchange-free). Same-host
+    // sf10 evidence: better in 4 of 6 interleaved leg pairs, min-of-legs
+    // 4.59 s vs 4.91 s (~−8%); the conf-wide probe read 4.53 vs 5.11.
+    // Build memory is |orders, status F|/shuffle.partitions — scales
+    // down with cluster-sized partition counts.
     val lo = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        .select(col("o_orderkey"), col("o_orderdate")),
+        .select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
     val perSup = lo
       .groupBy("l_orderkey", "l_suppkey") // rides the join's orderkey partitioning

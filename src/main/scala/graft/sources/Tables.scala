@@ -25,14 +25,28 @@ object Tables {
     * unresolved relation (metadata only: listing + schema — exactly what
     * a metastore entry is; no rows are cached and every materialization
     * still scans the parquet), keyed by a CONTENT SIGNATURE of the path
-    * — (size, mtime) for a file, the child (name, size, mtime) set for a
-    * directory — so a corpus rewritten in place (planted-spec dirs,
-    * regenerated /tmp corpora) re-resolves instead of serving a stale
-    * file list. The analyzed-plan text is identical to a fresh resolve,
-    * so plan fingerprints and the 10x-probe pins are unaffected.
+    * — (size, mtime) for a file, the RECURSIVE leaf-file (relative path,
+    * size, mtime) set for a directory (r15: depth-1 listing would serve a
+    * stale file list after an in-place rewrite of a grandchild part file
+    * in a partitioned layout) — so a corpus rewritten in place
+    * (planted-spec dirs, regenerated /tmp corpora) re-resolves instead of
+    * serving a stale file list. The analyzed-plan text is identical to a
+    * fresh resolve, so plan fingerprints and the 10x-probe pins are
+    * unaffected.
+    *
+    * Memory bounds (r15, the r14 ADVICE items): the memo keys on
+    * (session, path) with the signature stored in the VALUE, so a
+    * superseded signature is evicted by the insert that replaces it, and
+    * entries whose session has been stopped (the 140-suite test JVM,
+    * newSession A/B probes) are swept on every load — driver memory is
+    * bounded by live sessions x live tables instead of growing for the
+    * JVM lifetime.
     */
   private val relationMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+
+  /** Visible for tests: current number of memoized relations. */
+  private[graft] def memoSize: Int = relationMemo.size
 
   private def contentSignature(path: java.nio.file.Path): String = {
     import java.nio.file.Files
@@ -41,8 +55,10 @@ object Tables {
     try {
       if (Files.isDirectory(path)) {
         import scala.jdk.CollectionConverters._
-        val s = Files.list(path)
-        try s.iterator().asScala.map(c => s"${c.getFileName}=${stamp(c)}")
+        val s = Files.walk(path)
+        try s.iterator().asScala
+          .filter(p => !Files.isDirectory(p))
+          .map(p => s"${path.relativize(p)}=${stamp(p)}")
           .toSeq.sorted.mkString(";")
         finally s.close()
       } else stamp(path)
@@ -50,8 +66,11 @@ object Tables {
   }
 
   /** A/B kill-switch: SPARK_GRAFT_RELATION_MEMO=0 restores the
-    * resolve-per-call behavior (used for back-to-back adjudication legs
-    * without a recompile; the default is on).
+    * resolve-per-call behavior. For back-to-back bench adjudication legs
+    * ONLY — the 5 self-join-shape queries' plan fingerprints
+    * (sf10_exponent_pins.json) encode the shared-relation exprId
+    * numbering, so FingerprintDumpMain / Sf10GateSpec runs must keep the
+    * memo at its default (on) or the pin gate trips confusingly.
     */
   private val memoEnabled: Boolean =
     sys.env.get("SPARK_GRAFT_RELATION_MEMO").forall(_ != "0")
@@ -59,10 +78,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (!memoEnabled) spark.read.parquet(s"$sfDir/$name.parquet")
     else {
+      // sweep entries owned by stopped sessions (tiny map: sessions x
+      // tables, so a full pass per load is cheaper than any bookkeeping)
+      relationMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
       val path = s"$sfDir/$name.parquet"
       val sig = contentSignature(java.nio.file.Paths.get(path))
-      relationMemo.computeIfAbsent((spark, path, sig),
-        _ => spark.read.parquet(path))
+      val key = (spark, path)
+      val cur = relationMemo.get(key)
+      if (cur != null && cur._1 == sig) cur._2
+      else {
+        // benign race: two threads may resolve concurrently; last insert
+        // wins and both frames are equally valid (metadata-only)
+        val df = spark.read.parquet(path)
+        relationMemo.put(key, (sig, df))
+        df
+      }
     }
 
   /** Register every table as a temp view named after itself (idempotent). */

@@ -38,10 +38,23 @@ object EventsQ {
     // NULLS FIRST and TRY_CASTs (DuckDB CAST would error on non-numeric,
     // and json_extract_string on malformed JSON — Spark's
     // get_json_object returns NULL for both, hence the json_valid
-    // guard + try_cast pairing).
+    // guard + try_cast pairing). The integral cast goes through
+    // Ops.coerceNumeric (r15): a dirty corpus whose $.k is non-numeric
+    // text would otherwise construct a NumberFormatException per row
+    // (~8 µs — the q_try_cast burn), while the digit guard costs one
+    // rlike; bit-identical semantics per CoerceNumericEquivalenceSpec.
+    // The JSON extraction is PRE-PROJECTED into its own column first:
+    // the guard references its input in both the condition and the
+    // branch, and codegen does not CSE the conditional duplicate — an
+    // inline get_json_object was measured evaluating twice (+99% at
+    // sf10, GuardCostProbeMain: bare 1.25 s, inline guard 2.49 s,
+    // pre-projected guard 1.30 s on 10M rows); CollapseProject keeps
+    // the non-cheap alias un-inlined, so it runs once here.
     Tables.events(s, d)
+      .withColumn("__k", get_json_object(col("props"), "$.k"))
       .withColumn("k_mod",
-        get_json_object(col("props"), "$.k").try_cast(IntegerType) % 10)
+        graft.transform.Ops.coerceNumeric(col("__k"), IntegerType) % 10)
+      .drop("__k")
       .groupBy("event_type", "k_mod")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc, col("k_mod").asc)

@@ -60,6 +60,16 @@ object Ops {
     * guard ACCEPTS a superset of castable strings — accepted rows still
     * go through `try_cast`, so semantics are bit-identical (proved
     * exhaustively in CoerceNumericEquivalenceSpec).
+    *
+    * INPUT CONTRACT (r15): `col` is referenced in both the guard's
+    * condition and the try_cast branch, and codegen does NOT eliminate
+    * the conditional duplicate — so `col` must be DETERMINISTIC (a
+    * non-deterministic input could diverge between the two
+    * evaluations) and CHEAP (an attribute reference or a trivial
+    * expression). An expensive input — get_json_object, a regex
+    * extract — must be pre-projected into its own column first
+    * (q_events_json_props pattern; measured +99% at sf10 inline,
+    * GuardCostProbeMain).
     */
   def coerceNumeric(col: Column, to: DataType = DoubleType): Column = to match {
     case ByteType | ShortType | IntegerType | LongType =>

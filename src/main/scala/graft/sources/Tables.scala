@@ -20,8 +20,11 @@ object Tables {
     * pays ~80–130 ms of driver-side work per call (fresh
     * InMemoryFileIndex listing + a synchronous footer read for schema
     * inference), and every catalog query fn re-resolves each table on
-    * every invocation — twice per query in the bench's min-of-two, ~18 s
-    * across the 237-query catalog at sf0.1. The memo returns the SAME
+    * every invocation — twice per query in the bench's min-of-two. The
+    * r14 driver run sized the catalog-wide saving at ~4–6 s at sf0.1
+    * (the original "~18 s" estimate double-counted resolves that AQE
+    * reuse already shared; corrected per the r14 verdict). The memo
+    * returns the SAME
     * unresolved relation (metadata only: listing + schema — exactly what
     * a metastore entry is; no rows are cached and every materialization
     * still scans the parquet), keyed by a CONTENT SIGNATURE of the path

@@ -1279,13 +1279,18 @@ object PipelineQ {
        |GROUP BY split
        |ORDER BY split ASC""".stripMargin) { (s, d) =>
     import graft.functions.TextFunctions.shingles
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tok"))
+    // The split label is a PURE function of doc_id (md5-prefix cut), so
+    // it computes in-scan on the same row the grams explode from — the
+    // r14 shape joined the exploded gram stream back to a second
+    // documents scan just to attach it (a build+probe over every gram
+    // row; the oracle keeps its CTE join spelling, which DuckDB plans
+    // independently). Result-identical even under duplicate doc_ids:
+    // every downstream aggregate is COUNT(DISTINCT ...).
+    val sg = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"), tokens(col("text")).as("tok"))
       .filter(size(col("tok")) >= 5)
-      .select(col("doc_id"), explode(shingles(col("tok"), 5)).as("g"))
-    val lab = Tables.documents(s, d)
-      .select(col("doc_id"), splitCol.as("split"))
-    val sg = sh.join(lab, "doc_id")
+      .select(col("doc_id"), col("split"),
+        explode(shingles(col("tok"), 5)).as("g"))
     val trainG = sg.filter(col("split") === "train")
       .select(col("g").as("tg")).distinct()
     sg.filter(col("split") =!= "train")
